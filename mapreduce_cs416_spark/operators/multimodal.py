@@ -1,0 +1,116 @@
+"""Multimodal column plumbing (north-star surface).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The container has no image/audio libraries, so the *decode* step is
+stubbed (clearly-marked NotImplementedError / deterministic fake),
+while everything Spark-side — schema, batching, partitioning, UDF
+signatures — is real and tested:
+
+- ``with_blob``      : attach a binary payload + media-type metadata
+                       (here derived from text; in production the blob
+                       column arrives from parquet/Lance directly).
+- ``blob_metadata``  : metadata extraction as pure built-ins (byte
+                       length, sha-256, magic-bytes sniff) — no UDF.
+- ``extract_features``: mapInPandas feature extractor — Arrow-batched,
+                       one pandas frame per partition chunk; the
+                       "decode" inside is a deterministic fake
+                       (byte-chunk means), the batch shape is real.
+- ``decode_image``   : the genuine decode entry point, stubbed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary column + media metadata. The payload is
+    the utf-8 text bytes (deterministic stand-in for real media)."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("blob"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def blob_metadata(docs: DataFrame) -> DataFrame:
+    """Typed metadata over the binary column — pure built-ins:
+    byte length, sha-256 digest, first-4-bytes 'magic' hex."""
+    blobs = with_blob(docs)
+    return blobs.select(
+        "doc_id",
+        "media_type",
+        F.length("blob").alias("n_bytes"),
+        F.sha2("blob", 256).alias("sha256_hex"),
+        F.lower(F.hex(F.expr("substring(blob, 1, 4)"))).alias("magic_hex"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake decode: mean byte value of `dim` equal chunks.
+
+    Stands in for image/audio decoding (libraries not present in this
+    container); replace with a real decoder via ``decode_image``.
+    """
+    n = len(payload)
+    if n == 0:
+        return [0.0] * dim
+    step = max(n // dim, 1)
+    feats = []
+    for i in range(dim):
+        chunk = payload[i * step : (i + 1) * step] or payload[-step:]
+        feats.append(sum(chunk) / len(chunk))
+    return feats
+
+
+def extract_features(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over the blob column.
+
+    mapInPandas: pandas batches in, pandas batches out — the real
+    plumbing for a decode/embed stage at scale (each partition's
+    batches stream through the Python worker; no collect, no
+    per-row pickling).
+    """
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(len).astype("int32"),
+                    "features": pdf["blob"].map(lambda b: _fake_decode(bytes(b), dim)),
+                }
+            )
+
+    return blobs.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def decode_image(payload: bytes):
+    """Real media decode entry point — STUB.
+
+    The container ships no image/audio codecs (no PIL/cv2/librosa);
+    wire one in here and ``extract_features`` picks it up unchanged.
+    """
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this container"
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators over `documents` (north-star surface):
+language ID, quality scoring, token statistics, fingerprinting.
+
+All are pure column expressions (codegen'd, no Python), built so the
+DuckDB oracle can reproduce them exactly: integer counts everywhere
+possible, double math only on deterministic per-row sequences, and
+explicit tie-break priority in the language argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WORD_SPLIT_RE
+
+# marker vocabularies for the n-gram/stopword language heuristic;
+# priority order (ties resolve to the earlier language) is en, de, es, fr, zh.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "los", "las", "que", "y"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _words() -> Column:
+    return F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))
+
+
+def _marker_count(words_col: str, markers: tuple[str, ...]) -> Column:
+    cond = " OR ".join(f"w = '{m}'" for m in markers)
+    return F.expr(f"size(filter({words_col}, w -> {cond}))")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language,
+    argmax with fixed priority. Returns (doc_id, pred_lang, score)."""
+    scored = docs.select("doc_id", _words().alias("ws")).select(
+        "doc_id",
+        *[_marker_count("ws", LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in LANG_MARKERS],
+    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    score = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    return scored.select("doc_id", pred.alias("pred_lang"), score.alias("score"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Document quality signals: char/token counts, average token
+    length, punctuation ratio, stopword ratio, and a composite score.
+    Ratios use NULLIF guards; rounding to 6 dp at the edges only."""
+    stop_cond = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        _words().alias("ws"),
+        F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")).alias("n_punct"),
+    ).select(
+        "doc_id",
+        "n_chars_text",
+        "n_punct",
+        F.size("ws").alias("n_tokens"),
+        F.expr("aggregate(transform(ws, w -> length(w)), 0L, (acc, x) -> acc + x)").alias("token_chars"),
+        F.expr(f"size(filter(ws, w -> {stop_cond}))").alias("n_stop"),
+    )
+    avg_tok = F.col("token_chars") / F.nullif(F.col("n_tokens"), F.lit(0))
+    punct_ratio = F.col("n_punct") / F.nullif(F.col("n_chars_text"), F.lit(0))
+    stop_ratio = F.col("n_stop") / F.nullif(F.col("n_tokens"), F.lit(0))
+    composite = (
+        0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * F.least(avg_tok / 10.0, F.lit(1.0))
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_text",
+        "n_tokens",
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(composite, 6).alias("quality"),
+    )
+
+
+# whitespace tokens and a BPE-ish pre-tokenizer (letter runs | digit runs |
+# single non-alnum-non-space), counted per document.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens,
+    distinct words, type-token ratio."""
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(filter(split(text, '\\s+'), t -> t <> ''))").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_RE}', 0)")).alias("n_bpe_tokens"),
+        _words().alias("ws"),
+    ).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+        F.round(
+            F.size(F.array_distinct("ws")) / F.nullif(F.size("ws"), F.lit(0)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial document fingerprint:
+    fold over code points of (acc * 31 + cp) mod 1e9+7.
+
+    Pure integer arithmetic in a sequential fold — identical in any
+    engine, so unlike MinHash/SimHash this digest IS oracle-portable.
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(regexp_extract_all(text, '([\\\\s\\\\S])', 1), c -> ascii(c)), "
+            f"0L, (acc, c) -> (acc * 31 + c) % {FINGERPRINT_MOD}L)"
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,126 @@
+"""Event-time analytics over the `events` table (SURVEY.md §7 Phase 4d).
+
+The reference is strictly batch (hard map→reduce barrier,
+mr/coordinator.go:78-87); these queries give the engine the
+time-windowed operator family in batch form, using the *same*
+``window()`` / ``session_window()`` expressions Structured Streaming
+executes incrementally — see ``streaming/pipelines.py`` for the
+readStream twins with watermarks.
+
+Oracle notes: Spark windows are epoch-aligned, so the DuckDB twins are
+date_trunc arithmetic; session windows use the standard
+gaps-and-islands rewrite with the same strict `gap >= 30min` boundary
+(Spark sessions are half-open [ts, ts+gap)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import decimal_sum, sql_decimal_sum
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + value sum.
+    One shuffle on (window, type); partial agg map-side."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_decimal_sum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 30 minutes): each event
+    lands in exactly two windows; Spark plans this as an explode of
+    window starts + hash agg (no self-join)."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH g AS (
+    SELECT value,
+           CAST(date_trunc('hour', ts)
+                + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+             AS TIMESTAMP) AS g0
+    FROM events
+), u AS (
+    SELECT g0 AS window_start, value FROM g
+    UNION ALL
+    SELECT g0 - INTERVAL 30 MINUTE, value FROM g
+)
+SELECT window_start, count(*) AS n_events, {sql_decimal_sum('value')} AS sum_value
+FROM u
+GROUP BY 1
+"""
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap:
+    session start, size, and value sum. The stateful-streaming twin
+    lives in streaming/pipelines.py."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SESSION_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       count(*) AS n_events,
+       {sql_decimal_sum('value')} AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    q.name: q
+    for q in [
+        QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
+        QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
+        QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
+    ]
+}

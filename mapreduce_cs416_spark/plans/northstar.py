@@ -1,0 +1,268 @@
+"""North-star queries: dedup, similarity search, text analysis,
+multimodal (BASELINE.json's LLM-data-pipeline surface).
+
+Oracle-portable ops carry exact DuckDB SQL twins (same tokenizer
+regex, same sequential float folds, same integer arithmetic). Ops
+whose results depend on engine hash functions (MinHash/SimHash/LSH
+buckets) have no SQL oracle by construction — the driver records the
+rows-only check and tests/ assert their quality properties (recall vs
+the exact operators) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+_SQL_WORDS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> w <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------- dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) < 3 THEN []
+                ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   FOR i IN range(1, len(ws) - 1)])
+           END AS shingles
+    FROM w
+), ex AS (
+    SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(common / (na + nb - common), 6) AS jaccard
+FROM common
+WHERE common / (na + nb - common) >= 0.2
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), k=3, n_hashes=64, bands=16, threshold=0.2)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+# -------------------------------------------------------------- similarity
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+SIMILARITY_TOPK_SQL = """
+WITH e AS (
+    SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+    FROM e
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, [c.v[i] * q.v[i] FOR i IN range(1, len(c.v) + 1)]),
+                       (acc, x) -> acc + x) / (c.nrm * q.nrm) AS cos
+    FROM n c, n q
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+), ranked AS (
+    SELECT q_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS score, rn
+FROM ranked WHERE rn <= 5
+"""
+
+
+def similarity_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+
+
+COSINE_NEAR_DUP_SQL = """
+WITH e AS (
+    SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+    FROM e
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]),
+                       (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS score
+FROM pairs WHERE cos >= 0.9
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_planes=8)
+
+
+# ------------------------------------------------------------ text analysis
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    cond = " OR ".join(f"w = '{m}'" for m in markers)
+    return f"len(list_filter(ws, w -> {cond}))"
+
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_marker_sql(markers)} AS s_{lang}" for lang, markers in textstats.LANG_MARKERS.items()
+)
+
+TEXT_LANG_ID_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), scored AS (
+    SELECT doc_id,
+           {_LANG_SCORES}
+    FROM w
+)
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+       CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS INTEGER) AS score
+FROM scored
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+_STOP_SQL = " OR ".join(f"w = '{m}'" for m in textstats.STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_text,
+           CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS INTEGER) AS n_punct,
+           {_SQL_WORDS} AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id, n_chars_text, n_punct,
+           CAST(len(ws) AS INTEGER) AS n_tokens,
+           list_reduce(list_prepend(0::BIGINT, [length(w)::BIGINT FOR w IN ws]),
+                       (acc, x) -> acc + x) AS token_chars,
+           len(list_filter(ws, w -> {_STOP_SQL})) AS n_stop
+    FROM base
+)
+SELECT doc_id, n_chars_text, n_tokens,
+       round(token_chars / NULLIF(n_tokens, 0), 6) AS avg_token_len,
+       round(n_punct / NULLIF(n_chars_text, 0), 6) AS punct_ratio,
+       round(n_stop / NULLIF(n_tokens, 0), 6) AS stopword_ratio,
+       round(0.4 * (n_stop / NULLIF(n_tokens, 0))
+             + 0.3 * (1 - n_punct / NULLIF(n_chars_text, 0))
+             + 0.3 * least((token_chars / NULLIF(n_tokens, 0)) / 10.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_RE}')) AS INTEGER) AS n_bpe_tokens,
+           {_SQL_WORDS} AS ws
+    FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_words,
+       round(len(list_distinct(ws)) / NULLIF(len(ws), 0), 6) AS type_token_ratio
+FROM t
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+                        [ascii(c)::BIGINT FOR c IN regexp_extract_all(text, '[\\s\\S]')]),
+           (acc, c) -> (acc * 31 + c) % {textstats.FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- multimodal
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.blob_metadata(_docs(spark, sf_dir))
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(encode(text)) AS sha256_hex,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(_docs(spark, sf_dir))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    q.name: q
+    for q in [
+        QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),
+        QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, dedup.ngram_jaccard_pairs.__doc__, headline=True, tags=("northstar", "dedup")),
+        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, dedup.minhash_lsh_pairs.__doc__, headline=True, tags=("northstar", "dedup", "lsh")),
+        QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
+        QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
+        QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity.cosine_near_dup_pairs.__doc__, tags=("northstar", "similarity", "dedup")),
+        QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
+        QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),
+        QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_SQL, textstats.quality_score.__doc__, tags=("northstar", "text")),
+        QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, textstats.token_stats.__doc__, tags=("northstar", "text")),
+        QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL, textstats.fingerprint.__doc__, tags=("northstar", "text")),
+        QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("multimodal_features", multimodal_features, None, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
+    ]
+}

@@ -1,0 +1,722 @@
+"""Relational queries over the TPC-H-ish tables (SURVEY.md §2.C).
+
+The reference leaves this whole layer "composable" — any of these
+could be written as a Map/Reduce pair on its A-layer dataflow
+(e.g. the classic tag-and-union reduce-side join). Here each is the
+idiomatic Spark built-in, which is the point of the engine: Catalyst
+picks broadcast vs sort-merge joins, pushes filters into the parquet
+scan, prunes columns, and AQE re-plans shuffles at runtime.
+
+Determinism rules used throughout (driver hash-compares vs DuckDB):
+- double aggregations go through DECIMAL(25,6) (see functions/numeric)
+  so partial-agg order cannot perturb the result;
+- every LIMIT/top-k has a total tie-break order;
+- per-row double math is identical IEEE sequences on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, decimal_sum, sql_decimal_sum
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------------ Q1-style
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-filter-aggregate.
+
+    Plan: parquet scan with l_shipdate predicate pushed down and only
+    7 columns read → partial hash-agg → 1 shuffle on the two group
+    keys (low cardinality → tiny exchange) → final agg. AQE coalesces
+    the post-shuffle partitions.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        decimal_sum(F.col("l_quantity"), "sum_qty"),
+        decimal_sum(F.col("l_extendedprice"), "sum_base_price"),
+        decimal_sum(disc_price, "sum_disc_price"),
+        decimal_sum(charge, "sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "*",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+    )
+
+
+Q1_SQL = f"""
+WITH agg AS (
+    SELECT l_returnflag, l_linestatus,
+           {sql_decimal_sum('l_quantity')} AS sum_qty,
+           {sql_decimal_sum('l_extendedprice')} AS sum_base_price,
+           {sql_decimal_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_decimal_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY 1, 2
+)
+SELECT *, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
+FROM agg
+"""
+
+
+# ------------------------------------------------------------------ Q3-style
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join + agg + total-order top 10.
+
+    customer is small → Catalyst broadcasts it; orders⋈lineitem is the
+    one real shuffle. Filters reach the scans (PushedFilters on
+    c_mktsegment / o_orderdate / l_shipdate). The ORDER BY carries a
+    full tie-break (revenue, o_orderdate, l_orderkey) so the LIMIT is
+    deterministic for the oracle hash.
+    """
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_decimal_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ Q5-style
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join: revenue by nation where the
+    customer and supplier share a nation.
+
+    All dimensions (region/nation/customer/supplier) broadcast; the
+    only shuffle joins lineitem⋈orders. At 100 TB the fact-fact join
+    would be bucketed on orderkey to avoid even that exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+       {sql_decimal_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- top-k joins
+def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by lineitem revenue (join + agg + ordered limit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+TOP_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name,
+       {sql_decimal_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------ join varieties
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one big-quantity line.
+    Semi joins ship only the keys — no fact-side row duplication."""
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48).select("l_orderkey")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 400k."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregate: every customer with order count
+    (0 when none) and coalesced total spend."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(decimal_sum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+JOIN_OUTER_SQL = f"""
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,
+       COALESCE({sql_decimal_sum('o_totalprice')}, 0.0) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: orders bucketed into price bands via
+    lo <= price < hi. The band table is tiny and broadcast, so the
+    inequality join is a BroadcastNestedLoopJoin — the right physical
+    plan for banding at any scale (never a cartesian shuffle)."""
+    bands = spark.createDataFrame(
+        [("p0_50k", 0.0, 50_000.0), ("p50_150k", 50_000.0, 150_000.0),
+         ("p150_300k", 150_000.0, 300_000.0), ("p300k_up", 300_000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), decimal_sum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+RANGE_BAND_SQL = f"""
+WITH bands(band, lo, hi) AS (
+    VALUES ('p0_50k', 0.0, 50000.0), ('p50_150k', 50000.0, 150000.0),
+           ('p150_300k', 150000.0, 300000.0), ('p300k_up', 300000.0, 1e9)
+)
+SELECT band, count(*) AS n_orders, {sql_decimal_sum('o_totalprice')} AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1
+"""
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): for every purchase
+    event, the most recent click at-or-before it by the same user.
+
+    Implemented as the scalable union+window pattern: tag both streams,
+    one shuffle on user_id, last(click, ignorenulls) over an ordered
+    unbounded-preceding frame. No per-key collect, no range blow-up;
+    ties broken totally (ts, is_purchase, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(0).alias("is_p"),
+        F.col("event_id").alias("cid"),
+        F.lit(None).cast("bigint").alias("pid"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("bigint").alias("cid"),
+        F.col("event_id").alias("pid"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", F.coalesce("cid", "pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("is_p") == 0, F.struct(F.col("ts").alias("cts"), F.col("cid").alias("ccid"))
+    )
+    out = unioned.withColumn("lastc", F.last(click_struct, ignorenulls=True).over(w))
+    return out.where(F.col("is_p") == 1).select(
+        F.col("pid").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("lastc.ccid").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("lastc.cts")).alias("delta_us"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH u AS (
+    SELECT user_id, ts, 0 AS is_p, event_id AS cid, NULL::BIGINT AS pid
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, 1, NULL, event_id
+    FROM events WHERE event_type = 'purchase'
+), w AS (
+    SELECT *,
+           last_value(CASE WHEN is_p = 0 THEN struct_pack(cts := ts, ccid := cid) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_p, COALESCE(cid, pid)
+                     ROWS UNBOUNDED PRECEDING) AS lastc
+    FROM u
+)
+SELECT pid AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+       lastc.ccid AS click_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lastc.cts AS TIMESTAMP)) AS delta_us
+FROM w WHERE is_p = 1
+"""
+
+
+# ------------------------------------------------------------------- windows
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — ranking window with total
+    tie-break, the standard top-k-per-group (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average of spend per customer.
+    Sums go through DECIMAL inside the frame so segment-tree vs
+    sequential evaluation cannot change the doubles."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(price_dec).over(mov).cast("double") / F.count("*").over(mov)).alias("moving_avg3"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+FROM orders
+"""
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user event value delta and next event type."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_value,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+# ----------------------------------------------------------- grouping extras
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with GROUPING markers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        decimal_sum(F.col("l_quantity"), "sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {sql_decimal_sum('l_quantity')} AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        decimal_sum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       {sql_decimal_sum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ------------------------------------------------------------------- set ops
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one query: high-balance customers
+    vs big-spending customers, tagged by which set they land in."""
+    rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = rich.intersect(buyers).select(F.lit("rich_buyer").alias("tag"), "custkey")
+    rich_only = rich.exceptAll(buyers).select(F.lit("rich_only").alias("tag"), "custkey")
+    buyer_only = buyers.exceptAll(rich).select(F.lit("buyer_only").alias("tag"), "custkey")
+    return both.unionByName(rich_only).unionByName(buyer_only)
+
+
+SET_OPS_SQL = """
+WITH rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000),
+     buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000)
+SELECT 'rich_buyer' AS tag, custkey FROM (SELECT custkey FROM rich INTERSECT SELECT custkey FROM buyers)
+UNION ALL
+SELECT 'rich_only', custkey FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+UNION ALL
+SELECT 'buyer_only', custkey FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM rich)
+"""
+
+
+# ---------------------------------------------------------------- aggregates
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group (expand + two-phase agg)."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct per group. No SQL oracle:
+    HLL sketches are engine-specific by construction (DuckDB's
+    approx_count_distinct uses a different sketch), so the driver
+    records the rows-only check; tests/test_relational.py asserts the
+    estimate is within rsd of the exact count."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group; both
+    engines define percentile_cont identically on a sorted array."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- scalar kernels
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function kernel over part (projection-only; no shuffle)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 8).alias("prefix8"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.expr("split_part(p_name, ' ', 1)").alias("first_token"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       substring(p_name, 1, 8) AS prefix8,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_snake,
+       split_part(p_name, ' ', 1) AS first_token,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       reverse(p_brand) AS brand_rev,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+FROM part
+"""
+
+
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function kernel over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate"), 30).alias("plus30"),
+    )
+
+
+SCALAR_DATETIME_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS plus30
+FROM orders
+"""
+
+
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function kernel over lineitem (per-row IEEE double ops —
+    deterministic across engines; no transcendental libm calls)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net4"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("gmax"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("lmin"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net4,
+       sqrt(l_extendedprice) AS price_sqrt,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       l_orderkey % 7 AS mod7,
+       greatest(l_quantity, l_discount * 100) AS gmax,
+       least(l_quantity, l_tax * 100) AS lmin
+FROM lineitem
+"""
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function kernel over embeddings: size/index/slice and a
+    sequential-fold L2 norm (bitwise-reproducible, see functions/vectors)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round(F.col("v")[0], 6).alias("first_val"),
+        F.round(
+            F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")), 6
+        ).alias("l2_norm"),
+        F.expr("transform(slice(v, 1, 3), x -> round(x, 6))").alias("head3"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INTEGER) AS n_dims,
+       round(v[1], 6) AS first_val,
+       round(sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)), 6) AS l2_norm,
+       [round(x, 6) FOR x IN v[1:3]] AS head3
+FROM e
+"""
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props + aggregation of the value."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+        F.count("*").alias("n"),
+    )
+
+
+JSON_FUNCS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 END) AS n_big,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    )
+    return ev.groupBy("day").pivot("event_type", types).count().na.fill(0, types)
+
+
+PIVOT_EVENTS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    q.name: q
+    for q in [
+        QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL, q1_pricing_summary.__doc__, headline=True, tags=("relational", "agg")),
+        QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL, q3_shipping_priority.__doc__, headline=True, tags=("relational", "join", "topk")),
+        QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
+        QuerySpec("top_customers_revenue", top_customers_revenue, TOP_CUSTOMERS_SQL, top_customers_revenue.__doc__, tags=("relational", "join", "topk")),
+        QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL, join_semi.__doc__, tags=("relational", "join")),
+        QuerySpec("join_anti", join_anti, JOIN_ANTI_SQL, join_anti.__doc__, tags=("relational", "join")),
+        QuerySpec("join_outer_agg", join_outer_agg, JOIN_OUTER_SQL, join_outer_agg.__doc__, tags=("relational", "join")),
+        QuerySpec("range_band_join", range_band_join, RANGE_BAND_SQL, range_band_join.__doc__, tags=("relational", "join", "range")),
+        QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
+        QuerySpec("window_rank", window_rank, WINDOW_RANK_SQL, window_rank.__doc__, tags=("relational", "window")),
+        QuerySpec("window_running", window_running, WINDOW_RUNNING_SQL, window_running.__doc__, tags=("relational", "window")),
+        QuerySpec("window_lag", window_lag, WINDOW_LAG_SQL, window_lag.__doc__, tags=("relational", "window")),
+        QuerySpec("rollup_agg", rollup_agg, ROLLUP_SQL, rollup_agg.__doc__, tags=("relational", "agg")),
+        QuerySpec("cube_agg", cube_agg, CUBE_SQL, cube_agg.__doc__, tags=("relational", "agg")),
+        QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
+        QuerySpec("distinct_agg", distinct_agg, DISTINCT_AGG_SQL, distinct_agg.__doc__, tags=("relational", "agg")),
+        QuerySpec("approx_distinct", approx_distinct, None, approx_distinct.__doc__, tags=("relational", "agg", "approx")),
+        QuerySpec("percentiles", percentiles, PERCENTILES_SQL, percentiles.__doc__, tags=("relational", "agg")),
+        QuerySpec("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_SQL, scalar_string_funcs.__doc__, tags=("relational", "scalar")),
+        QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),
+        QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
+        QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
+        QuerySpec("json_funcs", json_funcs, JSON_FUNCS_SQL, json_funcs.__doc__, tags=("relational", "scalar", "json")),
+        QuerySpec("pivot_events", pivot_events, PIVOT_EVENTS_SQL, pivot_events.__doc__, tags=("relational", "pivot")),
+    ]
+}
