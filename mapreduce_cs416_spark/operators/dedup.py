@@ -99,15 +99,21 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64) -> DataF
 
     One explode + one shuffle: n_hashes min-aggregates over
     xxhash64(shingle, seed_i), computed map-side-partial so the
-    exchange carries one row per doc. Docs with no shingles are kept
-    with an empty-signature marker of Long.MaxValue mins.
+    exchange carries one row per doc. Docs with no shingles are
+    excluded up front — they have no Jaccard similarity to anything
+    by definition, and keeping them would make every shingle-less doc
+    share one signature and collide in every LSH band.
     """
-    ex = shingle_sets(docs, k).select("doc_id", F.explode_outer("shingles").alias("sh"))
+    ex = (
+        shingle_sets(docs, k)
+        .where(F.col("n_sh") > 0)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+    )
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
     ]
     agg = ex.groupBy("doc_id").agg(*mins)
-    sig = F.array(*[F.coalesce(F.col(f"h{i}"), F.lit(2**63 - 1)) for i in range(n_hashes)])
+    sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
     return agg.select("doc_id", sig.alias("sig"))
 
 

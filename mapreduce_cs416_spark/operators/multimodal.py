@@ -87,7 +87,25 @@ def extract_features(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     plumbing for a decode/embed stage at scale (each partition's
     batches stream through the Python worker; no collect, no
     per-row pickling).
+
+    The feature vector is serialized to a CSV string (6-dp DECIMAL
+    rendering, same recipe as array_funcs) so the driver's pandas
+    canonicalization can sort/hash the rows; the raw array variant is
+    ``extract_feature_arrays`` (used by tests).
     """
+    feats = extract_feature_arrays(docs, dim)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.expr("transform(features, x -> cast(cast(round(x, 6) as decimal(16,6)) as string))"),
+        ).alias("features_csv"),
+    )
+
+
+def extract_feature_arrays(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """The raw mapInPandas stage: (doc_id, n_bytes, features array<double>)."""
     blobs = with_blob(docs).select("doc_id", "blob")
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -74,10 +74,10 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from a fixed LCG
-    (seed 42) — reproducible across runs with no RNG dependency."""
-    state = 42
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed LCG —
+    reproducible across runs with no RNG dependency."""
+    state = seed
     planes: list[list[float]] = []
     for _ in range(n_planes):
         row = []
@@ -88,28 +88,47 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """vec_id, v, nrm, bucket — sign-bit bucket over random hyperplanes."""
-    p = _prepared(emb)
-    planes = _hyperplanes(n_planes, dim)
+def _bucket_expr(planes: list[list[float]]):
+    """Sign-bit bucket column over literal hyperplanes (pure codegen:
+    the planes are constant arrays folded into the plan, the dot is a
+    sequential fold — no UDF, no shuffle)."""
     bucket = None
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
         dot = F.expr(
             f"aggregate(zip_with(v, array({', '.join(repr(x) + 'D' for x in plane)}), "
             "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
         )
         bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-        _ = arr
-    return p.withColumn("bucket", bucket.cast("int"))
+    return bucket.cast("int")
 
 
-def lsh_ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8) -> DataFrame:
-    """ANN top-k: exact search restricted to the query's LSH bucket.
+def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
+    """vec_id, v, nrm, bucket — sign-bit bucket over random hyperplanes."""
+    return _prepared(emb).withColumn("bucket", _bucket_expr(_hyperplanes(n_planes, dim, seed)))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """ANN top-k: exact search restricted to the query's LSH bucket(s).
+
     Equi-join on bucket replaces the cross join — candidate set
-    shrinks ~2^n_planes-fold on uniform data."""
-    dim = len(emb.select("embedding").first()[0])
+    shrinks ~2^n_planes-fold on uniform data. ``multi_probe`` also
+    probes every bucket at Hamming distance 1 from the query's bucket
+    (the classic multi-probe LSH recall fix: a near-boundary vector's
+    most likely "miss" bucket differs in exactly one plane sign). The
+    probe fan-out lives entirely on the tiny broadcast query side —
+    the corpus is scanned once and never shuffled.
+
+    ``dim`` is a parameter (engine vectors are fixed-width by schema
+    contract); no driver-side action happens during plan construction.
+    """
     bucketed = lsh_bucket(emb, n_planes, dim)
     queries = bucketed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -117,6 +136,13 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int 
         F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
+    if multi_probe:
+        probes = F.array(F.col("qbucket"), *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ])
+        queries = queries.select(
+            "q_id", "qv", "qnrm", F.explode(probes).alias("qbucket")
+        )
     dot = F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     scored = (
         bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
@@ -128,4 +154,60 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int 
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("score"), "rn")
+    )
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH —
+    the 100 TB-safe twin of ``cosine_near_dup_pairs``.
+
+    `n_tables` independent hyperplane tables (different LCG seeds);
+    candidates = pairs sharing a bucket in ANY table (equi-join on
+    (table, bucket), never all-pairs); every candidate is verified
+    with the exact cosine, so precision is exact and only recall
+    follows the OR-of-tables S-curve 1-(1-p^n_planes)^n_tables with
+    p = 1 - θ/π. tests assert recall vs the brute-force twin on
+    clustered data; output schema matches it exactly.
+    """
+    p = _prepared(emb)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(_hyperplanes(n_planes, dim, seed=42 + t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    keyed = p.select("vec_id", F.explode(tables).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+    )
+    return pairs.where(F.col("cos") >= threshold).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("score")
     )

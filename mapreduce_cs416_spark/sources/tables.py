@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # every table the driver materializes (TESTDATA.md)
 TABLES = (
@@ -37,7 +38,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a long via
+    the legacy conf and convert back to a µs timestamp with exact
+    integer division (`ts div 1000` stays in long arithmetic — a
+    double division would lose precision above 2^53 ns). This matches
+    DuckDB's µs-truncated TIMESTAMP view of the same file, so the
+    oracle comparison is exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,115 @@
+"""Property tests for the dedup family — the claims the LSH operators
+make (recall/precision vs the exact operators) verified on synthetic
+corpora where the S-curve genuinely bites, not just on the bimodal
+driver testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_cs416_spark.operators import dedup
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _alpha(i: int) -> str:
+    """Two-letter alphabetic id — tokens must be pure letters because
+    the engine's tokenizer splits on [^\\p{L}]+ (digits would shred
+    every synthetic word into single characters)."""
+    return chr(97 + (i // 26) % 26) + chr(97 + i % 26)
+
+
+def _mutate(words: list[str], n_swap: int, tag: str) -> list[str]:
+    """Replace n_swap evenly-spaced words — deterministic 'near dup'."""
+    out = list(words)
+    step = max(len(out) // max(n_swap, 1), 1)
+    for j in range(n_swap):
+        idx = (j * step) % len(out)
+        out[idx] = f"{tag}{_alpha(j)}"
+    return out
+
+
+BASE = ["word" + _alpha(i) for i in range(200)]
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """Pairs across the whole similarity range: doc 2k+1 is a mutation
+    of doc 2k with increasing edit distance, plus unrelated docs."""
+    rows = []
+    for pair in range(10):
+        words = [f"p{_alpha(pair)}{w}" for w in BASE]
+        rows.append((2 * pair, " ".join(words)))
+        rows.append(
+            (2 * pair + 1, " ".join(_mutate(words, n_swap=2 * pair + 1, tag=f"mut{_alpha(pair)}")))
+        )
+    for i in range(20, 40):  # unrelated filler
+        rows.append((i, " ".join(f"fill{_alpha(i)}{w}" for w in BASE[:50])))
+    return _corpus(spark, rows)
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(near_dup_corpus):
+    threshold = 0.5
+    exact = dedup.ngram_jaccard_pairs(near_dup_corpus, k=3, threshold=threshold)
+    lsh = dedup.minhash_lsh_pairs(
+        near_dup_corpus, k=3, n_hashes=64, bands=16, threshold=threshold
+    )
+    exact_pairs = _pairs(exact)
+    lsh_pairs = _pairs(lsh)
+    assert exact_pairs, "fixture must contain true pairs above threshold"
+    # precision is exact by construction (candidates are re-verified)
+    assert lsh_pairs <= exact_pairs
+    # recall: at s >= 0.5 the 16x4 S-curve gives P(catch) >= 1-(1-0.5^4)^16 ≈ 0.645
+    # per pair; the fixture pairs near the threshold may drop, but overall
+    # recall must clear half, and every pair with s >= 0.8 must be found.
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"recall {recall} over {len(exact_pairs)} pairs"
+    hot = _pairs(exact.where("jaccard >= 0.8"))
+    assert hot <= lsh_pairs, "high-similarity pairs must never be missed"
+
+
+def test_minhash_excludes_shingleless_docs(spark):
+    """Docs with < k words have no shingles and must not collide into a
+    shared empty-signature bucket (the sentinel bug class)."""
+    rows = [(1, "one"), (2, "two"), (3, "three words only")]
+    sigs = dedup.minhash_signatures(_corpus(spark, rows), k=5)
+    assert sigs.count() == 0
+    rows += [(4, " ".join(BASE)), (5, " ".join(BASE))]
+    out = dedup.minhash_lsh_pairs(_corpus(spark, rows), k=5, threshold=0.2)
+    assert _pairs(out) == {(4, 5)}
+
+
+def test_simhash_finds_near_identical_only(near_dup_corpus):
+    out = dedup.simhash_near_dups(near_dup_corpus, max_hamming=3)
+    found = _pairs(out)
+    # every found pair must be a constructed mutation pair, never filler
+    assert found
+    assert all(b == a + 1 and a % 2 == 0 for a, b in found), found
+    # the lightest mutation (1 word of 200) must be within Hamming 3
+    assert (0, 1) in found
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """max_df drops stop-shingles from the join; n_sh stays the full
+    set size, so capped jaccard is an underestimate, never an
+    overestimate."""
+    shared = " ".join("stop" + _alpha(i) for i in range(50))
+    rows = [(i, shared) for i in range(5)]  # every shingle has df=5
+    docs = _corpus(spark, rows)
+    uncapped = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.9)
+    assert len(_pairs(uncapped)) == 10  # all C(5,2) identical pairs
+    capped = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.9, max_df=4)
+    assert capped.count() == 0  # every shingle dropped by the cap
+
+
+def test_exact_dedup_counts(spark):
+    docs = _corpus(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r["keep_doc_id"]: r["n_copies"] for r in dedup.exact_dedup_stats(docs).collect()}
+    assert out == {1: 2, 3: 1}

@@ -1,0 +1,35 @@
+"""Differential tests: every oracled query vs its DuckDB twin at
+sf0.001 — the same comparison the driver runs at sf0.01
+(row count + schema + order-insensitive canonical values).
+
+This is the pytest counterpart of the reference's golden-output
+diffing (main/test-mr.sh:81-111): the oracle result plays the role of
+mr-correct-*.txt.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_cs416_spark.plans.registry import QUERIES
+from mapreduce_cs416_spark.testing import compare_query
+
+ORACLED = sorted(name for name, spec in QUERIES.items() if spec.oracle is not None)
+ROWS_ONLY = sorted(name for name, spec in QUERIES.items() if spec.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = QUERIES[name]
+    ok, msg = compare_query(spark, spec.fn, spec.oracle, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    """Hash-dependent ops (no SQL twin) must still execute and return
+    a stable schema; their quality properties are asserted in the
+    dedicated property-test modules."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0

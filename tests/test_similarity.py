@@ -1,0 +1,113 @@
+"""Property tests for similarity search: ANN recall vs the exact
+brute-force twin on clustered vectors (where bucketing actually has
+structure to find), plus the multi-probe recall claim.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce_cs416_spark.operators import similarity
+
+DIM = 16
+
+
+def _unit(vec: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec]
+
+
+def _lcg_vec(seed: int, dim: int = DIM) -> list[float]:
+    state = seed
+    out = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        out.append((state >> 11) / float(2**53) * 2.0 - 1.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """5 tight clusters of 20 vectors each: centroid + small jitter.
+    Within-cluster cosine is high; between-cluster is near 0."""
+    rows = []
+    vid = 0
+    for c in range(5):
+        centroid = _lcg_vec(1000 + c)
+        for j in range(20):
+            jitter = _lcg_vec(7000 + vid)
+            vec = _unit([x + 0.15 * y for x, y in zip(centroid, jitter)])
+            rows.append((vid, vec, c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ann_recall_vs_brute_force(clustered_emb):
+    k = 5
+    exact = _topk_sets(similarity.brute_force_topk(clustered_emb, n_queries=10, k=k))
+    ann = _topk_sets(
+        similarity.lsh_ann_topk(clustered_emb, n_queries=10, k=k, n_planes=8, dim=DIM)
+    )
+    hits = sum(len(ann.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    recall = hits / total
+    assert recall >= 0.6, f"ANN recall {recall:.2f} below bound"
+
+
+def test_multi_probe_recall_dominates_single_bucket(clustered_emb):
+    k = 5
+    exact = _topk_sets(similarity.brute_force_topk(clustered_emb, n_queries=10, k=k))
+
+    def recall(multi_probe: bool) -> float:
+        ann = _topk_sets(
+            similarity.lsh_ann_topk(
+                clustered_emb, n_queries=10, k=k, n_planes=8, dim=DIM, multi_probe=multi_probe
+            )
+        )
+        hits = sum(len(ann.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        return hits / sum(len(nbrs) for nbrs in exact.values())
+
+    assert recall(True) >= recall(False)
+
+
+def test_lsh_near_dup_recall_and_precision(clustered_emb):
+    threshold = 0.9
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dup_pairs(clustered_emb, threshold).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dup_lsh(
+            clustered_emb, threshold, n_planes=8, n_tables=4, dim=DIM
+        ).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert lsh <= exact  # precision exact: every emitted pair verified
+    recall = len(lsh & exact) / len(exact)
+    # OR-of-4-tables at cos>=0.9 (p = 1 - theta/pi ≈ 0.856 per plane):
+    # 1-(1-0.856^8)^4 ≈ 0.83 expected; assert a loose floor
+    assert recall >= 0.6, f"near-dup recall {recall:.2f}"
+
+
+def test_brute_force_topk_is_exact_cosine(spark):
+    """3 hand-built vectors with known cosine ordering."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(emb, n_queries=1, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rn"])]
+    assert order == [1, 2, 3]
