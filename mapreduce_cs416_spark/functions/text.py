@@ -11,11 +11,29 @@ in Spark (Java regex) and the DuckDB oracle (RE2).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # runs of non-letters; mirrors unicode.IsLetter tokenization (mrapps/wc.go:21-24)
 WORD_SPLIT_RE = r"[^\p{L}]+"
+
+
+def bind_once(col: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``col`` once per row and pass it to ``fn`` as a lambda
+    variable: ``transform(array(col), x -> fn(x))[0]``.
+
+    Catalyst's CollapseProject inlines a projected expression into
+    every downstream reference — an expression referenced n times is
+    evaluated n times per row. For cheap expressions that's free; for
+    a tokenize/shingle pipeline referenced tens of times (e.g. a
+    k-shingle window over `words`, or 64 MinHash lanes over
+    `shingles`) it multiplies the per-row CPU by n. Binding through a
+    single-element transform() makes every reference a lambda-variable
+    lookup instead.
+    """
+    return F.transform(F.array(col), fn)[0]
 
 
 def words_col(text: Column | str, pattern: str = WORD_SPLIT_RE) -> Column:
@@ -27,19 +45,17 @@ def words_col(text: Column | str, pattern: str = WORD_SPLIT_RE) -> Column:
 def word_shingles(words: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined) from a token array.
 
-    Built from transform(sequence(...)) so it stays codegen'd; empty
-    array when the document has fewer than k tokens.
+    Pure higher-order built-ins; the token array is bound once per row
+    (see ``bind_once``) so the k element accesses per shingle are
+    array lookups, not re-evaluations of the tokenizer. Empty array
+    when the document has fewer than k tokens.
     """
-    joined = ", ".join(f"__w[i+{j}]" for j in range(k))
-    expr = (
-        f"CASE WHEN size(__w) < {k} THEN array() "
-        f"ELSE array_distinct(transform(sequence(0, size(__w) - {k}), "
-        f"i -> concat_ws(' ', {joined}))) END"
-    )
-    # F.expr can't reference a Column directly; route through a lambda-free
-    # rewrite using the input column via `transform` on a struct trick is
-    # messier — instead require callers to project the token array to a
-    # column named by `words` when it is a string, or inline via expr().
-    if isinstance(words, str):
-        return F.expr(expr.replace("__w", words))
-    raise TypeError("word_shingles expects the NAME of a token-array column")
+
+    def shingles_of(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(ws) - k)
+        window = lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(k)])  # noqa: E731
+        return F.when(F.size(ws) < k, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(F.transform(idx, window))
+        )
+
+    return bind_once(words, shingles_of)

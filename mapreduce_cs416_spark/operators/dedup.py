@@ -26,10 +26,42 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import WORD_SPLIT_RE
+from ..functions.text import WORD_SPLIT_RE, bind_once, word_shingles, words_col
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the corpus scan actually distributes across cores.
+
+    Shingling/hashing is CPU-bound per document, and a small corpus in
+    one parquet row group runs the whole map stage on a single core:
+    Spark reports maxPartitionBytes-sized *byte-range* splits, but
+    parquet can't split below row-group granularity, so every row
+    lands in the one split that contains the row group. The split
+    count is therefore a lie for small files — decide from input bytes
+    instead. No-op at scale (many row groups → real splits), where a
+    repartition would be a full shuffle of the raw text.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans: nothing to infer
+        return docs
+    total = 0
+    for f in files:
+        p = f.removeprefix("file://").removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:  # remote/object store: trust its split planning
+            return docs
+    if total < (4 << 20) * target:
+        return docs.repartition(target)
+    return docs
 
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
@@ -42,23 +74,17 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>, n_sh) with distinct k-word shingles."""
-    joined = ", ".join(f"words[i+{j}]" for j in range(k))
-    return (
-        docs.select(
-            "doc_id",
-            F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit("")).alias("words"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"CASE WHEN size(words) < {k} THEN array() "
-                f"ELSE array_distinct(transform(sequence(0, size(words) - {k}), "
-                f"i -> concat_ws(' ', {joined}))) END"
-            ).alias("shingles"),
-        )
-        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
-    )
+    """(doc_id, shingles array<string>, n_sh) with distinct k-word
+    shingles. The tokenize→shingle pipeline is bound once per row
+    (functions/text.bind_once) so downstream multi-reference plans
+    don't re-run the regex split per reference."""
+    return _spread(docs).select(
+        "doc_id",
+        bind_once(
+            word_shingles(words_col("text"), k),
+            lambda sh: F.struct(sh.alias("shingles"), F.size(sh).alias("n_sh")),
+        ).alias("s"),
+    ).select("doc_id", F.col("s.shingles").alias("shingles"), F.col("s.n_sh").alias("n_sh"))
 
 
 def ngram_jaccard_pairs(
@@ -69,12 +95,23 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold. ``max_df`` (document-frequency cap per
     shingle) bounds join skew at scale; None = exact semantics.
+
+    The inverted index is keyed on xxhash64(shingle), not the string:
+    the two shuffles (df count + self-join) carry 8-byte longs instead
+    of ~25-byte shingle text. Exact up to 64-bit collisions
+    (~n²/2⁶⁵ expected spurious common-shingle counts — negligible and
+    deterministic). The df cap is applied as a broadcast *anti* join
+    against the stop-shingle set, which is small by construction
+    (shingles with df > max_df), rather than broadcasting the huge
+    keep-set.
     """
     sh = shingle_sets(docs, k)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle")).select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sh")
+    )
     if max_df is not None:
-        keep = ex.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
-        ex = ex.join(F.broadcast(keep.select("sh")), "sh")
+        hot = ex.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
@@ -97,24 +134,30 @@ def ngram_jaccard_pairs(
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures over k-shingles.
 
-    One explode + one shuffle: n_hashes min-aggregates over
-    xxhash64(shingle, seed_i), computed map-side-partial so the
-    exchange carries one row per doc. Docs with no shingles are
-    excluded up front — they have no Jaccard similarity to anything
-    by definition, and keeping them would make every shingle-less doc
-    share one signature and collide in every LSH band.
+    Zero-shuffle: each signature element is a row-local
+    array_min(transform(shingles, s -> xxhash64(s, seed_i))) — the
+    whole signature computes inside the scan stage (narrow map, no
+    explode, no exchange), which beats the explode + n_hashes
+    min-aggregates formulation by the full shuffle of |doc|×|shingles|
+    rows. Docs with no shingles are excluded up front — they have no
+    Jaccard similarity to anything by definition, and keeping them
+    would make every shingle-less doc share one signature and collide
+    in every LSH band.
     """
-    ex = (
+    sig = bind_once(
+        F.col("shingles"),
+        lambda ss: F.array(
+            *[
+                F.array_min(F.transform(ss, lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(n_hashes)
+            ]
+        ),
+    )
+    return (
         shingle_sets(docs, k)
         .where(F.col("n_sh") > 0)
-        .select("doc_id", F.explode("shingles").alias("sh"))
+        .select("doc_id", sig.alias("sig"))
     )
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    agg = ex.groupBy("doc_id").agg(*mins)
-    sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
-    return agg.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -183,7 +226,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     partial, one shuffle, one output row per doc) — no 64× row
     explosion.
     """
-    tok = docs.select(
+    tok = _spread(docs).select(
         "doc_id",
         F.explode(F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))).alias("w"),
     ).select("doc_id", F.xxhash64("w").alias("h"))
