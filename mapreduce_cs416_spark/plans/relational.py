@@ -498,8 +498,8 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate: `within_tol` = |approx − exact| / exact ≤ 3·rsd. The
     DuckDB oracle computes the exact side and emits the same boolean,
     making the check hash-exact while still failing if the sketch ever
-    drifts out of its error envelope. tests/test_relational.py covers
-    the raw-estimate variant."""
+    drifts out of its error envelope. tests/test_relational_props.py
+    covers the raw-estimate variant."""
     agg = _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),

@@ -1,0 +1,167 @@
+"""Structured Streaming twins of plans/events.py (SURVEY.md §2.C
+"event-time windows"; the reference itself is strictly batch — its
+hard map→reduce barrier, mr/coordinator.go:78-87 — so this family is
+the engine's incremental-execution extension).
+
+Design rules:
+
+- The *same* window()/session_window() expressions as the batch
+  queries, so a pipeline validated in batch runs incrementally
+  unchanged (that equivalence is asserted by tests/test_streaming.py
+  via the availableNow trigger — process-everything-then-stop).
+- Watermarks bound state: a 1-hour watermark means late events beyond
+  1 hour are dropped and window state older than the watermark is
+  evicted — the property that makes these queries runnable forever at
+  100 TB/day, unlike an unbounded groupBy.
+- File source here (the driver's parquet fixtures); swapping in a
+  Kafka source is a one-line change at ``stream_events`` since
+  everything downstream is declarative.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import decimal_sum
+from ..sources.tables import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source, one parquet file =
+    one micro-batch input; schema from the batch reader so the
+    nanos-timestamp normalization matches load_table exactly)."""
+    batch = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        # the file source monitors a *directory*; the driver fixtures are
+        # single files, so expose one through a symlink dir (production
+        # streams point at a directory or Kafka and skip this branch)
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_stream",
+            hashlib.md5(src.encode()).hexdigest()[:12],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = d
+    # file sources need an explicit schema: use the raw (pre-conversion)
+    # one, where ts arrives as long nanos, and normalize it exactly like
+    # sources/tables._load_events does for batch
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select(*batch.columns)
+
+
+def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Incremental twin of plans/events.events_tumbling: tumbling
+    1-hour windows per event type. Watermark evicts closed windows'
+    state; output schema matches the batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_sliding(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Incremental twin of events_sliding (1 h window, 30 min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def streaming_session(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Incremental twin of events_session: per-user session windows
+    with an inactivity gap. Session state merges adjacent windows as
+    events arrive and is evicted once the watermark passes a session's
+    close — the streaming-native form of the batch gaps-and-islands
+    rewrite."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicates keeps a state
+    store of seen keys; the watermark bounds it to one hour of ids
+    (late duplicates beyond that are out of contract). This is the
+    streaming face of operators/dedup.exact_dedup_stats."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def running_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-event-type counts and value sums carried in explicit GroupState
+    across micro-batches (the arbitrary-state API the built-in
+    aggregations sit on; the hook for operators Spark lacks).
+    Arrow-batched: each group's rows arrive as pandas frames.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain the stream's current input in one run (availableNow) into
+    an in-memory table `name`; returns after the query stops. The unit
+    of testability: batch/stream equivalence checks read the table."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

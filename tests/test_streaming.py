@@ -1,0 +1,72 @@
+"""Streaming twins: batch/stream equivalence under the availableNow
+trigger (drain-everything-then-stop), streaming dedup, and the
+applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_cs416_spark.plans import events as batch_events
+from mapreduce_cs416_spark.streaming import pipelines as sp
+
+
+def _canon(df):
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.fixture(scope="module")
+def ev_stream(spark, sf_dir):
+    return sp.stream_events(spark, sf_dir)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, ev_stream):
+    assert ev_stream.isStreaming
+    sp.run_available_now(sp.streaming_tumbling(ev_stream), "t_tumbling")
+    got = _canon(spark.table("t_tumbling"))
+    want = _canon(batch_events.events_tumbling(spark, sf_dir))
+    assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, ev_stream):
+    sp.run_available_now(sp.streaming_sliding(ev_stream), "t_sliding")
+    assert _canon(spark.table("t_sliding")) == _canon(
+        batch_events.events_sliding(spark, sf_dir)
+    )
+
+
+def test_streaming_session_matches_batch(spark, sf_dir, ev_stream):
+    sp.run_available_now(sp.streaming_session(ev_stream), "t_session")
+    assert _canon(spark.table("t_session")) == _canon(
+        batch_events.events_session(spark, sf_dir)
+    )
+
+
+def test_streaming_dedup(spark, sf_dir, ev_stream):
+    sp.run_available_now(sp.streaming_dedup(ev_stream), "t_dedup", output_mode="append")
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    n_distinct = (
+        load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert spark.table("t_dedup").count() == n_distinct
+
+
+def test_stateful_running_counts(spark, sf_dir, ev_stream):
+    sp.run_available_now(
+        sp.running_counts_stateful(ev_stream), "t_state", output_mode="update"
+    )
+    got = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 3))
+        for r in spark.table("t_state").collect()
+    }
+    from mapreduce_cs416_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 3))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
