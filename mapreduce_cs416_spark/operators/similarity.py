@@ -21,6 +21,8 @@ bucket-prune plan shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +150,89 @@ def lsh_ann_topk(
         bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"), (dot / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("score"), "rn")
+    )
+
+
+def ivf_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm cell centroids (seeded LCG). A k-means
+    fit would adapt these to the data; fixed random centroids exercise
+    the identical plan shape (assign → probe → in-cell exact search)
+    with zero training pass and full reproducibility — which is what
+    makes the IVF query oracle-checkable."""
+    cents = []
+    for p in _hyperplanes(n_cells, dim, seed):
+        n = math.sqrt(sum(x * x for x in p))
+        cents.append([x / n for x in p])
+    return cents
+
+
+def _dot_lit(vec: str, plane: list[float]) -> str:
+    arr = ", ".join(repr(x) + "D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN top-k: assign every vector to its nearest
+    centroid cell (argmax dot, ties → lowest cell id), probe the
+    query's ``n_probe`` best cells, exact cosine within the probed
+    cells only.
+
+    Scale shape: the corpus is scanned once, each vector tagged with
+    one cell (a row-local argmax over centroid dots — no shuffle); the
+    probe fan-out lives on the tiny broadcast query side; the only
+    shuffle is the final per-query top-k window. Unlike the hyperplane
+    LSH variant the whole search is deterministic *and* expressible in
+    SQL, so this one carries a DuckDB oracle (plans/northstar.py).
+    """
+    p = _prepared(emb)
+    cents = ivf_centroids(n_cells, dim)
+    dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
+    corpus = p.select(
+        "vec_id",
+        "v",
+        "nrm",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+    )
+    # per-query probe list: the n_probe best cells by centroid dot
+    qd = (
+        p.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.posexplode(dots).alias("cell_j", "d"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("d"), "cell_j")
+    probes = (
+        qd.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= n_probe)
+        .select("q_id", "qv", "qnrm", F.col("cell_j").alias("qcell"))
+    )
+    dot = F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nrm") * F.col("qnrm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

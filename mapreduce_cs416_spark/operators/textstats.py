@@ -9,7 +9,7 @@ explicit tie-break priority in the language argmax.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import WORD_SPLIT_RE
@@ -117,6 +117,39 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.round(
             F.size(F.array_distinct("ws")) / F.nullif(F.size("ws"), F.lit(0)), 6
         ).alias("type_token_ratio"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = 5) -> DataFrame:
+    """Top-n terms per document by TF-IDF (tf × ln(N/df)).
+
+    Shuffle accounting: one explode + groupBy(doc, term) for tf, one
+    groupBy(term) for df, a term-keyed join (tf rows are already
+    term-partitioned from the df side's perspective — no broadcast of
+    the vocabulary, which can be huge), a broadcast scalar for N, and
+    the per-doc top-n window. Ranking uses the *rounded* score so the
+    order is stable across engines (raw doubles could differ by an ulp
+    in ln and swap near-ties)."""
+    from ..operators.dedup import _spread
+
+    tok = _spread(docs).select("doc_id", F.explode(_words()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .select("doc_id", "term", "score", "rn")
     )
 
 

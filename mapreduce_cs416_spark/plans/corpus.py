@@ -129,6 +129,24 @@ GROUP BY key
 """
 
 
+def file_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file_stats through the salted two-level holistic aggregate
+    (operators/skew.py) — same oracle as the direct version; this is
+    the plan a hot key gets at 100 TB (the 'd'→'xyzzy' key here IS
+    maximally skewed: every row lands on it)."""
+    from ..operators.skew import salted_holistic_agg
+
+    kv = _docs(spark, sf_dir).selectExpr(
+        "stack(4, "
+        "  'a', CAST(doc_id AS STRING), "
+        "  'b', CAST(length(CAST(doc_id AS STRING)) AS STRING), "
+        "  'c', CAST(length(text) AS STRING), "
+        "  'd', 'xyzzy'"
+        ") AS (key, value)"
+    )
+    return salted_holistic_agg(kv, n_salts=16)
+
+
 # ------------------------------------------------------------ early_exit app
 def file_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8 early_exit query shape (mrapps/early_exit.go:19-36): one
@@ -197,6 +215,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("wordcount", wordcount, WORDCOUNT_SQL, wordcount.__doc__, headline=True, tags=("reference", "B1")),
         QuerySpec("inverted_index", inverted_index, INVERTED_INDEX_SQL, inverted_index.__doc__, headline=True, tags=("reference", "B2")),
         QuerySpec("file_stats", file_stats, FILE_STATS_SQL, file_stats.__doc__, tags=("reference", "B4", "B5")),
+        QuerySpec("file_stats_salted", file_stats_salted, FILE_STATS_SQL, file_stats_salted.__doc__, tags=("reference", "B4", "B5", "skew")),
         QuerySpec("file_count", file_count, FILE_COUNT_SQL, file_count.__doc__, tags=("reference", "B8")),
         QuerySpec("mr_text_output", mr_text_output, MR_TEXT_OUTPUT_SQL, mr_text_output.__doc__, tags=("reference", "A8")),
         QuerySpec("mr_wordcount_compat", mr_wordcount_compat, WORDCOUNT_SQL, mr_wordcount_compat.__doc__, tags=("reference", "compat", "A15")),

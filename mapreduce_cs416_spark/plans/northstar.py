@@ -161,6 +161,55 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_planes=8)
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), n_queries=10, k=5, n_cells=16, n_probe=4, dim=64
+    )
+
+
+def _ivf_sql(n_queries: int = 10, k: int = 5, n_cells: int = 16, n_probe: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of ivf_topk, generated from the same deterministic
+    centroids so cell assignment, probing, and scores are bit-equal
+    (sequential folds, ties broken identically)."""
+    cents = similarity.ivf_centroids(n_cells, dim)
+    values = ",\n    ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])" for j, c in enumerate(cents)
+    )
+
+    def dot(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, [{v}[i] * {c}[i] FOR i IN range(1, len({v}) + 1)]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+cents(j, c) AS (VALUES
+    {values}),
+cd AS (SELECT n.vec_id, n.v, n.nrm, cents.j, {dot('n.v', 'cents.c')} AS d
+       FROM n CROSS JOIN cents),
+ranked_cells AS (SELECT vec_id, v, nrm, j,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, j) AS rn
+                 FROM cd),
+cell AS (SELECT vec_id, v, nrm, j AS cell FROM ranked_cells WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, j AS qcell
+           FROM ranked_cells WHERE vec_id < {n_queries} AND rn <= {n_probe}),
+scored AS (SELECT p.q_id, c.vec_id AS neighbor_id,
+                  {dot('c.v', 'p.qv')} / (c.nrm * p.qnrm) AS cos
+           FROM cell c JOIN probes p ON c.cell = p.qcell AND c.vec_id <> p.q_id),
+ranked AS (SELECT q_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+SELECT q_id, neighbor_id, round(cos, 6) AS score, rn FROM ranked WHERE rn <= {k}
+"""
+
+
+SIMILARITY_IVF_SQL = _ivf_sql()
+
+
 # ------------------------------------------------------------ text analysis
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir))
@@ -245,6 +294,31 @@ FROM t
 """
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), top_n=5)
+
+
+TEXT_TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, round(tf.tf * ln(n_docs / df), 6) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+    FROM scored
+)
+SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 5
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -316,10 +390,12 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
         QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
+        QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),
         QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_SQL, textstats.quality_score.__doc__, tags=("northstar", "text")),
         QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, textstats.token_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL, textstats.fingerprint.__doc__, tags=("northstar", "text")),
+        QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
     ]

@@ -700,6 +700,64 @@ GROUP BY 1
 """
 
 
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function kernel over part: construction (create_map),
+    lookup (element_at), introspection (map_keys/map_values/size/
+    map_entries), merge (map_concat), and the map higher-order
+    functions (transform_values, map_filter, map_zip_with).
+
+    Projection-only — no shuffle; the DuckDB oracle derives the same
+    outputs straight from the base columns (map layout is
+    engine-internal; the *values* are the contract)."""
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    mv = F.create_map(
+        F.lit("retail"), F.col("p_retailprice").cast("double"),
+        F.lit("size"), F.col("p_size").cast("double"),
+    )
+    return p.select(
+        "p_partkey",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("vals_csv"),
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+        F.size(m).alias("m_size"),
+        F.element_at(
+            F.map_concat(m, F.create_map(F.lit("extra"), F.lit("x"))), F.lit("extra")
+        ).alias("extra_val"),
+        F.round(
+            F.element_at(F.transform_values(mv, lambda k, v: v * 2), F.lit("retail")), 6
+        ).alias("retail_x2"),
+        F.size(F.map_filter(mv, lambda k, v: v > 10)).alias("n_big"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.map_entries(m), lambda e: F.concat_ws("=", e["key"], e["value"])
+            ),
+        ).alias("entries_csv"),
+        F.round(
+            F.element_at(F.map_zip_with(mv, mv, lambda k, a, b: a + b), F.lit("size")), 6
+        ).alias("size_sum"),
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT p_partkey,
+       'brand,type' AS keys_csv,
+       p_brand || ',' || p_type AS vals_csv,
+       p_brand AS brand_val,
+       CAST(2 AS INTEGER) AS m_size,
+       'x' AS extra_val,
+       round(CAST(p_retailprice AS DOUBLE) * 2, 6) AS retail_x2,
+       CAST((CASE WHEN p_retailprice > 10 THEN 1 ELSE 0 END)
+            + (CASE WHEN p_size > 10 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+       'brand=' || p_brand || ';type=' || p_type AS entries_csv,
+       round(CAST(p_size AS DOUBLE) * 2, 6) AS size_sum
+FROM part
+"""
+
+
 def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts, one column per event type."""
     types = ["click", "error", "purchase", "signup", "view"]
@@ -747,6 +805,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
         QuerySpec("json_funcs", json_funcs, JSON_FUNCS_SQL, json_funcs.__doc__, tags=("relational", "scalar", "json")),
+        QuerySpec("map_funcs", map_funcs, MAP_FUNCS_SQL, map_funcs.__doc__, tags=("relational", "scalar", "map")),
         QuerySpec("pivot_events", pivot_events, PIVOT_EVENTS_SQL, pivot_events.__doc__, tags=("relational", "pivot")),
     ]
 }

@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed joins) live outside the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,47 @@
+"""Generic source/sink surface (SURVEY.md §2.C scans/sinks).
+
+The reference reads whole text files and writes '%v %v' text partitions
+(mr/worker.go:89-95, 159-181); this engine generalizes both directions
+to the standard columnar/row formats. Everything is the plain
+DataFrameReader/Writer API — the value of this module is the contract:
+one place that fixes the options (headers, compression, line-delimited
+JSON) so every pipeline round-trips identically.
+
+Parquet is the scale default (columnar, predicate pushdown, splittable
+row groups); CSV/JSON are interchange formats — documented as such, not
+as scan paths for 100 TB jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "csv", "json", "text")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", n_partitions: int | None = None) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    if n_partitions is not None:
+        df = df.repartition(n_partitions)
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: StructType | str | None = None
+) -> DataFrame:
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        # schema-first (exact round-trip); inference only as fallback
+        r = r.option("header", "true")
+        if schema is None:
+            r = r.option("inferSchema", "true")
+    return r.format(fmt).load(path)

@@ -79,6 +79,17 @@ def test_multi_probe_recall_dominates_single_bucket(clustered_emb):
     assert recall(True) >= recall(False)
 
 
+def test_ivf_recall_vs_brute_force(clustered_emb):
+    k = 5
+    exact = _topk_sets(similarity.brute_force_topk(clustered_emb, n_queries=10, k=k))
+    ivf = _topk_sets(
+        similarity.ivf_topk(clustered_emb, n_queries=10, k=k, n_cells=8, n_probe=3, dim=DIM)
+    )
+    hits = sum(len(ivf.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    recall = hits / sum(len(nbrs) for nbrs in exact.values())
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below bound"
+
+
 def test_lsh_near_dup_recall_and_precision(clustered_emb):
     threshold = 0.9
     exact = {
