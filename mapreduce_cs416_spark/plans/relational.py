@@ -445,6 +445,128 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (spark.sql over
+    the parquet.`path` file-source syntax — no view registration):
+    per-flag, per-status, and grand-total rows with GROUPING markers."""
+    return spark.sql(f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM parquet.`{sf_dir}/lineitem.parquet`
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {sql_decimal_sum('l_quantity')} AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average)
+    gating a fact join, via the SQL API. Catalyst rewrites the
+    correlation into an aggregate + join; the per-part avg is exact in
+    doubles (small-int quantities), so the filter boundary is
+    engine-stable and the output uses the decimal-sum rule."""
+    return spark.sql(f"""
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+       count(*) AS n_small
+FROM parquet.`{sf_dir}/lineitem.parquet` l
+JOIN parquet.`{sf_dir}/part.parquet` p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM parquet.`{sf_dir}/lineitem.parquet` l2
+                      WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+""")
+
+
+Q17_SQL = f"""
+SELECT p.p_brand,
+       {sql_decimal_sum('l.l_extendedprice')} AS sum_price,
+       count(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style approximate percentile vs the exact one, emitted
+    as an accuracy property (same pattern as approx_distinct): the
+    sketch value is engine-specific, the bound — approx p50 lands
+    between exact p40 and p60 — is not."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("ap50"),
+        F.percentile("l_quantity", 0.4).alias("p40"),
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_exact"),
+        F.percentile("l_quantity", 0.6).alias("p60"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "n",
+        ((F.col("ap50") >= F.col("p40")) & (F.col("ap50") <= F.col("p60"))).alias("within_tol"),
+    )
+
+
+APPROX_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+       count(*) AS n,
+       true AS within_tol
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame kernel: RANGE frame over an interval (30-day
+    rolling spend per customer), plus first/nth/last value navigation
+    with an explicit unbounded frame for last_value (the default frame
+    ends at CURRENT ROW — the classic wrong-last_value trap)."""
+    return spark.sql(f"""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+       first_value(o_orderkey) OVER w AS first_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key,
+       last_value(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+FROM parquet.`{sf_dir}/orders.parquet`
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+
+
+WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+       first_value(o_orderkey) OVER w AS first_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key,
+       last_value(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # ------------------------------------------------------------------- set ops
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT in one query: high-balance customers
@@ -795,6 +917,10 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("window_running", window_running, WINDOW_RUNNING_SQL, window_running.__doc__, tags=("relational", "window")),
         QuerySpec("window_lag", window_lag, WINDOW_LAG_SQL, window_lag.__doc__, tags=("relational", "window")),
         QuerySpec("rollup_agg", rollup_agg, ROLLUP_SQL, rollup_agg.__doc__, tags=("relational", "agg")),
+        QuerySpec("grouping_sets_agg", grouping_sets_agg, GROUPING_SETS_SQL, grouping_sets_agg.__doc__, tags=("relational", "agg", "sql-api")),
+        QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL, q17_small_quantity.__doc__, tags=("relational", "join", "subquery", "sql-api")),
+        QuerySpec("approx_percentiles", approx_percentiles, APPROX_PERCENTILES_SQL, approx_percentiles.__doc__, tags=("relational", "agg", "approx")),
+        QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
         QuerySpec("cube_agg", cube_agg, CUBE_SQL, cube_agg.__doc__, tags=("relational", "agg")),
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("distinct_agg", distinct_agg, DISTINCT_AGG_SQL, distinct_agg.__doc__, tags=("relational", "agg")),

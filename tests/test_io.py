@@ -34,6 +34,21 @@ def test_text_roundtrip_single_column(spark, sf_dir, tmp_path):
     assert _canon(back) == _canon(src)
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-layout writes + a filter on the partition column must show
+    partition pruning in the plan (directories skipped before IO)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_table(ev, path, "parquet", partition_by=["event_type"])
+    df = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() == ev.where(F.col("event_type") == "click").count()
+
+
 def test_unknown_format_rejected(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "region")
     with pytest.raises(ValueError, match="unknown format"):
