@@ -28,6 +28,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# the UDTF tokenizer reproduces the reference tokenizer exactly, so it
+# shares the wordcount oracle (plans/corpus.py)
+_WORDCOUNT_ORACLE = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
 # ------------------------------------------------------------------ Q1-style
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: scan-filter-aggregate.
@@ -667,6 +677,73 @@ GROUP BY 1
 """
 
 
+def holistic_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic full-group reduce through applyInPandas — the
+    idiomatic twin of the reference's reduce contract (the whole value
+    list for one key in one call, mr/worker.go:164-177), Arrow-batched
+    instead of row-pickled. Each group computes order-insensitive
+    statistics (numpy quantiles over the sorted group) so shuffle
+    order cannot matter; np.percentile's linear interpolation is
+    DuckDB's quantile_cont."""
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        q = pdf["l_quantity"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "iqr_qty": [round(float(np.percentile(q, 75) - np.percentile(q, 25)), 6)],
+                "mid_qty": [round(float(np.percentile(q, 50)), 6)],
+                "n": [len(q)],
+            }
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        stats, "l_returnflag string, iqr_qty double, mid_qty double, n long"
+    )
+
+
+HOLISTIC_PANDAS_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty,
+       round(quantile_cont(l_quantity, 0.5), 6) AS mid_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's user-map as a Python UDTF (arrow-optimized table function:
+    one input row → n output rows), the modern face of the reference's
+    Map plugin. Counting its output against the wordcount oracle
+    proves the UDTF path computes exactly what the codegen explode
+    path computes — it is the *compat* surface; the explode twin is
+    the fast path."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class Tokenize:
+        def eval(self, text: str):
+            # [^\W\d_] = unicode letter, mirroring the \p{L} tokenizer
+            for w in re.findall(r"[^\W\d_]+", text, re.UNICODE):
+                yield (w,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.word, count(*) AS cnt "
+        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t "
+        "GROUP BY t.word"
+    )
+
+
 # ------------------------------------------------------------- scalar kernels
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function kernel over part (projection-only; no shuffle)."""
@@ -920,6 +997,8 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("grouping_sets_agg", grouping_sets_agg, GROUPING_SETS_SQL, grouping_sets_agg.__doc__, tags=("relational", "agg", "sql-api")),
         QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL, q17_small_quantity.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         QuerySpec("approx_percentiles", approx_percentiles, APPROX_PERCENTILES_SQL, approx_percentiles.__doc__, tags=("relational", "agg", "approx")),
+        QuerySpec("holistic_pandas_agg", holistic_pandas_agg, HOLISTIC_PANDAS_SQL, holistic_pandas_agg.__doc__, tags=("relational", "agg", "udf", "pandas")),
+        QuerySpec("udtf_tokenize", udtf_tokenize, _WORDCOUNT_ORACLE, udtf_tokenize.__doc__, tags=("relational", "udf", "udtf", "compat")),
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
         QuerySpec("cube_agg", cube_agg, CUBE_SQL, cube_agg.__doc__, tags=("relational", "agg")),
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
