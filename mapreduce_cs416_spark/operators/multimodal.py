@@ -123,6 +123,94 @@ def extract_feature_arrays(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame
     return blobs.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+N_FRAMES = 4
+FRAME_LEN = 16
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.IntegerType()),
+        T.StructField("frame_hex", T.StringType()),
+    ]
+)
+
+
+def sample_frames(docs: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling over the binary column — the video-shaped
+    multimodal op: one input blob fans out to ``n_frames`` rows at
+    evenly spaced offsets (a real decoder would seek keyframes; the
+    deterministic stand-in slices ``FRAME_LEN`` bytes per offset).
+
+    Plumbing-wise this is the *expanding* mapInPandas shape (1 → n
+    rows per input, batch sizes change across the boundary) that a
+    frame-extract / chunking stage needs at scale; blobs never leave
+    the executor, output rows carry offsets + digests only.
+    """
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_hex": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n = len(b)
+                if n == 0:
+                    continue
+                step = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    off = i * step
+                    if off >= n:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_hex"].append(b[off : off + FRAME_LEN].hex())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+RESIZE_FACTOR = 4
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("resized_hex16", T.StringType()),
+    ]
+)
+
+
+def resize_blobs(docs: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
+    """Resize/downsample plumbing over the binary column: keep every
+    ``factor``-th byte (the nearest-neighbor analog of an image
+    downscale; a real codec plugs in at ``decode_image``). 1→1 row
+    mapInPandas with a size-reducing payload — the shape of a
+    thumbnail/transcode stage; only lengths + a digest prefix leave
+    the executor."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["blob"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["blob"].map(len).astype("int32"),
+                    "resized_bytes": resized.map(len).astype("int32"),
+                    "resized_hex16": resized.map(lambda b: b[:16].hex()),
+                }
+            )
+
+    return blobs.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 def decode_image(payload: bytes):
     """Real media decode entry point — STUB.
 

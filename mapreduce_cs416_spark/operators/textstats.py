@@ -80,6 +80,13 @@ def quality_score(docs: DataFrame) -> DataFrame:
     composite = (
         0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * F.least(avg_tok / 10.0, F.lit(1.0))
     )
+    # The composite mixes inexact binary constants (0.4/0.3), so its
+    # double can sit one ulp off a 6-dp rounding boundary where Spark's
+    # decimal-exact HALF_UP and DuckDB's multiply-then-std::round
+    # disagree. Rounding via the same multiply (x*1e6 is the identical
+    # IEEE op in both engines) removes the divergence; the plain ratios
+    # keep F.round (their doubles can't straddle a boundary).
+    quality = F.round(composite * 1000000.0, 0) / 1000000.0
     return base.select(
         "doc_id",
         "n_chars_text",
@@ -87,7 +94,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round(avg_tok, 6).alias("avg_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(composite, 6).alias("quality"),
+        quality.alias("quality"),
     )
 
 

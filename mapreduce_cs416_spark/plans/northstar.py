@@ -268,9 +268,9 @@ SELECT doc_id, n_chars_text, n_tokens,
        round(token_chars / NULLIF(n_tokens, 0), 6) AS avg_token_len,
        round(n_punct / NULLIF(n_chars_text, 0), 6) AS punct_ratio,
        round(n_stop / NULLIF(n_tokens, 0), 6) AS stopword_ratio,
-       round(0.4 * (n_stop / NULLIF(n_tokens, 0))
-             + 0.3 * (1 - n_punct / NULLIF(n_chars_text, 0))
-             + 0.3 * least((token_chars / NULLIF(n_tokens, 0)) / 10.0, 1.0), 6) AS quality
+       round((0.4 * (n_stop / NULLIF(n_tokens, 0))
+              + 0.3 * (1 - n_punct / NULLIF(n_chars_text, 0))
+              + 0.3 * least((token_chars / NULLIF(n_tokens, 0)) / 10.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
 FROM m
 """
 
@@ -380,6 +380,48 @@ FROM f
 """
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(_docs(spark, sf_dir))
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH c AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+    SELECT doc_id, text, n, greatest(n // {multimodal.N_FRAMES}, 1) AS step, r.i AS frame_idx
+    FROM c CROSS JOIN range(0, {multimodal.N_FRAMES}) AS r(i)
+    WHERE n > 0 AND r.i * greatest(n // {multimodal.N_FRAMES}, 1) < n
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * step AS INTEGER) AS frame_off,
+       lower(hex(encode(substring(text, frame_idx * step + 1,
+                                  least({multimodal.FRAME_LEN}, n - frame_idx * step))))) AS frame_hex
+FROM f
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_blobs(_docs(spark, sf_dir))
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH c AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), r AS (
+    SELECT doc_id, CAST(n AS INTEGER) AS orig_bytes,
+           array_to_string([substring(text, i, 1)
+                            FOR i IN range(1, n + 1)
+                            IF (i - 1) % {multimodal.RESIZE_FACTOR} = 0], '') AS resized
+    FROM c
+)
+SELECT doc_id, orig_bytes,
+       CAST(octet_length(encode(resized)) AS INTEGER) AS resized_bytes,
+       lower(hex(encode(substring(resized, 1, 16)))) AS resized_hex16
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -398,5 +440,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
     ]
 }
