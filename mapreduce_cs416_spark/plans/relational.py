@@ -716,6 +716,52 @@ GROUP BY 1
 """
 
 
+def udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via pandas_udf GROUPED_AGG — the third
+    face of the UDF surface (UDTF = udtf_tokenize, grouped-map =
+    holistic_pandas_agg, UDAF = this): the whole group's values arrive
+    as one pandas Series inside groupBy().agg(), Arrow-batched. The
+    statistic (interpolated median) is order-insensitive, so shuffle
+    order cannot perturb it, and np.percentile matches DuckDB's
+    quantile_cont exactly."""
+    import pandas  # noqa: F401 — annotations resolve via get_type_hints
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: annotations must be real types, not strings — this module has
+    # `from __future__ import annotations`, and pandas_udf resolves the
+    # signature through the function's globals
+    def median_qty(v):
+        import numpy as np
+
+        return round(float(np.percentile(v.to_numpy(), 50)), 6)
+
+    median_qty.__annotations__ = {"v": pandas.Series, "return": float}
+    median_qty = pandas_udf(median_qty, "double")
+
+    # pandas UDAFs can't mix with JVM aggregates in one agg() — the
+    # count rides along as a second pandas UDAF
+    def group_n(v):
+        return len(v)
+
+    group_n.__annotations__ = {"v": pandas.Series, "return": int}
+    group_n = pandas_udf(group_n, "long")
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        median_qty("l_quantity").alias("med_qty"), group_n("l_quantity").alias("n")
+    )
+
+
+UDAF_MEDIAN_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+
 def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2's user-map as a Python UDTF (arrow-optimized table function:
     one input row → n output rows), the modern face of the reference's
@@ -998,6 +1044,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL, q17_small_quantity.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         QuerySpec("approx_percentiles", approx_percentiles, APPROX_PERCENTILES_SQL, approx_percentiles.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("holistic_pandas_agg", holistic_pandas_agg, HOLISTIC_PANDAS_SQL, holistic_pandas_agg.__doc__, tags=("relational", "agg", "udf", "pandas")),
+        QuerySpec("udaf_median", udaf_median, UDAF_MEDIAN_SQL, udaf_median.__doc__, tags=("relational", "agg", "udf", "udaf")),
         QuerySpec("udtf_tokenize", udtf_tokenize, _WORDCOUNT_ORACLE, udtf_tokenize.__doc__, tags=("relational", "udf", "udtf", "compat")),
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
         QuerySpec("cube_agg", cube_agg, CUBE_SQL, cube_agg.__doc__, tags=("relational", "agg")),

@@ -31,6 +31,20 @@ def test_percentile_bounds(spark, sf_dir):
     assert r["lo"] <= r["p50"] <= r["hi"]
 
 
+def test_seeded_sample_reexecution_is_deterministic(spark, sf_dir):
+    """Re-executing the SAME sampled plan yields the identical row set
+    — the property task retries rely on. (Two separately-built
+    sample() plans do NOT promise the same rows even with equal seeds:
+    the seed is salted per operator instance.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    sampled = li.sample(0.1, seed=42)
+    a = sorted(map(tuple, sampled.collect()))
+    b = sorted(map(tuple, sampled.collect()))
+    assert a == b
+    n, total = len(a), li.count()
+    assert 0.05 * total < n < 0.15 * total, f"sample rate off: {n}/{total}"
+
+
 def test_events_nanos_timestamp_roundtrip(spark, sf_dir):
     """events.parquet stores TIMESTAMP(NANOS); load_table must surface
     a µs timestamp column, never the raw long (the round-1 failure
