@@ -1,0 +1,90 @@
+"""Plan-quality guards: the physical-plan properties that make these
+queries scale (pushdown, pruning, broadcasts, no cartesians, partial
+aggregation) asserted against .explain output so a regression that
+keeps results correct but wrecks the plan still fails CI."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_cs416_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical operators by their numbered headers — formatted
+    explain mentions every node twice (tree + detail section)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    # 7 columns, not the full 11-column lineitem schema
+    assert len(read_schema.split(",")) == 7, read_schema
+    # partial + final hash aggregation around a single exchange
+    assert _nodes(plan, "HashAggregate") == 2
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_q3_broadcasts_both_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert _nodes(plan, "BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in plan  # top-k without a global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_wordcount_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wordcount")
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "HashAggregate") == 2  # map-side partial + final
+
+
+def test_dedup_ngram_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_near_dup_is_not_all_pairs(spark, sf_dir):
+    """The registered near-dup must be the bucketed LSH path: candidate
+    generation through an equi-join on (table, bucket), never a
+    cartesian over the corpus."""
+    plan = _plan(spark, sf_dir, "similarity_cosine_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k: the corpus side must never shuffle — the
+    only join is against the broadcast query set."""
+    plan = _plan(spark, sf_dir, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only exchange is the final per-query top-k window
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_events_session_partial_agg_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_session")
+    assert "MergingSessions" in plan
+    # partial aggregation runs before the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier", "asof_join_events"]
+)
+def test_no_python_in_relational_hot_path(spark, sf_dir, name):
+    """The relational surface must stay JVM-side: no Python eval nodes
+    (Batch/ArrowEvalPython, FlatMapGroupsInPandas...) in these plans."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Python" not in plan, name
