@@ -790,6 +790,94 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated subqueries at the SQL level —
+    Catalyst rewrites them to semi/anti joins (the DataFrame-API twins
+    are join_semi/join_anti); customers split by whether they have any
+    urgent order."""
+    return spark.sql(f"""
+SELECT c.c_custkey,
+       CASE WHEN EXISTS (SELECT 1 FROM parquet.`{sf_dir}/orders.parquet` o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+            THEN 'has_urgent' ELSE 'no_urgent' END AS bucket
+FROM parquet.`{sf_dir}/customer.parquet` c
+""")
+
+
+EXISTS_SUBQUERY_SQL = """
+SELECT c.c_custkey,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+            THEN 'has_urgent' ELSE 'no_urgent' END AS bucket
+FROM customer c
+"""
+
+
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling kernel: CASE, coalesce, nullif,
+    nvl2-shape, least/greatest, isnull — projection-only."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 0, "mid")
+        .otherwise("low")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("-")).alias(
+            "seg_or_dash"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("capped"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored"),
+        F.isnull(F.nullif(F.col("c_nationkey"), F.lit(0))).alias("is_nation0"),
+    )
+
+
+SCALAR_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'high'
+            WHEN c_acctbal > 0 THEN 'mid'
+            ELSE 'low' END AS bal_band,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), '-') AS seg_or_dash,
+       least(c_acctbal, 1000.0) AS capped,
+       greatest(c_acctbal, 0.0) AS floored,
+       (nullif(c_nationkey, 0) IS NULL) AS is_nation0
+FROM customer
+"""
+
+
+def scalar_struct_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction/field-access round-tripped through to_json,
+    plus the bitwise kernel (&, |, ^, shifts, bit_count) — all
+    projection-only codegen."""
+    p = _t(spark, sf_dir, "part")
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+    return p.select(
+        "p_partkey",
+        s.getField("brand").alias("s_brand"),
+        F.to_json(s).alias("s_json"),
+        (F.col("p_partkey").bitwiseAND(F.lit(255))).alias("low_byte"),
+        (F.col("p_partkey").bitwiseOR(F.lit(1))).alias("odd_or"),
+        (F.col("p_partkey").bitwiseXOR(F.col("p_size"))).alias("xor_size"),
+        F.expr("shiftleft(p_size, 2)").alias("size_x4"),
+        F.expr("bit_count(p_partkey)").alias("key_bits"),
+    )
+
+
+SCALAR_STRUCT_BIT_SQL = """
+SELECT p_partkey,
+       p_brand AS s_brand,
+       '{"brand":"' || p_brand || '","size":' || CAST(p_size AS VARCHAR) || '}' AS s_json,
+       p_partkey & 255 AS low_byte,
+       p_partkey | 1 AS odd_or,
+       xor(p_partkey, p_size) AS xor_size,
+       CAST(p_size * 4 AS INTEGER) AS size_x4,
+       CAST(bit_count(p_partkey) AS INTEGER) AS key_bits
+FROM part
+"""
+
+
 # ------------------------------------------------------------- scalar kernels
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function kernel over part (projection-only; no shuffle)."""
@@ -1058,6 +1146,9 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
         QuerySpec("json_funcs", json_funcs, JSON_FUNCS_SQL, json_funcs.__doc__, tags=("relational", "scalar", "json")),
         QuerySpec("map_funcs", map_funcs, MAP_FUNCS_SQL, map_funcs.__doc__, tags=("relational", "scalar", "map")),
+        QuerySpec("exists_subquery", exists_subquery, EXISTS_SUBQUERY_SQL, exists_subquery.__doc__, tags=("relational", "join", "subquery", "sql-api")),
+        QuerySpec("scalar_conditional_funcs", scalar_conditional_funcs, SCALAR_CONDITIONAL_SQL, scalar_conditional_funcs.__doc__, tags=("relational", "scalar")),
+        QuerySpec("scalar_struct_bit_funcs", scalar_struct_bit_funcs, SCALAR_STRUCT_BIT_SQL, scalar_struct_bit_funcs.__doc__, tags=("relational", "scalar", "struct")),
         QuerySpec("pivot_events", pivot_events, PIVOT_EVENTS_SQL, pivot_events.__doc__, tags=("relational", "pivot")),
     ]
 }
