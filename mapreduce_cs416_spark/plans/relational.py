@@ -346,6 +346,47 @@ FROM w WHERE is_p = 1
 """
 
 
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join through the cogrouped-pandas surface:
+    groupBy(user).cogroup(groupBy(user)).applyInPandas with
+    pd.merge_asof per user — the compat path for per-key imperative
+    merges (both sides of one key arrive as two pandas frames,
+    Arrow-batched). Output and oracle are identical to
+    asof_join_events; the union+window twin remains the scale path
+    (no per-key materialization)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        left = left.sort_values(["purchase_ts", "purchase_id"])
+        if right.empty:
+            out = left.assign(click_id=pd.array([None] * len(left), dtype="Int64"),
+                              delta_us=pd.array([None] * len(left), dtype="Int64"))
+            return out[["purchase_id", "user_id", "purchase_ts", "click_id", "delta_us"]]
+        right = right.sort_values(["cts", "click_id"])[["cts", "click_id"]]
+        m = pd.merge_asof(left, right, left_on="purchase_ts", right_on="cts", direction="backward")
+        delta = (m["purchase_ts"] - m["cts"]).dt.total_seconds().mul(1_000_000).round()
+        m["delta_us"] = delta.astype("Int64")
+        m["click_id"] = m["click_id"].astype("Int64")
+        return m[["purchase_id", "user_id", "purchase_ts", "click_id", "delta_us"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "purchase_id long, user_id long, purchase_ts timestamp, click_id long, delta_us long",
+        )
+    )
+
+
 # ------------------------------------------------------------------- windows
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price — ranking window with total
@@ -1124,6 +1165,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("join_outer_agg", join_outer_agg, JOIN_OUTER_SQL, join_outer_agg.__doc__, tags=("relational", "join")),
         QuerySpec("range_band_join", range_band_join, RANGE_BAND_SQL, range_band_join.__doc__, tags=("relational", "join", "range")),
         QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
+        QuerySpec("asof_join_cogroup", asof_join_cogroup, ASOF_JOIN_SQL, asof_join_cogroup.__doc__, tags=("relational", "join", "asof", "compat", "pandas")),
         QuerySpec("window_rank", window_rank, WINDOW_RANK_SQL, window_rank.__doc__, tags=("relational", "window")),
         QuerySpec("window_running", window_running, WINDOW_RUNNING_SQL, window_running.__doc__, tags=("relational", "window")),
         QuerySpec("window_lag", window_lag, WINDOW_LAG_SQL, window_lag.__doc__, tags=("relational", "window")),
