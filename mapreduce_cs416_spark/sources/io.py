@@ -8,7 +8,8 @@ one place that fixes the options (headers, compression, line-delimited
 JSON) so every pipeline round-trips identically.
 
 Parquet is the scale default (columnar, predicate pushdown, splittable
-row groups); CSV/JSON are interchange formats — documented as such, not
+row groups); ORC is the columnar alternative with the same pushdown
+properties; CSV/JSON are interchange formats — documented as such, not
 as scan paths for 100 TB jobs.
 """
 
@@ -17,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "csv", "json", "text")
+FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def write_table(

@@ -13,7 +13,7 @@ def _canon(df):
     return sorted(tuple(str(v) for v in r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_roundtrip_preserves_rows(spark, sf_dir, tmp_path, fmt):
     src = load_table(spark, sf_dir, "supplier")
     path = str(tmp_path / f"supplier_{fmt}")
