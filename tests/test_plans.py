@@ -80,6 +80,18 @@ def test_events_session_partial_agg_before_shuffle(spark, sf_dir):
     assert plan.index("HashAggregate") < plan.index("Exchange")
 
 
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A full orderBy must plan a distributed range-partitioned sort
+    (sample → range exchange → per-partition sort), never a
+    single-partition collapse."""
+    df = QUERIES["wordcount"].fn(spark, sf_dir).orderBy("word")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
 @pytest.mark.parametrize(
     "name", ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier", "asof_join_events"]
 )

@@ -1,0 +1,64 @@
+"""Semantic tests for the text-analysis operators — hand-constructed
+inputs with known answers (the parity suite only proves Spark and
+DuckDB agree; these prove the agreed answer is right)."""
+
+from __future__ import annotations
+
+from mapreduce_cs416_spark.operators import textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lang_id_detects_marker_language(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "the cat and the dog of a house to a tree"),
+            (1, "der hund und die katze und das haus nicht"),
+            (2, "el perro y los gatos que las casas y el sol"),
+        ],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert out == {0: "en", 1: "de", 2: "es"}
+
+
+def test_quality_score_known_values(spark):
+    # 4 tokens, 16 chars, no punctuation, one stopword ("the")
+    docs = _docs(spark, [(0, "the quick brown fox")])
+    r = textstats.quality_score(docs).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["punct_ratio"] == 0.0
+    assert r["stopword_ratio"] == 0.25
+    assert r["avg_token_len"] == 4.0  # (3+5+5+3)/4
+    assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_token_stats_known_values(spark):
+    docs = _docs(spark, [(0, "ab ab cd, 12 x!")])
+    r = textstats.token_stats(docs).collect()[0]
+    assert r["n_ws_tokens"] == 5          # whitespace splits
+    assert r["n_bpe_tokens"] == 7         # ab ab cd , 12 x !
+    assert r["n_distinct_words"] == 3     # ab cd x (letters only)
+    assert r["type_token_ratio"] == 0.75  # 3 distinct / 4 letter tokens
+
+
+def test_fingerprint_is_polynomial_hash(spark):
+    text = "ab"
+    expected = (ord("a") * 31 + ord("b")) % textstats.FINGERPRINT_MOD
+    r = textstats.fingerprint(_docs(spark, [(0, text)])).collect()[0]
+    assert r["fingerprint"] == expected
+
+
+def test_tfidf_common_term_scores_zero(spark):
+    # "shared" appears in every doc -> idf = ln(1) = 0; unique terms win
+    docs = _docs(
+        spark,
+        [(0, "shared alpha"), (1, "shared beta"), (2, "shared gamma")],
+    )
+    out = textstats.tfidf_top_terms(docs, top_n=1).collect()
+    top = {r["doc_id"]: (r["term"], r["score"]) for r in out}
+    assert top[0][0] == "alpha" and top[0][1] > 0
+    assert top[1][0] == "beta"
+    assert top[2][0] == "gamma"
