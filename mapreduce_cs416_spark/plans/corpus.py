@@ -91,6 +91,32 @@ GROUP BY word
 """
 
 
+def inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inverted_index through two-level salted aggregation — the plan a
+    hot word (stopwords index millions of docs) needs at 100 TB: salt
+    on the doc id splits each word's posting list across tasks; the
+    salted partials are disjoint doc sets, so the final merge is
+    flatten + sort, never a re-dedup. Same oracle as inverted_index."""
+    pairs = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc"),
+            F.explode(F.split("text", WORD_SPLIT_RE)).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+        .withColumn("salt", F.pmod(F.xxhash64("doc"), F.lit(16)))
+    )
+    partial = pairs.groupBy("word", "salt").agg(
+        F.count("*").alias("n_part"),
+        F.sort_array(F.collect_set("doc")).alias("docs_part"),
+    )
+    return partial.groupBy("word").agg(
+        F.sum("n_part").alias("n_docs"),
+        F.array_join(F.array_sort(F.flatten(F.collect_list("docs_part"))), ",").alias("docs"),
+    )
+
+
 # -------------------------------------------------- crash/nocrash emit shape
 def file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4/B5 crash & nocrash query shape (mrapps/crash.go:34-55,
@@ -214,6 +240,7 @@ QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("wordcount", wordcount, WORDCOUNT_SQL, wordcount.__doc__, headline=True, tags=("reference", "B1")),
         QuerySpec("inverted_index", inverted_index, INVERTED_INDEX_SQL, inverted_index.__doc__, headline=True, tags=("reference", "B2")),
+        QuerySpec("inverted_index_salted", inverted_index_salted, INVERTED_INDEX_SQL, inverted_index_salted.__doc__, tags=("reference", "B2", "skew")),
         QuerySpec("file_stats", file_stats, FILE_STATS_SQL, file_stats.__doc__, tags=("reference", "B4", "B5")),
         QuerySpec("file_stats_salted", file_stats_salted, FILE_STATS_SQL, file_stats_salted.__doc__, tags=("reference", "B4", "B5", "skew")),
         QuerySpec("file_count", file_count, FILE_COUNT_SQL, file_count.__doc__, tags=("reference", "B8")),
