@@ -27,10 +27,14 @@ def write_table(
     fmt: str = "parquet",
     n_partitions: int | None = None,
     partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """``partition_by`` lays the data out hive-style (one directory per
     value) so reads with a filter on those columns prune whole
-    directories before any IO — the first lever for 100 TB scans."""
+    directories before any IO — the first lever for 100 TB scans.
+    ``compression`` picks the codec (parquet/orc default snappy;
+    zstd trades ~2× better ratio for CPU — the usual archival choice;
+    gzip for interchange CSV/JSON)."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
     if n_partitions is not None:
@@ -38,6 +42,8 @@ def write_table(
     w = df.write.mode("overwrite")
     if fmt == "csv":
         w = w.option("header", "true")
+    if compression is not None:
+        w = w.option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.format(fmt).save(path)

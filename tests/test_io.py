@@ -34,6 +34,21 @@ def test_text_roundtrip_single_column(spark, sf_dir, tmp_path):
     assert _canon(back) == _canon(src)
 
 
+@pytest.mark.parametrize("codec", ["zstd", "gzip", "none"])
+def test_parquet_compression_codecs(spark, sf_dir, tmp_path, codec):
+    import os
+
+    src = load_table(spark, sf_dir, "supplier")
+    path = str(tmp_path / f"supplier_{codec}")
+    write_table(src, path, "parquet", compression=codec)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    if codec != "none":
+        ext = {"gzip": "gz"}.get(codec, codec)
+        assert any(ext in f for f in files), files  # codec extension in filename
+    back = read_table(spark, path, "parquet")
+    assert back.count() == src.count()
+
+
 def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     """Hive-layout writes + a filter on the partition column must show
     partition pruning in the plan (directories skipped before IO)."""
