@@ -20,6 +20,32 @@ from pyspark.sql import functions as F
 WORD_SPLIT_RE = r"[^\p{L}]+"
 
 
+def py_letter_tokens(text: str) -> list[str]:
+    """Pure-Python twin of the ``WORD_SPLIT_RE`` tokenizer for the
+    Python compat surfaces (run_mapreduce map plugins, UDTFs): runs of
+    Unicode *letter* characters (category L*), exactly matching Go's
+    ``unicode.IsLetter`` (mrapps/wc.go:21-24) and Java/RE2 ``\\p{L}``.
+
+    NOT ``re.findall(r"[^\\W\\d_]+")``: Python's ``\\w`` admits
+    categories Nl/No (Roman numerals Ⅻ, vulgar fractions ½) that
+    ``\\p{L}`` treats as delimiters, so the regex version diverges from
+    the JVM/DuckDB tokenization on non-ASCII corpora.
+    """
+    import unicodedata
+
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        if unicodedata.category(ch)[0] == "L":
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def bind_once(col: Column, fn: Callable[[Column], Column]) -> Column:
     """Evaluate ``col`` once per row and pass it to ``fn`` as a lambda
     variable: ``transform(array(col), x -> fn(x))[0]``.

@@ -216,13 +216,12 @@ def mr_wordcount_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (filename, contents) records — proving arbitrary user plugins
     run unchanged (A2/A7/A15). Output cast to match the idiomatic
     wordcount so the same oracle covers both paths."""
-    import re
-
-    word_re = re.compile(r"[^\W\d_]+", re.UNICODE)  # unicode letters, like unicode.IsLetter
+    from ..functions.text import py_letter_tokens
 
     def mapf(filename: str, contents: str):
-        # mrapps/wc.go:19-32 — emit (word, "1") per occurrence
-        return [(w, "1") for w in word_re.findall(contents)]
+        # mrapps/wc.go:19-32 — emit (word, "1") per occurrence;
+        # category-L tokenization == unicode.IsLetter == \p{L}
+        return [(w, "1") for w in py_letter_tokens(contents)]
 
     def reducef(key: str, values: list[str]) -> str:
         # mrapps/wc.go:37-40 — strconv.Itoa(len(values))

@@ -810,15 +810,16 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the UDTF path computes exactly what the codegen explode
     path computes — it is the *compat* surface; the explode twin is
     the fast path."""
-    import re
-
     from pyspark.sql.functions import udtf
+
+    from ..functions.text import py_letter_tokens
 
     @udtf(returnType="word: string")
     class Tokenize:
         def eval(self, text: str):
-            # [^\W\d_] = unicode letter, mirroring the \p{L} tokenizer
-            for w in re.findall(r"[^\W\d_]+", text, re.UNICODE):
+            # category-L runs — identical to the \p{L} explode path on
+            # ALL inputs (Python \w-classes would admit Nl/No chars)
+            for w in py_letter_tokens(text):
                 yield (w,)
 
     spark.udtf.register("tokenize_udtf", Tokenize)
@@ -1141,13 +1142,17 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("day").pivot("event_type", types).count().na.fill(0, types)
 
 
+# NB: every SUM is wrapped in CAST(... AS BIGINT) — DuckDB's SUM(int)
+# returns HUGEINT (int128), which the driver's pandas canonicalization
+# hashes differently from Spark's bigint even when values are identical
+# (same rule as JSON_FUNCS_SQL above).
 PIVOT_EVENTS_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY 1
 """

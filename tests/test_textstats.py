@@ -51,6 +51,44 @@ def test_fingerprint_is_polynomial_hash(spark):
     assert r["fingerprint"] == expected
 
 
+def test_py_letter_tokens_excludes_nl_no_categories():
+    """Python \\w-based regexes admit Nl (Roman numeral Ⅻ) and No
+    (vulgar fraction ½), which Java/RE2 \\p{L} treats as delimiters;
+    the category-L tokenizer must match \\p{L} exactly."""
+    from mapreduce_cs416_spark.functions.text import py_letter_tokens
+
+    assert py_letter_tokens("chapter Ⅻ covers ½ of the course") == [
+        "chapter", "covers", "of", "the", "course",
+    ]
+    assert py_letter_tokens("héllo wörld Ⅻ½") == ["héllo", "wörld"]
+    assert py_letter_tokens("Ⅻ½") == []
+
+
+def test_udtf_and_compat_match_explode_on_nl_no_chars(spark, tmp_path):
+    """All three tokenizer surfaces — codegen explode (\\p{L}), UDTF,
+    and the run_mapreduce compat plugin — must agree on a corpus with
+    Nl/No characters (VERDICT r3 item 4)."""
+    from mapreduce_cs416_spark.plans.corpus import mr_wordcount_compat, wordcount
+    from mapreduce_cs416_spark.plans.relational import udtf_tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (0, "chapter Ⅻ covers ½ of the course", "en", "t", 32),
+            (1, "héllo wörld Ⅻ½ und ½Ⅻ mixed½tokens", "de", "t", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    expected = sorted((r["word"], r["cnt"]) for r in wordcount(spark, sf).collect())
+    assert ("Ⅻ", 2) not in dict(expected).items() and "Ⅻ" not in dict(expected)
+    assert dict(expected)["mixed"] == 1 and dict(expected)["tokens"] == 1
+    got_udtf = sorted((r["word"], r["cnt"]) for r in udtf_tokenize(spark, sf).collect())
+    got_compat = sorted((r["word"], r["cnt"]) for r in mr_wordcount_compat(spark, sf).collect())
+    assert got_udtf == expected
+    assert got_compat == expected
+
+
 def test_tfidf_common_term_scores_zero(spark):
     # "shared" appears in every doc -> idf = ln(1) = 0; unique terms win
     docs = _docs(
