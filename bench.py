@@ -10,7 +10,11 @@ ONE JSON line to stdout:
 Each query is fully materialized through the no-op sink (every row is
 produced and serialized by the executors; nothing short-circuits the
 plan the way count() can) after one tiny warmup to absorb JVM +
-codegen startup. All human-readable chatter goes to stderr.
+codegen startup. Per query the reported number is the MEDIAN of
+N_RUNS=3 in-process runs, so round-over-round deltas reflect plan
+changes rather than JIT/page-cache noise (VERDICT r3: a 2x "speedup"
+appeared between identical binaries); "spread" records max-min per
+query. All human-readable chatter goes to stderr.
 
 Usage: python bench.py [sf_dir] [query ...]
 """
@@ -41,13 +45,34 @@ def _sf_of(sf_dir: str) -> float:
         return 0.0
 
 
+N_RUNS = 3
+
+
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = next(
-        (a for a in args if os.path.isdir(a)),
-        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-    )
-    names = [a for a in args if not os.path.isdir(a)] or sorted(headline_queries())
+    # Argv contract: an arg is either an existing sf directory or a
+    # registered query name — anything else (a mistyped path, an
+    # unknown query) must fail loudly, not surface as a KeyError.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names: list[str] = []
+    for a in args:
+        if os.path.isdir(a):
+            sf_dir = a
+        elif a in QUERIES:
+            names.append(a)
+        else:
+            looks_like_path = os.sep in a or a.startswith("sf")
+            kind = "sf_dir does not exist" if looks_like_path else "unknown query"
+            print(
+                f"bench.py: {kind}: {a!r}\n"
+                f"  registered queries: {', '.join(sorted(QUERIES))}",
+                file=sys.stderr,
+            )
+            return 2
+    names = names or sorted(headline_queries())
+    if not os.path.isdir(sf_dir):
+        print(f"bench.py: sf_dir does not exist: {sf_dir!r}", file=sys.stderr)
+        return 2
     spark = get_spark("bench")
 
     # warmup: absorb session/codegen startup so query timings are real
@@ -56,11 +81,20 @@ def main() -> int:
     print(f"warmup {time.time() - t0:.2f}s  sf_dir={sf_dir}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        _materialize(QUERIES[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name:32s} {timings[name]:8.3f}s", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            _materialize(QUERIES[name].fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
+        print(
+            f"  {name:32s} median {timings[name]:8.3f}s  spread {spreads[name]:.3f}s",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -69,6 +103,8 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "n_runs": N_RUNS,
                 "sf": _sf_of(sf_dir),
             }
         )

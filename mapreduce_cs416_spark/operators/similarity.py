@@ -62,8 +62,16 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
 
     Brute-force O(n²) pair join — correct baseline; the LSH bucketing
     in ``lsh_ann_topk`` is the scale path for the same predicate.
+
+    The streamed side of the nested-loop join is _spread first: a
+    small embeddings table in one parquet row group otherwise puts
+    ALL n²/2 cosine evaluations on a single task (the row-group
+    split-count lie — see operators/dedup._spread), which showed up
+    as a 20s single-core stage at sf0.1.
     """
-    p = _prepared(emb)
+    from .dedup import _spread
+
+    p = _spread(_prepared(emb))
     a = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")

@@ -30,8 +30,22 @@ def salted_holistic_agg(
     """(key, agg_values): sorted, `sep`-joined values per key via
     two-level salted aggregation. Result is identical to
     groupBy(key).agg(array_join(array_sort(collect_list(value))))
-    for any salt count — asserted in tests/test_skew.py."""
-    salted = kv.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)))
+    for any salt count — asserted in tests/test_skew.py.
+
+    The salt hashes a row-unique input (monotonically_increasing_id),
+    NOT the value: a hot key whose rows share one constant value —
+    the classic skew case — would otherwise land every row on a
+    single salt and silently defeat the mitigation (VERDICT r3
+    item 5). The salt only routes rows to sub-groups; the final
+    sorted merge is salt-invariant, so task-retry nondeterminism in
+    the id cannot change the result."""
+    salted = kv.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.col(key), F.col(value), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
+    )
     partial = salted.groupBy(key, "_salt").agg(
         F.array_sort(F.collect_list(value)).alias("_part")
     )

@@ -11,12 +11,30 @@ from __future__ import annotations
 from . import corpus, events, northstar, relational
 from .spec import QuerySpec
 
+# The round driver records the FIRST 50 entries of queries() into
+# CORRECTNESS_r{N}.json; everything must fit or trailing queries are
+# silently never verified (this bit rounds 1-3: 14 northstar queries
+# sat past the window). Consolidated driver rows (scalar_part_kernels,
+# grouping_variants, *_doc_profile, ...) keep every operator family
+# inside the window; the granular twins live in EXTRA_QUERIES and are
+# oracle-checked by tests/test_parity.py instead.
+DRIVER_WINDOW = 50
+
 QUERIES: dict[str, QuerySpec] = {}
+EXTRA_QUERIES: dict[str, QuerySpec] = {}
 for module in (corpus, relational, events, northstar):
-    overlap = QUERIES.keys() & module.QUERIES.keys()
+    extra = getattr(module, "EXTRA_QUERIES", {})
+    overlap = (QUERIES.keys() | EXTRA_QUERIES.keys()) & (module.QUERIES.keys() | extra.keys())
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
     QUERIES.update(module.QUERIES)
+    EXTRA_QUERIES.update(extra)
+
+if len(QUERIES) > DRIVER_WINDOW:
+    raise RuntimeError(
+        f"{len(QUERIES)} driver queries exceed the {DRIVER_WINDOW}-entry "
+        "CORRECTNESS window — consolidate or move twins to EXTRA_QUERIES"
+    )
 
 
 def get_query(name: str) -> QuerySpec:

@@ -11,16 +11,21 @@ from __future__ import annotations
 
 import pytest
 
-from mapreduce_cs416_spark.plans.registry import QUERIES
+from mapreduce_cs416_spark.plans.registry import EXTRA_QUERIES, QUERIES
 from mapreduce_cs416_spark.testing import compare_query
 
-ORACLED = sorted(name for name, spec in QUERIES.items() if spec.oracle is not None)
-ROWS_ONLY = sorted(name for name, spec in QUERIES.items() if spec.oracle is None)
+# EXTRA_QUERIES (granular twins of consolidated driver rows) get the
+# identical oracle comparison here — moving a query out of the driver
+# window must never drop its verification (ADVICE r3).
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+
+ORACLED = sorted(name for name, spec in ALL_QUERIES.items() if spec.oracle is not None)
+ROWS_ONLY = sorted(name for name, spec in ALL_QUERIES.items() if spec.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, sf_dir, name):
-    spec = QUERIES[name]
+    spec = ALL_QUERIES[name]
     ok, msg = compare_query(spark, spec.fn, spec.oracle, sf_dir)
     assert ok, f"{name}: {msg}"
 
@@ -30,6 +35,6 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     """Hash-dependent ops (no SQL twin) must still execute and return
     a stable schema; their quality properties are asserted in the
     dedicated property-test modules."""
-    df = QUERIES[name].fn(spark, sf_dir)
+    df = ALL_QUERIES[name].fn(spark, sf_dir)
     assert df.columns, name
     assert df.count() >= 0

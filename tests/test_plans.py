@@ -55,11 +55,13 @@ def test_dedup_ngram_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_cosine_near_dup_is_not_all_pairs(spark, sf_dir):
-    """The registered near-dup must be the bucketed LSH path: candidate
-    generation through an equi-join on (table, bucket), never a
-    cartesian over the corpus."""
-    plan = _plan(spark, sf_dir, "similarity_cosine_near_dup")
+def test_cosine_near_dup_lsh_is_not_all_pairs(spark, sf_dir):
+    """The LSH scale path must generate candidates through an
+    equi-join on (table, bucket), never a cartesian over the corpus.
+    (The driver-oracled `similarity_cosine_near_dup` is deliberately
+    the brute-force exact baseline — see plans/northstar.py — so the
+    no-all-pairs guard applies to its LSH twin.)"""
+    plan = _plan(spark, sf_dir, "similarity_cosine_near_dup_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
