@@ -188,6 +188,22 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ivf_fitted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over k-means-FITTED centroids: 3 distributed Lloyd's
+    iterations (operators/similarity.fit_centroids) adapt the cells to
+    the corpus before the assign→probe→search pass. Rows-only at the
+    driver — the fitted means are float sums over shuffled partials,
+    so they are not bit-reproducible in SQL; recall-vs-brute-force
+    and fit-quality properties are asserted in
+    tests/test_similarity.py. The fixed-centroid twin above keeps the
+    hash-exact oracle for the identical query plan."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.fit_centroids(emb, n_cells=16, dim=64, n_iter=3)
+    return similarity.ivf_topk(
+        emb, n_queries=10, k=5, n_cells=16, n_probe=4, dim=64, centroids=cents
+    )
+
+
 def _ivf_sql(n_queries: int = 10, k: int = 5, n_cells: int = 16, n_probe: int = 4, dim: int = 64) -> str:
     """DuckDB twin of ivf_topk, generated from the same deterministic
     centroids so cell assignment, probing, and scores are bit-equal
@@ -510,6 +526,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
+        QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("text_doc_profile", text_doc_profile, TEXT_DOC_PROFILE_SQL, text_doc_profile.__doc__, tags=("northstar", "text")),
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),

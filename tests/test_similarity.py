@@ -122,3 +122,49 @@ def test_brute_force_topk_is_exact_cosine(spark):
     out = similarity.brute_force_topk(emb, n_queries=1, k=3).collect()
     order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rn"])]
     assert order == [1, 2, 3]
+
+
+def _mean_best_dot(emb, cents, dim) -> float:
+    """Mean over vectors of the best centroid dot — the spherical
+    k-means objective (higher = tighter cells)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.operators.similarity import _dot_lit, _prepared
+
+    unit = _prepared(emb).select(F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    dots = F.array(*[F.expr(_dot_lit("u", c)) for c in cents])
+    return unit.select(F.avg(F.array_max(dots)).alias("m")).collect()[0]["m"]
+
+
+def test_fit_centroids_improves_kmeans_objective(clustered_emb):
+    """3 Lloyd's iterations on clustered data must tighten the cells
+    vs the fixed-random init (and return unit-norm centroids)."""
+    init = similarity.ivf_centroids(8, DIM)
+    fitted = similarity.fit_centroids(clustered_emb, n_cells=8, dim=DIM, n_iter=3)
+    for c in fitted:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+    before = _mean_best_dot(clustered_emb, init, DIM)
+    after = _mean_best_dot(clustered_emb, fitted, DIM)
+    assert after > before, f"fit did not improve objective: {before:.4f} -> {after:.4f}"
+
+
+def test_ivf_fitted_recall_at_least_matches_unfitted(clustered_emb):
+    """Fitted cells must not lose recall vs the fixed-random cells on
+    data with genuine cluster structure, even probing FEWER cells —
+    the point of fitting is that one cell ≈ one true cluster."""
+    k = 5
+    exact = _topk_sets(similarity.brute_force_topk(clustered_emb, n_queries=10, k=k))
+
+    def recall(centroids, n_probe) -> float:
+        ivf = _topk_sets(
+            similarity.ivf_topk(
+                clustered_emb, n_queries=10, k=k, n_cells=8, n_probe=n_probe,
+                dim=DIM, centroids=centroids,
+            )
+        )
+        hits = sum(len(ivf.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        return hits / sum(len(nbrs) for nbrs in exact.values())
+
+    fitted = similarity.fit_centroids(clustered_emb, n_cells=8, dim=DIM, n_iter=3)
+    assert recall(fitted, 1) >= recall(None, 3), "fitted@1-probe < random@3-probe"
+    assert recall(fitted, 1) >= 0.9, "fitted cells should capture whole clusters"
