@@ -211,6 +211,80 @@ def resize_blobs(docs: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
     return blobs.mapInPandas(_resize, RESIZE_SCHEMA)
 
 
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha256_hex", T.StringType()),
+        T.StructField("magic_hex", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("resized_hex16", T.StringType()),
+    ]
+)
+
+
+def blob_profile(
+    docs: DataFrame, dim: int = FEATURE_DIM, factor: int = RESIZE_FACTOR
+) -> DataFrame:
+    """blob_metadata + extract_features + resize_blobs in ONE pass:
+    metadata stays pure JVM built-ins computed before the Python
+    boundary, then a single mapInPandas computes features AND the
+    resize in the same Arrow batch (one Python worker round-trip
+    instead of two, and no doc_id joins afterwards — at 100 TB the
+    joined variant would re-scan and shuffle the corpus twice). The
+    tiny metadata columns ride through the batch as passthrough;
+    blobs still never leave the executor. Values/types are identical
+    to joining the three granular operators on doc_id, which is what
+    the DuckDB oracle does."""
+    meta = with_blob(docs).select(
+        "doc_id",
+        "media_type",
+        F.length("blob").alias("n_bytes"),
+        F.sha2("blob", 256).alias("sha256_hex"),
+        F.lower(F.hex(F.expr("substring(blob, 1, 4)"))).alias("magic_hex"),
+        "blob",
+    )
+
+    def _profile(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["blob"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "sha256_hex": pdf["sha256_hex"],
+                    "magic_hex": pdf["magic_hex"],
+                    "features": pdf["blob"].map(lambda b: _fake_decode(bytes(b), dim)),
+                    "orig_bytes": pdf["blob"].map(len).astype("int32"),
+                    "resized_bytes": resized.map(len).astype("int32"),
+                    "resized_hex16": resized.map(lambda b: b[:16].hex()),
+                }
+            )
+
+    out = meta.mapInPandas(_profile, PROFILE_SCHEMA)
+    # same 6-dp DECIMAL CSV rendering as extract_features
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "sha256_hex",
+        "magic_hex",
+        F.concat_ws(
+            ",",
+            F.expr("transform(features, x -> cast(cast(round(x, 6) as decimal(16,6)) as string))"),
+        ).alias("features_csv"),
+        "orig_bytes",
+        "resized_bytes",
+        "resized_hex16",
+    )
+
+
 def decode_image(payload: bytes):
     """Real media decode entry point — STUB.
 

@@ -127,6 +127,91 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_profile(docs: DataFrame) -> DataFrame:
+    """All four per-document analyses (lang_id, quality_score,
+    token_stats, fingerprint) in ONE projection-only pass — a single
+    corpus scan, zero joins, zero shuffles (plan-guarded in
+    tests/test_plans.py). Column expressions are the granular
+    operators' own, so values and types are identical to joining
+    their outputs on doc_id — which is exactly what the DuckDB oracle
+    still does. At 100 TB this is the difference between one scan and
+    four scans plus three doc_id shuffles.
+
+    The tokenization (`ws`) is referenced by many output columns;
+    Spark's per-project subexpression elimination evaluates it once
+    per row inside the staged projections below.
+    """
+    stop_cond = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
+    langs = list(LANG_MARKERS)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")).alias("n_punct"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_ws_tokens"),
+        # F.lit, not F.expr: the SQL parser would eat the \s backslash
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias("n_bpe_tokens"),
+        F.expr(
+            "aggregate(transform(regexp_extract_all(text, '([\\\\s\\\\S])', 1), c -> ascii(c)), "
+            f"0L, (acc, c) -> (acc * 31 + c) % {FINGERPRINT_MOD}L)"
+        ).alias("fingerprint"),
+        _words().alias("ws"),
+    )
+    counted = base.select(
+        "doc_id",
+        "n_chars_text",
+        "n_punct",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "fingerprint",
+        *[_marker_count("ws", LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in langs],
+        F.size("ws").alias("n_tokens"),
+        F.expr("aggregate(transform(ws, w -> length(w)), 0L, (acc, x) -> acc + x)").alias(
+            "token_chars"
+        ),
+        F.expr(f"size(filter(ws, w -> {stop_cond}))").alias("n_stop"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+    )
+    # identical argmax-with-priority as lang_id
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    score = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    # identical ratio/composite math as quality_score (incl. the
+    # multiply-then-round trick for the composite)
+    avg_tok = F.col("token_chars") / F.nullif(F.col("n_tokens"), F.lit(0))
+    punct_ratio = F.col("n_punct") / F.nullif(F.col("n_chars_text"), F.lit(0))
+    stop_ratio = F.col("n_stop") / F.nullif(F.col("n_tokens"), F.lit(0))
+    composite = (
+        0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * F.least(avg_tok / 10.0, F.lit(1.0))
+    )
+    quality = F.round(composite * 1000000.0, 0) / 1000000.0
+    return counted.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        score.alias("score"),
+        "n_chars_text",
+        "n_tokens",
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_distinct_words",
+        F.round(
+            F.col("n_distinct_words") / F.nullif(F.col("n_tokens"), F.lit(0)), 6
+        ).alias("type_token_ratio"),
+        "fingerprint",
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_n: int = 5) -> DataFrame:
     """Top-n terms per document by TF-IDF (tf × ln(N/df)).
 

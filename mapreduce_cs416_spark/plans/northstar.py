@@ -462,17 +462,13 @@ FROM r
 # ------------------------------------------------- consolidated driver rows
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four per-document text analyses — language ID, quality
-    score, token stats, fingerprint — joined on doc_id into one wide
-    driver row, so every text operator is CORRECTNESS-verified each
-    round. The granular queries remain the product surface (same
-    plans; EXTRA_QUERIES keeps their individual pytest parity)."""
-    docs = _docs(spark, sf_dir)
-    return (
-        textstats.lang_id(docs)
-        .join(textstats.quality_score(docs), "doc_id")
-        .join(textstats.token_stats(docs), "doc_id")
-        .join(textstats.fingerprint(docs), "doc_id")
-    )
+    score, token stats, fingerprint — as ONE projection-only corpus
+    pass (operators/textstats.doc_profile: single scan, zero joins,
+    zero shuffles; the oracle still joins the four granular SQLs), so
+    every text operator is CORRECTNESS-verified each round. The
+    granular queries remain the product surface (EXTRA_QUERIES keeps
+    their individual pytest parity)."""
+    return textstats.doc_profile(_docs(spark, sf_dir))
 
 
 TEXT_DOC_PROFILE_SQL = f"""
@@ -485,17 +481,13 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f USING (doc_id)
 
 
 def multimodal_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-blob metadata (pure built-ins), fake-decode features
-    (Arrow-batched mapInPandas), and resize output joined on doc_id —
-    one driver row covering three multimodal operators. features'
-    n_bytes duplicates meta's and is dropped before the join."""
-    docs = _docs(spark, sf_dir)
-    feats = multimodal.extract_features(docs).drop("n_bytes")
-    return (
-        multimodal.blob_metadata(docs)
-        .join(feats, "doc_id")
-        .join(multimodal.resize_blobs(docs), "doc_id")
-    )
+    """Per-blob metadata (pure built-ins), fake-decode features, and
+    resize output in one driver row covering three multimodal
+    operators — computed in a single pass (operators/multimodal.
+    blob_profile: JVM metadata projection → one mapInPandas doing
+    features + resize in the same Arrow batch; no doc_id joins; the
+    oracle still joins the three granular SQLs)."""
+    return multimodal.blob_profile(_docs(spark, sf_dir))
 
 
 MULTIMODAL_DOC_PROFILE_SQL = f"""

@@ -102,3 +102,32 @@ def test_no_python_in_relational_hot_path(spark, sf_dir, name):
     (Batch/ArrowEvalPython, FlatMapGroupsInPandas...) in these plans."""
     plan = _plan(spark, sf_dir, name)
     assert "Python" not in plan, name
+
+
+def test_text_doc_profile_single_scan_no_shuffle(spark, sf_dir):
+    """The consolidated text profile must be one projection-only pass:
+    a single corpus scan, no joins, no exchanges (the naive form — 4
+    scans + 3 doc_id joins — is exactly what it replaced)."""
+    plan = _plan(spark, sf_dir, "text_doc_profile")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Exchange") == 0
+    assert "Join" not in plan
+
+
+def test_multimodal_doc_profile_one_python_stage_no_join(spark, sf_dir):
+    """The consolidated multimodal profile: one scan, ONE mapInPandas
+    stage (features + resize fused into the same Arrow batch), no
+    joins, no exchanges."""
+    plan = _plan(spark, sf_dir, "multimodal_doc_profile")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "MapInPandas") == 1
+    assert _nodes(plan, "Exchange") == 0
+    assert "Join" not in plan
+
+
+def test_scalar_part_kernels_single_scan(spark, sf_dir):
+    """The consolidated part kernel is one wide projection over one
+    scan — not a self-join of the granular kernels."""
+    plan = _plan(spark, sf_dir, "scalar_part_kernels")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Exchange") == 0
