@@ -214,27 +214,48 @@ FROM ({WORDCOUNT_SQL})
 
 
 # -------------------------------------------------- compat surface end-to-end
-def mr_wordcount_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 executed through the run_mapreduce() compatibility surface:
-    the *literal* map/reduce callables of mrapps/wc.go:19-40 as Python,
-    over (filename, contents) records — proving arbitrary user plugins
-    run unchanged (A2/A7/A15). Output cast to match the idiomatic
-    wordcount so the same oracle covers both paths."""
+def _wc_plugins():
+    """The literal map/reduce callables of mrapps/wc.go:19-40 as
+    Python (category-L tokenization == unicode.IsLetter == \\p{L})."""
     from ..functions.text import py_letter_tokens
 
     def mapf(filename: str, contents: str):
-        # mrapps/wc.go:19-32 — emit (word, "1") per occurrence;
-        # category-L tokenization == unicode.IsLetter == \p{L}
+        # mrapps/wc.go:19-32 — emit (word, "1") per occurrence
         return [(w, "1") for w in py_letter_tokens(contents)]
 
     def reducef(key: str, values: list[str]) -> str:
         # mrapps/wc.go:37-40 — strconv.Itoa(len(values))
         return str(len(values))
 
-    docs = _docs(spark, sf_dir).select(
+    return mapf, reducef
+
+
+def _mr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("filename"), F.col("text").alias("contents")
     )
-    out = run_mapreduce(docs, mapf, reducef, n_partitions=10)
+
+
+def mr_wordcount_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 executed through the run_mapreduce() compatibility surface:
+    the *literal* map/reduce callables of mrapps/wc.go:19-40 as Python,
+    over (filename, contents) records — proving arbitrary user plugins
+    run unchanged (A2/A7/A15). Output cast to match the idiomatic
+    wordcount so the same oracle covers both paths."""
+    mapf, reducef = _wc_plugins()
+    out = run_mapreduce(_mr_docs(spark, sf_dir), mapf, reducef, n_partitions=10)
+    return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
+
+
+def mr_wordcount_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME wc.go plugins through run_mapreduce_arrow — identical
+    plugin contract, Arrow-batched transport (mapInPandas +
+    applyInPandas) instead of pickled RDD rows: the scale path for
+    user callables. Shares the wordcount oracle with both twins."""
+    from ..operators.mapreduce import run_mapreduce_arrow
+
+    mapf, reducef = _wc_plugins()
+    out = run_mapreduce_arrow(_mr_docs(spark, sf_dir), mapf, reducef)
     return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
 
 
@@ -262,5 +283,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("inverted_index_salted", inverted_index_salted, INVERTED_INDEX_SQL, inverted_index_salted.__doc__, tags=("reference", "B2", "skew")),
         QuerySpec("mr_wordcount_compat", mr_wordcount_compat, WORDCOUNT_SQL, mr_wordcount_compat.__doc__, tags=("reference", "compat", "A15")),
+        QuerySpec("mr_wordcount_arrow", mr_wordcount_arrow, WORDCOUNT_SQL, mr_wordcount_arrow.__doc__, tags=("reference", "compat", "A15", "arrow")),
     ]
 }
