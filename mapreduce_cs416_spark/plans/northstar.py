@@ -12,6 +12,7 @@ the exact operators) instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, textstats
 from ..sources.tables import load_table
@@ -498,6 +499,35 @@ JOIN ({MULTIMODAL_RESIZE_SQL}) r USING (doc_id)
 """
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the composition story the
+    granular operators exist for: (1) single-pass quality profile
+    (textstats.doc_profile: one scan, no shuffle), (2) quality floor
+    at 0.46 (inside the corpus's observed 0.42-0.55 band, so the
+    filter genuinely splits), (3) n-gram-Jaccard near-dup removal via
+    the inverted-index join (dedup.ngram_jaccard_pairs), dropping the
+    higher doc_id of each pair with a broadcast anti join. Returns
+    the surviving (doc_id, quality, n_tokens)."""
+    docs = _docs(spark, sf_dir)
+    prof = textstats.doc_profile(docs).select("doc_id", "quality", "n_tokens")
+    dup_b = (
+        dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2, max_df=1000)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return prof.where(F.col("quality") >= 0.46).join(
+        F.broadcast(dup_b), "doc_id", "left_anti"
+    )
+
+
+CORPUS_CLEAN_SQL = f"""
+SELECT q.doc_id, q.quality, q.n_tokens
+FROM ({TEXT_QUALITY_SQL}) q
+WHERE q.quality >= 0.46
+  AND q.doc_id NOT IN (SELECT DISTINCT doc_b FROM ({DEDUP_NGRAM_SQL}))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -532,6 +562,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline, CORPUS_CLEAN_SQL, corpus_clean_pipeline.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
         QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),
         QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_SQL, textstats.quality_score.__doc__, tags=("northstar", "text")),
         QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, textstats.token_stats.__doc__, tags=("northstar", "text")),
