@@ -214,7 +214,9 @@ def fit_centroids(
     fitted query is rows-only at the driver (quality asserted in
     tests/test_similarity.py instead).
     """
-    unit = _prepared(emb).select(
+    from .dedup import _spread
+
+    unit = _spread(_prepared(emb)).select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     )
     cents = ivf_centroids(n_cells, dim, seed)
@@ -255,7 +257,9 @@ def ivf_topk(
     LSH variant the whole search is deterministic *and* expressible in
     SQL, so this one carries a DuckDB oracle (plans/northstar.py).
     """
-    p = _prepared(emb)
+    from .dedup import _spread
+
+    p = _spread(_prepared(emb))  # single-row-group files: see cosine_near_dup_pairs
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
     corpus = p.select(
@@ -316,7 +320,12 @@ def cosine_near_dup_lsh(
     p = 1 - θ/π. tests assert recall vs the brute-force twin on
     clustered data; output schema matches it exactly.
     """
-    p = _prepared(emb)
+    # _spread: a single-row-group embeddings file otherwise runs the
+    # signature pass, the bucket self-join, AND the verify join on one
+    # task (see cosine_near_dup_pairs) — bench showed a 17s outlier.
+    from .dedup import _spread
+
+    p = _spread(_prepared(emb))
     tables = F.array(
         *[
             F.struct(
