@@ -11,19 +11,30 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mapreduce_cs416_spark.plans.registry import QUERIES
+from mapreduce_cs416_spark.plans.registry import EXTRA_QUERIES, QUERIES
 from mapreduce_cs416_spark.session import get_spark
 from mapreduce_cs416_spark.testing import compare_query
+
+# default run = the driver's QUERIES window; EXTRA_QUERIES (granular
+# twins, pytest-verified) are addressable by name or via "--extra"
+ALL = {**QUERIES, **EXTRA_QUERIES}
 
 
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
-    names = [a for a in args if not os.path.isdir(a)] or list(QUERIES)
+    names = [a for a in args if not os.path.isdir(a) and a != "--extra"]
+    if "--extra" in args:
+        names += list(EXTRA_QUERIES)
+    names = names or list(QUERIES)
+    unknown = [n for n in names if n not in ALL]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}\nknown: {', '.join(sorted(ALL))}")
+        return 2
     spark = get_spark("parity-check")
     failures = []
     for name in names:
-        spec = QUERIES[name]
+        spec = ALL[name]
         t0 = time.time()
         if spec.oracle is None:
             try:
