@@ -1,0 +1,65 @@
+"""Deterministic sampling / dataset splitting (north-star surface).
+
+A training-data pipeline needs train/validation splits and downsampling
+that are REPRODUCIBLE: stable across runs, engines, cluster sizes, and
+input partitioning. Spark's ``df.sample()`` cannot provide that — its
+RNG is seeded per partition, so the selected rows change whenever the
+partition layout does. Hash-bucketing each row's key gives a split
+that is a pure function of the data:
+
+    bucket(key) = first two hex chars of md5(salt || '|' || key)
+
+256 uniform buckets, compared lexicographically (ASCII hex order), so
+"keep 10%" is ``bucket < '1a'`` (26/256 ≈ 10.16%). md5 exists in both
+Spark and DuckDB with identical output, which makes every split
+oracle-checkable — and changing ``salt`` derives a fresh independent
+split without touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 256  # two hex chars
+
+
+def hash_bucket(key: Column, salt: str = "split-v1") -> Column:
+    """Two-hex-char bucket ('00'..'ff') — a pure function of (salt, key)."""
+    return F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 2)
+
+
+def hash_bucket_sql(key_expr: str, salt: str = "split-v1") -> str:
+    """The identical bucket in DuckDB SQL (for oracle twins)."""
+    return f"substring(md5('{salt}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 2)"
+
+
+def train_val_split(
+    df: DataFrame,
+    key: str,
+    val_buckets: int = 13,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Tag each row 'val' (``val_buckets``/256 of rows, ≈5% at the
+    default 13) or 'train'. Pure projection — no shuffle, no RNG; the
+    assignment survives repartitioning, re-runs, and engine changes
+    (asserted in tests/test_sampling.py)."""
+    cut = format(val_buckets, "02x")
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key), salt) < F.lit(cut), "val").otherwise("train"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key: str,
+    keep_buckets: int,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep ≈ keep_buckets/256 of rows, deterministically by key hash.
+    The downsampling analog of ``train_val_split`` — the rows kept at
+    10 TB are exactly the rows kept when the same keys are re-processed
+    on any other cluster."""
+    cut = format(keep_buckets, "02x")
+    return df.where(hash_bucket(F.col(key), salt) < F.lit(cut))

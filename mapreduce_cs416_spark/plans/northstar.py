@@ -528,6 +528,27 @@ WHERE q.quality >= 0.46
 """
 
 
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val split over documents
+    (operators/sampling.train_val_split): ≈5% 'val', the rest 'train',
+    stable across runs/partitioning/engines — md5-bucket assignment is
+    a pure function of (salt, doc_id), so the exact same documents land
+    in 'val' on any cluster. Pure projection; oracle-exact."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return sampling.train_val_split(docs, key="doc_id")
+
+
+_BUCKET_SQL = "substring(md5('split-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 2)"
+
+CORPUS_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL} < '0d' THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -563,6 +584,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline, CORPUS_CLEAN_SQL, corpus_clean_pipeline.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
+        QuerySpec("corpus_train_val_split", corpus_train_val_split, CORPUS_SPLIT_SQL, corpus_train_val_split.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),
         QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_SQL, textstats.quality_score.__doc__, tags=("northstar", "text")),
         QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, textstats.token_stats.__doc__, tags=("northstar", "text")),

@@ -1,0 +1,49 @@
+"""Deterministic splitting: the whole point is that the selection is a
+pure function of (salt, key) — invariant to partitioning and re-runs,
+which Spark's partition-seeded sample() cannot offer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.operators import sampling
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_split_is_partition_invariant(spark):
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    base = sampling.train_val_split(docs, key="doc_id")
+    val_1 = _ids(base.where(F.col("split") == "val"))
+    for n_parts in (1, 7, 64):
+        again = sampling.train_val_split(docs.repartition(n_parts), key="doc_id")
+        assert _ids(again.where(F.col("split") == "val")) == val_1
+    assert val_1, "val split must be non-empty at n=2000"
+
+
+def test_split_fraction_close_to_nominal(spark):
+    docs = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    out = sampling.train_val_split(docs, key="doc_id", val_buckets=13)
+    frac = out.where(F.col("split") == "val").count() / 20000
+    # nominal 13/256 ≈ 5.08%; md5 uniformity keeps n=20000 well inside ±2pp
+    assert 0.03 < frac < 0.07, frac
+
+
+def test_different_salts_give_independent_samples(spark):
+    docs = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    a = set(_ids(sampling.deterministic_sample(docs, "doc_id", 26, salt="a")))
+    b = set(_ids(sampling.deterministic_sample(docs, "doc_id", 26, salt="b")))
+    assert a != b
+    # overlap ≈ |a|·26/256 for independent hashes; just assert it is
+    # far from identical and far from disjoint
+    assert 0 < len(a & b) < min(len(a), len(b))
+
+
+def test_sample_is_subset_and_deterministic(spark):
+    docs = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    s1 = _ids(sampling.deterministic_sample(docs, "doc_id", 26))
+    s2 = _ids(sampling.deterministic_sample(docs.repartition(11), "doc_id", 26))
+    assert s1 == s2
+    assert 0 < len(s1) < 3000
