@@ -116,11 +116,49 @@ GROUP BY user_id, sid
 """
 
 
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream attribution join
+    (streaming/pipelines.streaming_attribution_join — the same
+    function body runs on both): each purchase joined to the same
+    user's clicks from the preceding hour. In streaming form both
+    sides are watermarked and the time-range predicate bounds join
+    state; tests/test_streaming.py asserts batch == streaming."""
+    from ..streaming.pipelines import streaming_attribution_join
+
+    return streaming_attribution_join(_ev(spark, sf_dir))
+
+
+EVENTS_ATTRIBUTION_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
         QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
+    ]
+}
+
+# Batch twin of the stream-stream join — EXTRA (outside the driver
+# window); oracle-checked by tests/test_parity.py, stream==batch by
+# tests/test_streaming.py.
+EXTRA_QUERIES: dict[str, QuerySpec] = {
+    q.name: q
+    for q in [
+        QuerySpec("events_attribution_join", events_attribution_join, EVENTS_ATTRIBUTION_SQL, events_attribution_join.__doc__, tags=("events", "join", "streaming", "range")),
     ]
 }

@@ -152,6 +152,45 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_attribution_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INNER JOIN with an event-time range condition —
+    the attribution shape: each purchase joined to the same user's
+    clicks from the preceding hour. Both sides carry watermarks and
+    the join predicate bounds event-time distance, which is what lets
+    Spark evict buffered rows once the watermark passes click_ts +
+    1 h — bounded state forever, the stream-stream analog of the
+    batch range_band_join. Works identically over the batch events
+    table (no watermark needed there); tests/test_streaming.py
+    asserts that equivalence via availableNow + append mode."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the stream's current input in one run (availableNow) into
     an in-memory table `name`; returns after the query stops. The unit

@@ -70,3 +70,18 @@ def test_stateful_running_counts(spark, sf_dir, ev_stream):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_attribution_join_matches_batch(spark, sf_dir, ev_stream):
+    """Stream-stream inner join (watermarked, time-range-bounded) must
+    produce exactly the batch join's rows once the input is drained."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    sp.run_available_now(
+        sp.streaming_attribution_join(ev_stream), "t_attrib", output_mode="append"
+    )
+    batch = sp.streaming_attribution_join(load_table(spark, sf_dir, "events"))
+    got = _canon(spark.table("t_attrib"))
+    want = _canon(batch)
+    assert want, "fixture must contain click->purchase pairs within 1h"
+    assert got == want
