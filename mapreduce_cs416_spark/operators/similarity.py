@@ -14,9 +14,9 @@
 
 At 100 TB the corpus side stays partitioned; the query side is
 broadcast (top-k per query) — the classic "small probes, huge corpus"
-ANN layout. An IVF variant would pre-cluster to centroids; LSH here
-avoids the iterative k-means fit while exercising the same
-bucket-prune plan shape.
+ANN layout. The IVF variant (``ivf_topk``) pre-clusters to centroids:
+fixed seeded centroids by default (oracle-checkable), or data-adapted
+ones from the distributed spherical k-means in ``fit_centroids``.
 """
 
 from __future__ import annotations
