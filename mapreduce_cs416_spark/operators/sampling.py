@@ -51,6 +51,37 @@ def train_val_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    buckets_by_stratum: dict[str, int],
+    default_buckets: int = 0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep
+    ≈ buckets_by_stratum[stratum]/256 of each stratum's rows (strata
+    absent from the dict keep ``default_buckets``/256, i.e. are
+    dropped entirely at the 0 default).
+
+    The rebalancing workhorse of corpus curation ("downsample the
+    dominant language/source, keep the tail") — a pure filter on the
+    row's own (key, stratum) values: no shuffle, no groupBy, no RNG,
+    and the per-stratum rates need no global counts. The stratum →
+    cut-off lookup is a literal map expression, so arbitrarily many
+    strata stay a single codegen'd projection.
+    """
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for val, buckets in buckets_by_stratum.items()
+            for x in (val, format(buckets, "02x"))
+        ]
+    )
+    cut = F.coalesce(mapping[F.col(stratum)], F.lit(format(default_buckets, "02x")))
+    return df.where(hash_bucket(F.col(key), salt) < cut)
+
+
 def deterministic_sample(
     df: DataFrame,
     key: str,

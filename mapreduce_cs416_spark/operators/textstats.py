@@ -245,6 +245,103 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 5) -> DataFrame:
     )
 
 
+def benchmark_overlap(docs: DataFrame, benchmark: DataFrame, k: int = 4) -> DataFrame:
+    """Benchmark decontamination: for each document, count its k-word
+    shingles that also appear anywhere in ``benchmark`` (the held-out
+    eval set). Returns (doc_id, n_common_shingles, overlap_ratio) for
+    contaminated docs only (≥1 shared shingle); ratio = common /
+    doc's own distinct-shingle count.
+
+    Scale shape: both sides shingle row-locally (dedup.shingle_sets —
+    zero shuffle), join on xxhash64(shingle) 8-byte keys, and the
+    benchmark side is collapsed to its DISTINCT shingle set before the
+    join — eval suites are tiny next to a training corpus, so that set
+    is broadcast and the corpus never shuffles. Exact up to 64-bit
+    hash collisions (same caveat as dedup.ngram_jaccard_pairs).
+    """
+    from .dedup import shingle_sets
+
+    t = shingle_sets(docs, k)
+    ex = t.select("doc_id", "n_sh", F.explode("shingles").alias("g")).select(
+        "doc_id", "n_sh", F.xxhash64("g").alias("h")
+    )
+    bset = (
+        shingle_sets(benchmark, k)
+        .select(F.explode("shingles").alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    return (
+        ex.join(F.broadcast(bset), "h")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_common"))
+        .select(
+            "doc_id",
+            F.col("n_common").cast("int").alias("n_common_shingles"),
+            F.round(F.col("n_common") / F.col("n_sh"), 6).alias("overlap_ratio"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, top_bigram_flag: float = 0.08) -> DataFrame:
+    """Gopher-style repetition signals: most-frequent-word fraction,
+    most-frequent-bigram fraction, and a `repetitive` flag at
+    ``top_bigram_flag``. Returns (doc_id, n_words, top_word_frac,
+    top_bigram_frac, repetitive).
+
+    Entirely row-local (no explode, no shuffle — the whole metric
+    computes inside the scan stage): the top-count is
+    array_max(transform(distinct, w -> count of w in tokens)), an
+    O(|distinct|·|tokens|) per-row expression. For natural documents
+    that product is small; a pathological single-doc blowup would
+    motivate the explode + groupBy(doc, term) formulation that
+    tfidf_top_terms uses, at the cost of shuffling every token.
+    """
+    from ..functions.text import bind_once
+
+    def top_count(arr: Column) -> Column:
+        return F.array_max(
+            F.transform(F.array_distinct(arr), lambda w: F.size(F.filter(arr, lambda x: x == w)))
+        )
+
+    def bigrams_of(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(ws) - 2)
+        join2 = lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1))  # noqa: E731
+        return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, join2)
+        )
+
+    base = docs.select(
+        "doc_id",
+        bind_once(
+            _words(),
+            lambda ws: F.struct(
+                F.size(ws).alias("n_words"),
+                top_count(ws).alias("twc"),
+                bind_once(
+                    bigrams_of(ws),
+                    lambda bg: F.struct(F.size(bg).alias("nbg"), top_count(bg).alias("tbc")),
+                ).alias("b"),
+            ),
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.n_words").alias("n_words"),
+        F.col("s.twc").alias("twc"),
+        F.col("s.b.nbg").alias("nbg"),
+        F.col("s.b.tbc").alias("tbc"),
+    )
+    word_frac = F.col("twc") / F.nullif(F.col("n_words"), F.lit(0))
+    bigram_frac = F.col("tbc") / F.nullif(F.col("nbg"), F.lit(0))
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round(word_frac, 6).alias("top_word_frac"),
+        F.round(bigram_frac, 6).alias("top_bigram_frac"),
+        F.coalesce(bigram_frac > top_bigram_flag, F.lit(False)).alias("repetitive"),
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -549,6 +549,182 @@ FROM documents
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster canonicalization: near-dup pairs (n-gram Jaccard
+    ≥ 0.2) → connected components (operators/graph.connected_components,
+    large-star/small-star iterative joins) → one row per document with
+    its component id (= min doc_id in the cluster), the component
+    size, and whether this doc is the canonical keeper. The step a
+    real dedup pipeline runs AFTER pair generation: "A~B, B~C" must
+    collapse to one kept document even though (A,C) was never emitted
+    as a pair. The label set is tiny next to the corpus (only docs
+    that appear in some pair), so the final join is a broadcast."""
+    from pyspark.sql import Window
+
+    from ..operators import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2, max_df=1000)
+    labels = graph.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    out = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component_id")
+    )
+    w = Window.partitionBy("component_id")
+    return out.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).cast("int").alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+# Min-label reachability as a recursive CTE: UNION (not UNION ALL)
+# dedups the frontier, so the fixpoint terminates; min over all
+# reachable labels = the component minimum on an undirected graph.
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_SQL})
+), sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(id, lbl) AS (
+    SELECT u, u FROM sym
+    UNION
+    SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.id
+), lbl AS (
+    SELECT id, min(lbl) AS component_id FROM reach GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(l.component_id, d.doc_id) AS component_id,
+       CAST(count(*) OVER (PARTITION BY coalesce(l.component_id, d.doc_id)) AS INTEGER)
+           AS component_size,
+       d.doc_id = coalesce(l.component_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the engine's own deterministic
+    split: the ≈5% 'val' bucket (operators/sampling.train_val_split)
+    plays the held-out eval set; every 'train' document sharing ≥1
+    4-word shingle with it is reported with its overlap count/ratio
+    (operators/textstats.benchmark_overlap). k=4 is tuned to the
+    corpus: it flags the genuine near-dup leakage (~7% of train docs)
+    without the flag-everything degeneracy of k=3 on this small
+    vocabulary. Two filtered scans of documents (train + benchmark
+    branches — the split tag is a pure projection, so both filters
+    push down)."""
+    from ..operators import sampling
+
+    tagged = sampling.train_val_split(_docs(spark, sf_dir), key="doc_id")
+    train = tagged.where(F.col("split") == "train").select("doc_id", "text")
+    bench = tagged.where(F.col("split") == "val").select("doc_id", "text")
+    return textstats.benchmark_overlap(train, bench, k=4)
+
+
+_SHINGLE4_SQL = (
+    "CASE WHEN len(ws) < 4 THEN [] ELSE "
+    "list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] "
+    "FOR i IN range(1, len(ws) - 2)]) END"
+)
+
+TEXT_DECONTAMINATE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, {_SHINGLE4_SQL} AS s FROM w
+), split AS (
+    SELECT doc_id, CASE WHEN {_BUCKET_SQL} < '0d' THEN 'val' ELSE 'train' END AS sp
+    FROM documents
+), ex AS (
+    SELECT sh.doc_id, len(s) AS n_sh, sp, unnest(s) AS g
+    FROM sh JOIN split USING (doc_id)
+), v AS (
+    SELECT DISTINCT g FROM ex WHERE sp = 'val'
+)
+SELECT t.doc_id,
+       CAST(count(*) AS INTEGER) AS n_common_shingles,
+       round(count(*) / max(t.n_sh), 6) AS overlap_ratio
+FROM ex t JOIN v USING (g)
+WHERE t.sp = 'train'
+GROUP BY t.doc_id
+"""
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher repetition rules
+    that are non-vacuous on this corpus — its documents never repeat
+    a 5-gram internally, so duplicate-n-gram *fractions* would verify
+    a column of zeros; top-1 word/bigram concentration genuinely
+    varies, 0.01–0.17 observed). Flag threshold 0.08 sits at the
+    ~90th percentile of observed top-bigram fraction, so the flag
+    splits the corpus."""
+    return textstats.repetition_stats(_docs(spark, sf_dir), top_bigram_flag=0.08)
+
+
+TEXT_REPETITION_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), b AS (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) < 2 THEN []
+                ELSE [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+           END AS bg
+    FROM w
+), m AS (
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CASE WHEN len(ws) = 0 THEN NULL
+                ELSE list_max([len(list_filter(ws, x -> x = w)) FOR w IN list_distinct(ws)])
+           END AS twc,
+           len(bg) AS nbg,
+           CASE WHEN len(bg) = 0 THEN NULL
+                ELSE list_max([len(list_filter(bg, x -> x = g)) FOR g IN list_distinct(bg)])
+           END AS tbc
+    FROM b
+)
+SELECT doc_id, n_words,
+       round(twc / NULLIF(n_words, 0), 6) AS top_word_frac,
+       round(tbc / NULLIF(nbg, 0), 6) AS top_bigram_frac,
+       coalesce(tbc / NULLIF(nbg, 0) > 0.08, FALSE) AS repetitive
+FROM m
+"""
+
+
+# per-stratum keep rates for the rebalancing sample: the dominant
+# 'en' stratum (~44% of docs) keeps 26/256 ≈ 10%, every minority
+# language keeps 128/256 = 50% — the output is roughly
+# language-balanced without any global counting.
+_STRAT_BUCKETS = {"en": 26, "de": 128, "es": 128, "fr": 128, "zh": 128}
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample (operators/sampling.
+    stratified_sample): deterministic per-stratum hash-bucket rates
+    over the ground-truth `lang` column. Pure filter — no shuffle, no
+    RNG, no global counts — and reproducible across engines, which is
+    what makes it oracle-checkable row-for-row."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, key="doc_id", stratum="lang", buckets_by_stratum=_STRAT_BUCKETS
+    )
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{val}' THEN '{format(b, '02x')}'" for val, b in _STRAT_BUCKETS.items()
+)
+
+CORPUS_STRATIFIED_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5('strat-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE lang {_STRAT_CASE} ELSE '00' END
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -583,6 +759,10 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, tags=("northstar", "dedup", "graph", "iterative")),
+        QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
+        QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),
+        QuerySpec("corpus_stratified_sample", corpus_stratified_sample, CORPUS_STRATIFIED_SQL, corpus_stratified_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline, CORPUS_CLEAN_SQL, corpus_clean_pipeline.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
         QuerySpec("corpus_train_val_split", corpus_train_val_split, CORPUS_SPLIT_SQL, corpus_train_val_split.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),

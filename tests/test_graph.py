@@ -1,0 +1,79 @@
+"""Connected components (operators/graph): correctness on known
+topologies, convergence behavior, and the dedup_components contract
+(every doc labeled, transitive closure of near-dup pairs collapsed).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.operators import graph
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = graph.connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_separate_components(spark):
+    labels = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_path_graph_collapses_to_min(spark):
+    # a 30-node path is the adversarial case for naive propagation
+    # (O(diameter) rounds); large-star/small-star closes it in O(log n)
+    n = 30
+    labels = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(labels) == set(range(n + 1))
+    assert set(labels.values()) == {0}
+
+
+def test_orientation_and_duplicates_ignored(spark):
+    labels = _cc(spark, [(5, 3), (3, 5), (5, 3), (3, 4), (7, 7)])
+    # self-loop (7,7) contributes no component; 3-4-5 collapse to 3
+    assert labels == {3: 3, 4: 3, 5: 3}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert graph.connected_components(df).count() == 0
+
+
+def test_star_already_converged(spark):
+    labels = _cc(spark, [(1, 0), (2, 0), (3, 0)])
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=1)
+
+
+def test_dedup_components_labels_every_doc(spark, sf_dir):
+    from mapreduce_cs416_spark.plans.northstar import dedup_components
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    out = dedup_components(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        # component id is the minimum member, exactly one canonical row
+        assert comp == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["component_size"] == len(members) for m in members)
+    # the corpus has near-dup pairs, so at least one non-trivial cluster
+    assert any(len(m) > 1 for m in by_comp.values())
+
+
+def test_transitive_chain_collapses(spark):
+    # A~B and B~C but never A~C: all three must share one component
+    labels = _cc(spark, [(100, 200), (200, 300)])
+    assert labels == {100: 100, 200: 100, 300: 100}

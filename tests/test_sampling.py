@@ -47,3 +47,30 @@ def test_sample_is_subset_and_deterministic(spark):
     s2 = _ids(sampling.deterministic_sample(docs.repartition(11), "doc_id", 26))
     assert s1 == s2
     assert 0 < len(s1) < 3000
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    docs = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("grp"),
+    )
+    out = sampling.stratified_sample(
+        docs, key="doc_id", stratum="grp", buckets_by_stratum={"big": 26, "small": 128}
+    )
+    kept = out.groupBy("grp").count().collect()
+    frac = {r["grp"]: r["count"] / 10000 for r in kept}
+    assert 0.07 < frac["big"] < 0.13, frac
+    assert 0.45 < frac["small"] < 0.55, frac
+
+
+def test_stratified_sample_unlisted_stratum_dropped_and_deterministic(spark):
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "keep").otherwise("other").alias("grp"),
+    )
+    out1 = sampling.stratified_sample(docs, key="doc_id", stratum="grp", buckets_by_stratum={"keep": 128})
+    assert out1.where(F.col("grp") == "other").count() == 0
+    out2 = sampling.stratified_sample(
+        docs.repartition(17), key="doc_id", stratum="grp", buckets_by_stratum={"keep": 128}
+    )
+    assert _ids(out1) == _ids(out2)

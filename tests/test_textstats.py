@@ -100,3 +100,46 @@ def test_tfidf_common_term_scores_zero(spark):
     assert top[0][0] == "alpha" and top[0][1] > 0
     assert top[1][0] == "beta"
     assert top[2][0] == "gamma"
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "spam ham spam ham spam ham spam ham spam ham"),  # one bigram pair dominates
+            # all-distinct and long enough that 1/n_bigrams < the 0.08 flag
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, ""),  # empty: null fractions, not flagged, no crash
+        ],
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    # doc 0: 10 words, top word 5×, 9 bigrams, "spam ham" 5×
+    assert out[0]["n_words"] == 10
+    assert out[0]["top_word_frac"] == 0.5
+    assert out[0]["top_bigram_frac"] == round(5 / 9, 6)
+    assert out[0]["repetitive"]
+    # doc 1: every word and bigram unique (20 words → top frac 1/20, 1/19)
+    assert out[1]["top_word_frac"] == 0.05
+    assert not out[1]["repetitive"]
+    # doc 2: no tokens
+    assert out[2]["n_words"] == 0
+    assert out[2]["top_word_frac"] is None
+    assert not out[2]["repetitive"]
+
+
+def test_benchmark_overlap_counts_shared_shingles(spark):
+    train = _docs(
+        spark,
+        [
+            (0, "one two three four five six"),  # shares 4-shingles with benchmark
+            (1, "totally different words here now"),  # no overlap
+        ],
+    )
+    bench = _docs(spark, [(100, "zero one two three four five")])
+    out = {r["doc_id"]: r for r in textstats.benchmark_overlap(train, bench, k=4).collect()}
+    # doc 0 shingles: {one two three four, two three four five, three four five six};
+    # benchmark contains the first two → n_common = 2 of 3
+    assert set(out) == {0}
+    assert out[0]["n_common_shingles"] == 2
+    assert out[0]["overlap_ratio"] == round(2 / 3, 6)
