@@ -361,3 +361,68 @@ def cosine_near_dup_lsh(
     return pairs.where(F.col("cos") >= threshold).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("score")
     )
+
+
+def lang_centroid_scores(
+    docs: DataFrame, emb: DataFrame, dim: int = 64, scale: int = 10_000_000
+) -> DataFrame:
+    """Per-language embedding centroids + each document's cosine to its
+    own language's centroid — the embedding-space outlier score used to
+    filter mislabeled/mistranslated documents in corpus curation.
+    Returns (doc_id, lang, lang_n, centroid_cos).
+
+    Distributed float aggregation is order-dependent (double addition
+    doesn't commute), which would make the centroid — and every score
+    derived from it — irreproducible across partitionings and engines.
+    The fix is quantize-then-aggregate: each component is rounded to a
+    fixed point (round(x·10⁷) as a 64-bit int), the per-(lang, dim)
+    sums are exact integer math in any order, and the centroid is
+    reconstructed as sum/(n·10⁷) in one deterministic division. The
+    5e-8 quantization error is orders of magnitude below any signal in
+    a float32 embedding, and in exchange the whole operator is
+    bit-reproducible and oracle-checkable.
+
+    Shuffle accounting at scale: one equi-join on doc_id (both sides
+    co-partitionable), one posexplode to (lang, dim) keys — dim·|rows|
+    long/int triples with map-side partial sums collapsing to
+    |langs|·dim per partition — and a broadcast of the tiny
+    |langs|·dim centroid table back onto the corpus. No all-pairs
+    anything; the corpus is scanned twice (sum pass + score pass).
+    """
+    j = docs.select("doc_id", "lang").join(
+        emb.select(F.col("vec_id").alias("doc_id"), as_double_array("embedding").alias("v")),
+        "doc_id",
+    )
+    q = j.select(
+        "doc_id",
+        "lang",
+        "v",
+        F.expr(f"transform(v, x -> cast(round(x * {scale}) as bigint))").alias("qv"),
+    )
+    sums = (
+        q.select("lang", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("lang", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    cents = sums.groupBy("lang").agg(
+        F.max("n").alias("lang_n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+        ).alias("sums"),
+    )
+    cents = cents.select(
+        "lang",
+        "lang_n",
+        F.expr(f"transform(sums, s -> cast(s as double) / (lang_n * {scale}.0))").alias("c"),
+    )
+    dot = F.expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    return (
+        q.join(F.broadcast(cents), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("lang_n").cast("int").alias("lang_n"),
+            (dot / (l2_norm("v") * l2_norm("c"))).alias("cos"),
+        )
+        .select("doc_id", "lang", "lang_n", F.round("cos", 6).alias("centroid_cos"))
+    )

@@ -725,6 +725,51 @@ WHERE substring(md5('strat-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 2)
 """
 
 
+def embedding_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table embedding analytics (operators/similarity.
+    lang_centroid_scores): join documents⋈embeddings on id, build the
+    per-language centroid with quantize-then-aggregate integer sums
+    (order-independent ⇒ bit-reproducible ⇒ hash-oracle-able, unlike a
+    naive double sum over shuffled partials), then score every doc's
+    cosine to its own language's centroid — the embedding-space
+    outlier signal corpus curation filters on."""
+    return similarity.lang_centroid_scores(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), dim=64
+    )
+
+
+EMBEDDING_CENTROID_SQL = """
+WITH j AS (
+    SELECT d.doc_id, d.lang, [x::DOUBLE FOR x IN e.embedding] AS v
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), q AS (
+    SELECT doc_id, lang, v,
+           [CAST(round(x * 10000000) AS BIGINT) FOR x IN v] AS qv
+    FROM j
+), ex AS (
+    SELECT lang, r.i AS pos, qv[r.i + 1] AS val
+    FROM q CROSS JOIN range(0, 64) AS r(i)
+), sums AS (
+    SELECT lang, pos, sum(val) AS s, count(*) AS n FROM ex GROUP BY 1, 2
+), cents AS (
+    SELECT lang, max(n) AS lang_n, list(s ORDER BY pos) AS sums FROM sums GROUP BY 1
+), c2 AS (
+    SELECT lang, lang_n,
+           [CAST(s AS DOUBLE) / (lang_n * 10000000.0) FOR s IN sums] AS c
+    FROM cents
+), scored AS (
+    SELECT doc_id, q.lang, lang_n,
+           list_reduce(list_prepend(0.0, [q.v[i] * c[i] FOR i IN range(1, len(q.v) + 1)]),
+                       (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN q.v]), (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN c]), (acc, x) -> acc + x)))
+           AS cos
+    FROM q JOIN c2 USING (lang)
+)
+SELECT doc_id, lang, CAST(lang_n AS INTEGER) AS lang_n, round(cos, 6) AS centroid_cos
+FROM scored
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -760,6 +805,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, tags=("northstar", "dedup", "graph", "iterative")),
+        QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
         QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("corpus_stratified_sample", corpus_stratified_sample, CORPUS_STRATIFIED_SQL, corpus_stratified_sample.__doc__, tags=("northstar", "sampling", "pipeline")),

@@ -9,11 +9,13 @@ import re
 
 import pytest
 
-from mapreduce_cs416_spark.plans.registry import QUERIES
+from mapreduce_cs416_spark.plans.registry import EXTRA_QUERIES, QUERIES
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name].fn(spark, sf_dir)
+    df = ALL_QUERIES[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -131,3 +133,54 @@ def test_scalar_part_kernels_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scalar_part_kernels")
     assert _nodes(plan, "Scan parquet") == 1
     assert _nodes(plan, "Exchange") == 0
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """The row-local top-word/top-bigram formulation must stay a pure
+    projection — no Exchange, no aggregate, no join."""
+    plan = _plan(spark, sf_dir, "text_repetition_stats")
+    assert _nodes(plan, "Exchange") == 0
+    assert _nodes(plan, "HashAggregate") == 0
+    assert "Join" not in plan
+
+
+def test_stratified_sample_pure_filter(spark, sf_dir):
+    """Per-stratum sampling is a filter on the row's own values: no
+    shuffle, no aggregation, no global counts."""
+    plan = _plan(spark, sf_dir, "corpus_stratified_sample")
+    assert _nodes(plan, "Exchange") == 0
+    assert _nodes(plan, "HashAggregate") == 0
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set joins the corpus as a broadcast — the
+    corpus side must never shuffle into a sort-merge join."""
+    plan = _plan(spark, sf_dir, "text_decontaminate")
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_centroid_no_cartesian_partial_agg(spark, sf_dir):
+    """The (lang, dim) integer sums must partial-aggregate map-side
+    (2 HashAggregates around the exchange) and the centroid table must
+    come back as a broadcast, never a shuffle of the corpus."""
+    plan = _plan(spark, sf_dir, "embedding_centroid_scores")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "HashAggregate") >= 2
+
+
+def test_dedup_components_star_rounds_have_partial_agg(spark):
+    """One large-star round = symmetric edges → min-neighbor agg →
+    join; the agg must be partial+final and the join must not
+    degenerate to a cartesian."""
+    from mapreduce_cs416_spark.operators.graph import _large_star
+
+    spark_df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    plan = _large_star(spark_df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "HashAggregate") >= 2

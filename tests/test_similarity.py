@@ -168,3 +168,48 @@ def test_ivf_fitted_recall_at_least_matches_unfitted(clustered_emb):
     fitted = similarity.fit_centroids(clustered_emb, n_cells=8, dim=DIM, n_iter=3)
     assert recall(fitted, 1) >= recall(None, 3), "fitted@1-probe < random@3-probe"
     assert recall(fitted, 1) >= 0.9, "fitted cells should capture whole clusters"
+
+
+def test_lang_centroid_scores_partition_invariant(spark, sf_dir):
+    """The quantize-then-aggregate centroid must be bit-identical under
+    any partitioning — the whole reason the operator quantizes. A naive
+    double sum would differ in the last ulps between these layouts."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        r["doc_id"]: r["centroid_cos"]
+        for r in similarity.lang_centroid_scores(docs, emb).collect()
+    }
+    again = {
+        r["doc_id"]: r["centroid_cos"]
+        for r in similarity.lang_centroid_scores(
+            docs.repartition(13), emb.repartition(7)
+        ).collect()
+    }
+    assert base == again
+    assert len(base) == docs.count()
+
+
+def test_lang_centroid_scores_prefers_own_centroid(spark):
+    """Docs whose vectors cluster by lang must score ~1 vs their own
+    language centroid (synthetic separable clusters)."""
+    import pyspark.sql.functions as F
+
+    n, dim = 40, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> cast(case when (id % 2) = cast(j < 4 as int) then 1.0 + id / 100.0 "
+            "else 0.01 end as float))"
+        ).alias("embedding"),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "aa").otherwise("bb").alias("lang"),
+    )
+    out = similarity.lang_centroid_scores(docs, emb, dim=dim).collect()
+    assert all(r["centroid_cos"] > 0.95 for r in out)
+    assert {r["lang_n"] for r in out} == {n // 2}
