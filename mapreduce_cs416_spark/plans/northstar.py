@@ -770,6 +770,61 @@ SELECT doc_id, lang, CAST(lang_n AS INTEGER) AS lang_n, round(cos, 6) AS centroi
 FROM scored
 """
 
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.
+    pack_sequences): every document's global token offset in
+    deterministic doc_id order and the 512-token training sequence it
+    starts in — computed as a distributed prefix sum (range partition
+    → per-partition subtotal → broadcast exclusive prefixes →
+    per-partition parallel window), never a single-task global
+    window."""
+    from ..operators import packing
+
+    return packing.pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
+CORPUS_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, len({_SQL_WORDS}) AS n_tokens FROM documents
+), c AS (
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM t
+)
+SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start_token,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS INTEGER) AS seq_off
+FROM c
+"""
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/packing.
+    chunk_documents, 32-token windows, 8-token overlap) — the RAG /
+    embedding-prep transform. Row-local sequence→slice→explode; the
+    corpus scan never shuffles."""
+    from ..operators import packing
+
+    return packing.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+CORPUS_CHUNK_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), s AS (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) = 0 THEN [] ELSE range(0, (len(ws) - 1) // 24 + 1) END AS idxs
+    FROM w
+), ex AS (
+    SELECT doc_id, ws, unnest(idxs) AS chunk_idx FROM s
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+FROM ex
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -804,6 +859,8 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("corpus_pack_sequences", corpus_pack_sequences, CORPUS_PACK_SQL, corpus_pack_sequences.__doc__, tags=("northstar", "packing", "pipeline")),
+        QuerySpec("corpus_chunk_documents", corpus_chunk_documents, CORPUS_CHUNK_SQL, corpus_chunk_documents.__doc__, tags=("northstar", "packing", "pipeline")),
         QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, tags=("northstar", "dedup", "graph", "iterative")),
         QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, tags=("northstar", "text", "dedup", "pipeline")),

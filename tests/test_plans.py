@@ -184,3 +184,18 @@ def test_dedup_components_star_rounds_have_partial_agg(spark):
     )
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "HashAggregate") >= 2
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """The global running offset must come from the distributed
+    prefix sum — never an Exchange SinglePartition feeding a global
+    window (the one-task-for-100TB anti-pattern)."""
+    plan = _plan(spark, sf_dir, "corpus_pack_sequences")
+    assert "Exchange SinglePartition" not in plan
+    assert _nodes(plan, "Window") >= 1  # the per-partition parallel window
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_chunk_documents")
+    assert _nodes(plan, "Exchange") == 0
+    assert "Join" not in plan
