@@ -77,3 +77,35 @@ def test_transitive_chain_collapses(spark):
     # A~B and B~C but never A~C: all three must share one component
     labels = _cc(spark, [(100, 200), (200, 300)])
     assert labels == {100: 100, 200: 100, 300: 100}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Differential test: large-star/small-star vs a driver-side
+    union-find on seeded random graphs (deterministic — no flaky
+    shrinking across Spark jobs)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 50, 30), (2, 80, 120), (3, 200, 100)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {x for e in edges for x in e}
+        expected = {x: find(x) for x in in_graph}
+        # normalize: union-find roots are component minima here because
+        # unions always attach the larger root under the smaller
+        got = _cc(spark, edges)
+        assert got == expected, f"seed={seed}"
