@@ -265,23 +265,24 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("wordcount", wordcount, WORDCOUNT_SQL, wordcount.__doc__, headline=True, tags=("reference", "B1")),
         QuerySpec("inverted_index", inverted_index, INVERTED_INDEX_SQL, inverted_index.__doc__, headline=True, tags=("reference", "B2")),
         QuerySpec("file_stats", file_stats, FILE_STATS_SQL, file_stats.__doc__, tags=("reference", "B4", "B5")),
-        QuerySpec("file_stats_salted", file_stats_salted, FILE_STATS_SQL, file_stats_salted.__doc__, tags=("reference", "B4", "B5", "skew")),
         QuerySpec("file_count", file_count, FILE_COUNT_SQL, file_count.__doc__, tags=("reference", "B8")),
         QuerySpec("mr_text_output", mr_text_output, MR_TEXT_OUTPUT_SQL, mr_text_output.__doc__, tags=("reference", "A8")),
     ]
 }
 
-# Twins sharing an already-driver-verified oracle: the salted inverted
-# index (same oracle as inverted_index; file_stats_salted keeps the
-# skew family in the driver window) and the run_mapreduce compat
-# wordcount (same oracle as wordcount; the compat engine itself is
-# still driver-verified through mr_text_output, which runs the same
-# run_mapreduce path plus the A8 text sink). Verified every CI run by
-# tests/test_parity.py.
+# Twins sharing an already-driver-verified oracle: the salted twins
+# (same oracles as their unsalted driver rows — the skew family's
+# driver presence is the salting itself, not a second oracle) and the
+# run_mapreduce compat wordcount (same oracle as wordcount; the compat
+# engine itself is still driver-verified through mr_text_output, which
+# runs the same run_mapreduce path plus the A8 text sink). Verified
+# every CI run by tests/test_parity.py. file_stats_salted rotated here
+# in round 4 to free a driver slot for dedup_components.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("inverted_index_salted", inverted_index_salted, INVERTED_INDEX_SQL, inverted_index_salted.__doc__, tags=("reference", "B2", "skew")),
+        QuerySpec("file_stats_salted", file_stats_salted, FILE_STATS_SQL, file_stats_salted.__doc__, tags=("reference", "B4", "B5", "skew")),
         QuerySpec("mr_wordcount_compat", mr_wordcount_compat, WORDCOUNT_SQL, mr_wordcount_compat.__doc__, tags=("reference", "compat", "A15")),
         QuerySpec("mr_wordcount_arrow", mr_wordcount_arrow, WORDCOUNT_SQL, mr_wordcount_arrow.__doc__, tags=("reference", "compat", "A15", "arrow")),
     ]

@@ -850,6 +850,10 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("corpus_pack_sequences", corpus_pack_sequences, CORPUS_PACK_SQL, corpus_pack_sequences.__doc__, headline=True, tags=("northstar", "packing", "pipeline")),
+        QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, headline=True, tags=("northstar", "dedup", "graph", "iterative")),
+        QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
+        QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, headline=True, tags=("northstar", "text", "dedup", "pipeline")),
     ]
 }
 
@@ -859,11 +863,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
-        QuerySpec("corpus_pack_sequences", corpus_pack_sequences, CORPUS_PACK_SQL, corpus_pack_sequences.__doc__, tags=("northstar", "packing", "pipeline")),
         QuerySpec("corpus_chunk_documents", corpus_chunk_documents, CORPUS_CHUNK_SQL, corpus_chunk_documents.__doc__, tags=("northstar", "packing", "pipeline")),
-        QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, tags=("northstar", "dedup", "graph", "iterative")),
-        QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, tags=("northstar", "similarity", "text", "pipeline")),
-        QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
         QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("corpus_stratified_sample", corpus_stratified_sample, CORPUS_STRATIFIED_SQL, corpus_stratified_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline, CORPUS_CLEAN_SQL, corpus_clean_pipeline.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
