@@ -94,3 +94,70 @@ def deterministic_sample(
     on any other cluster."""
     cut = format(keep_buckets, "02x")
     return df.where(hash_bucket(F.col(key), salt) < F.lit(cut))
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    quality: DataFrame,
+    key: str = "doc_id",
+    stratum: str = "source",
+    base_buckets: int = N_BUCKETS,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Data-derived source mixing: keep each stratum at a rate
+    proportional to its mean quality (the best stratum keeps
+    ``base_buckets``/256, a stratum at half its mean quality keeps
+    half that). Returns the kept (key, stratum, cut) rows.
+
+    ``quality`` is (key, quality double) — e.g.
+    textstats.quality_score output. Everything after quantization is
+    EXACT integer arithmetic, so the data-dependent rates are
+    bit-reproducible across engines and partitionings:
+
+    - per-stratum quality sums use round(q·10⁶) longs (commutative);
+    - the best stratum is argmax on the fixed-point mean
+      (s·10¹² DIV n in DECIMAL — exact), never a float division;
+    - each cut-off is floor(base·S_s·n_max / (n_s·S_max)) in integer
+      DIV (documented 64-bit headroom: |S|≤10⁶·rows, so products stay
+      under 2⁶³ up to ~10⁸ rows per stratum; past that, promote to
+      DECIMAL(38,0) in both engines).
+
+    Two-phase shape at scale: one groupBy(stratum) over quantized
+    longs (map-side partials), the tiny per-stratum table broadcast
+    back, then the pure hash_bucket filter — the corpus itself never
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    j = docs.select(key, stratum).join(
+        quality.select(key, F.round(F.col("quality") * 1_000_000).cast("long").alias("q6")),
+        key,
+    )
+    stats = j.groupBy(stratum).agg(F.sum("q6").alias("s"), F.count("*").alias("n"))
+    # argmax by exact integer math, never a float division: rank on
+    # the mean scaled to a fixed point, s·10¹² DIV n — exact DECIMAL
+    # arithmetic that preserves the ordering of any two means that
+    # differ by ≥10⁻¹² (6-dp quality means can't sit closer unless
+    # equal, and exact ties fall to the stratum-name tiebreak, which
+    # both engines apply identically).
+    stats = stats.withColumn(
+        "mean12",
+        F.expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000000000000) DIV n AS DECIMAL(38,0))"),
+    )
+    w = Window.orderBy(F.desc("mean12"), stratum)
+    best = stats.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        F.col("s").alias("s_max"), F.col("n").alias("n_max")
+    )
+    cuts = stats.crossJoin(F.broadcast(best)).select(
+        stratum,
+        F.expr(f"CAST(({base_buckets} * s * n_max) DIV (n * s_max) AS INT)").alias("cut"),
+    )
+    cut_hex = F.when(F.col("cut") >= 256, F.lit("zz")).otherwise(
+        F.lpad(F.lower(F.hex(F.col("cut"))), 2, "0")
+    )
+    return (
+        docs.select(key, stratum)
+        .join(F.broadcast(cuts), stratum)
+        .where(hash_bucket(F.col(key), salt) < cut_hex)
+        .select(key, stratum, "cut")
+    )

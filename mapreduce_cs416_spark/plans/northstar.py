@@ -825,6 +825,50 @@ SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
 FROM ex
 """
 
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted source mixing (operators/sampling.
+    quality_weighted_sample): every source keeps a fraction of its
+    documents proportional to its mean quality score (best source =
+    256/256). The rates are DERIVED FROM THE DATA yet the whole
+    selection is bit-reproducible: quantized integer quality sums,
+    fixed-point argmax, integer-DIV cut-offs, md5-bucket membership —
+    so even this data-dependent sampler carries a hash-exact DuckDB
+    oracle. On this corpus the source means sit close together, so
+    cuts land at 250-256 and only the tail is dropped; the per-source
+    cut column and dropped rows keep the parity non-vacuous."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    quality = textstats.quality_score(docs).select("doc_id", "quality")
+    return sampling.quality_weighted_sample(docs, quality)
+
+
+CORPUS_SOURCE_MIX_SQL = f"""
+WITH q AS (
+    SELECT doc_id, quality FROM ({TEXT_QUALITY_SQL})
+), j AS (
+    SELECT d.doc_id, d.source, CAST(round(q.quality * 1000000) AS BIGINT) AS q6
+    FROM documents d JOIN q USING (doc_id)
+), stats AS (
+    SELECT source, sum(q6) AS s, count(*) AS n FROM j GROUP BY 1
+), ranked AS (
+    SELECT source, s, n,
+           row_number() OVER (
+               ORDER BY (CAST(s AS DECIMAL(38,0)) * 1000000000000) // n DESC, source
+           ) AS rn
+    FROM stats
+), best AS (
+    SELECT s AS s_max, n AS n_max FROM ranked WHERE rn = 1
+), cuts AS (
+    SELECT source, CAST((256 * s * n_max) // (n * s_max) AS INTEGER) AS cut
+    FROM stats CROSS JOIN best
+)
+SELECT d.doc_id, d.source, c.cut
+FROM documents d JOIN cuts c USING (source)
+WHERE substring(md5('mix-v1' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN c.cut >= 256 THEN 'zz' ELSE lpad(lower(hex(c.cut)), 2, '0') END
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -866,6 +910,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_chunk_documents", corpus_chunk_documents, CORPUS_CHUNK_SQL, corpus_chunk_documents.__doc__, tags=("northstar", "packing", "pipeline")),
         QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("corpus_stratified_sample", corpus_stratified_sample, CORPUS_STRATIFIED_SQL, corpus_stratified_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
+        QuerySpec("corpus_source_mix", corpus_source_mix, CORPUS_SOURCE_MIX_SQL, corpus_source_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline, CORPUS_CLEAN_SQL, corpus_clean_pipeline.__doc__, tags=("northstar", "text", "dedup", "pipeline")),
         QuerySpec("corpus_train_val_split", corpus_train_val_split, CORPUS_SPLIT_SQL, corpus_train_val_split.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL, textstats.lang_id.__doc__, tags=("northstar", "text")),

@@ -74,3 +74,28 @@ def test_stratified_sample_unlisted_stratum_dropped_and_deterministic(spark):
         docs.repartition(17), key="doc_id", stratum="grp", buckets_by_stratum={"keep": 128}
     )
     assert _ids(out1) == _ids(out2)
+
+
+def test_quality_weighted_sample_scales_rates_with_mean_quality(spark):
+    # source "good" has mean quality exactly 2x source "poor" → poor's
+    # cut must be floor(256 * (s_poor/n) / (s_good/n)) = 128
+    n = 4000
+    docs = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "good").otherwise("poor").alias("source"),
+    )
+    quality = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.4).alias("quality"),
+    )
+    out = sampling.quality_weighted_sample(docs, quality)
+    cuts = {r["source"]: r["cut"] for r in out.select("source", "cut").distinct().collect()}
+    assert cuts == {"good": 256, "poor": 128}
+    kept = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert kept["good"] == n // 2  # cut 256 keeps everything
+    assert 0.4 < kept["poor"] / (n // 2) < 0.6  # ≈128/256
+    # deterministic under repartitioning (exact integer rates + md5 buckets)
+    again = sampling.quality_weighted_sample(docs.repartition(9), quality.repartition(4))
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
