@@ -31,27 +31,31 @@ from ..functions.numeric import decimal_sum
 from ..sources.tables import load_table
 
 
+def _stream_dir(src: str) -> str:
+    """The file source monitors a *directory*; the driver fixtures are
+    single files, so expose one through a symlink dir (production
+    streams point at a directory or Kafka and skip this)."""
+    if not os.path.isfile(src):
+        return src
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(src))
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source, one parquet file =
     one micro-batch input; schema from the batch reader so the
     nanos-timestamp normalization matches load_table exactly)."""
     batch = load_table(spark, sf_dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isfile(src):
-        # the file source monitors a *directory*; the driver fixtures are
-        # single files, so expose one through a symlink dir (production
-        # streams point at a directory or Kafka and skip this branch)
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_stream",
-            hashlib.md5(src.encode()).hexdigest()[:12],
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = d
+    src = _stream_dir(f"{sf_dir}/events.parquet")
     # file sources need an explicit schema: use the raw (pre-conversion)
     # one, where ts arrives as long nanos, and normalize it exactly like
     # sources/tables._load_events does for batch
@@ -188,6 +192,35 @@ def streaming_attribution_join(events: DataFrame, watermark: str = "2 hours") ->
         "purchase_id",
         "click_ts",
         "purchase_ts",
+    )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an unbounded stream (file source) — the ingestion
+    face of the corpus: in production this is the directory new crawl
+    shards land in."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(
+        _stream_dir(f"{sf_dir}/documents.parquet")
+    )
+
+
+def streaming_corpus_ingest(docs: DataFrame, min_quality: float = 0.46) -> DataFrame:
+    """Incremental corpus ingestion: the single-pass quality profile
+    (textstats.doc_profile — projection-only, so it is legal in append
+    mode with zero state), the deterministic train/val tag, and the
+    quality floor, applied to documents AS THEY ARRIVE. The exact same
+    function body runs on the batch table — tests/test_streaming.py
+    asserts stream == batch row-for-row via availableNow. This is the
+    streaming face of plans/northstar.corpus_clean_pipeline's profile
+    stage (the near-dup removal stage stays batch: pair joins over the
+    full corpus are a compaction job, not a per-record stream op)."""
+    from ..operators import sampling, textstats
+
+    prof = textstats.doc_profile(docs)
+    tagged = sampling.train_val_split(prof, key="doc_id")
+    return tagged.where(F.col("quality") >= min_quality).select(
+        "doc_id", "pred_lang", "quality", "n_tokens", "split"
     )
 
 

@@ -61,3 +61,50 @@ def test_task_retry_reproduces_clean_output():
         [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=300
     )
     assert "FAULT_TOLERANCE_OK" in out.stdout, out.stderr[-3000:]
+
+
+CC_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8,3]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .appName("cc-crash-test")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+sc = spark.sparkContext
+
+def flaky(it):
+    from pyspark import TaskContext
+    if TaskContext.get().attemptNumber() == 0:
+        raise RuntimeError("injected crash (first attempt)")
+    yield from it
+
+# a 60-node path whose edge SOURCE crashes every task's first attempt:
+# the iterative star rounds (joins + localCheckpoint + fixpoint probes)
+# must still converge to the exact clean labeling
+from mapreduce_cs416_spark.operators import graph
+
+edges = spark.createDataFrame(
+    sc.parallelize([(i, i + 1) for i in range(60)], 8).mapPartitions(flaky),
+    "doc_a long, doc_b long",
+)
+labels = {r["node"]: r["component"] for r in graph.connected_components(edges).collect()}
+assert labels == {i: 0 for i in range(61)}, labels
+print("CC_FAULT_TOLERANCE_OK")
+spark.stop()
+"""
+
+
+def test_connected_components_survives_task_retries():
+    """Iterative operators must be as retry-safe as single-pass ones:
+    the reference's crash contract (same output as nocrash) applied to
+    the round-4 graph operator."""
+    out = subprocess.run(
+        [sys.executable, "-c", CC_SCRIPT], capture_output=True, text=True, timeout=300
+    )
+    assert "CC_FAULT_TOLERANCE_OK" in out.stdout, out.stderr[-3000:]

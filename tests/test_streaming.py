@@ -85,3 +85,21 @@ def test_streaming_attribution_join_matches_batch(spark, sf_dir, ev_stream):
     want = _canon(batch)
     assert want, "fixture must contain click->purchase pairs within 1h"
     assert got == want
+
+
+def test_streaming_corpus_ingest_matches_batch(spark, sf_dir):
+    """The ingestion pipeline (single-pass profile + split tag +
+    quality floor) must produce row-identical output whether the
+    corpus arrives as a stream or sits as a batch table — the same
+    function body runs both."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    stream = sp.stream_documents(spark, sf_dir)
+    assert stream.isStreaming
+    sp.run_available_now(
+        sp.streaming_corpus_ingest(stream), "t_ingest", output_mode="append"
+    )
+    got = _canon(spark.table("t_ingest"))
+    want = _canon(sp.streaming_corpus_ingest(load_table(spark, sf_dir, "documents")))
+    assert got == want
+    assert got, "quality floor must keep a non-empty slice"
