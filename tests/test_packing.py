@@ -59,3 +59,45 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = _docs(spark, [(0, "a b c")])
     with pytest.raises(ValueError):
         packing.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# --- property tests: random corpora vs pure-Python references ---------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _words = st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]), max_size=12
+    )
+    _corpus = st.lists(_words, min_size=1, max_size=8)
+
+    @given(corpus=_corpus)
+    @settings(max_examples=8, deadline=None)
+    def test_pack_matches_python_reference(spark, corpus):
+        df = _docs(spark, [(i, " ".join(ws)) for i, ws in enumerate(corpus)])
+        out = {r["doc_id"]: r for r in packing.pack_sequences(df, seq_len=7).collect()}
+        acc = 0
+        for i, ws in enumerate(corpus):
+            r = out[i]
+            assert (r["n_tokens"], r["start_token"], r["seq_id"], r["seq_off"]) == (
+                len(ws), acc, acc // 7, acc % 7,
+            )
+            acc += len(ws)
+
+    @given(corpus=_corpus)
+    @settings(max_examples=8, deadline=None)
+    def test_chunk_matches_python_reference(spark, corpus):
+        df = _docs(spark, [(i, " ".join(ws)) for i, ws in enumerate(corpus)])
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+            for r in packing.chunk_documents(df, chunk_tokens=5, overlap=2).collect()
+        )
+        want = sorted(
+            (i, ci, len(ws[s : s + 5]), " ".join(ws[s : s + 5]))
+            for i, ws in enumerate(corpus)
+            for ci, s in enumerate(range(0, len(ws), 3))
+        )
+        assert got == want
+
+except ImportError:  # pragma: no cover — hypothesis is baked in, but gate anyway
+    pass
