@@ -19,9 +19,10 @@ pathological path graphs, vs O(diameter) for naive label propagation.
 Lineage is truncated with ``localCheckpoint`` every round so the plan
 doesn't grow with the iteration count.
 
-The fixpoint is detected from a constant-size driver-side summary
-(edge count + order-insensitive xxhash sum), never by collecting the
-edge set.
+The fixpoint (a disjoint union of min-rooted stars) is detected
+structurally from two constant-size driver-side probes — never by
+collecting the edge set, and without spending an extra full star
+round just to observe "nothing changed".
 """
 
 from __future__ import annotations
@@ -58,16 +59,33 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_summary(edges: DataFrame) -> tuple[int, int]:
-    """Constant-size fixpoint probe: (count, commutative hash xor).
-    XOR, not SUM — summing 2⁶³-range hashes overflows under ANSI
-    mode, and the edge set is distinct so xor-cancellation of
-    duplicate rows can't produce a false fixpoint."""
+def _is_star_fixpoint(edges: DataFrame) -> bool:
+    """True iff ``edges`` is a disjoint union of stars — the
+    algorithm's fixpoint — so the loop can stop WITHOUT running one
+    more full star round just to observe "nothing changed" (the
+    count+hash probe this replaces cost an extra O(|E|)-shuffle round
+    at every scale). Precondition: edges point child→center with
+    center < child (small-star output guarantees it, since the center
+    is the min of a set containing the child); under it a star state
+    is automatically min-rooted, so stopping here yields the same
+    labels as running to the probe-detected fixpoint.
+
+    Star test = (each child has exactly one center) ∧ (no center is
+    itself a child): two constant-size jobs on the checkpointed edge
+    set, never a collect of the edges."""
     row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        F.count("*").alias("n_edges"),
+        F.count_distinct("u").alias("n_children"),
     ).collect()[0]
-    return row["n"], row["h"]
+    if row["n_edges"] != row["n_children"]:
+        return False
+    chained = (
+        edges.select("v")
+        .join(edges.select(F.col("u").alias("v")), "v", "left_semi")
+        .limit(1)
+        .count()
+    )
+    return chained == 0
 
 
 def connected_components(
@@ -87,13 +105,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev = _edge_summary(edges)
+    # the star test's orientation precondition only holds for
+    # small-star output, so the input always gets at least one round
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        cur = _edge_summary(edges)
-        if cur == prev:
+        if _is_star_fixpoint(edges):
             break
-        prev = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     # fixpoint edge set is a union of stars (u, m): u's label is m,
