@@ -79,6 +79,26 @@ def test_transitive_chain_collapses(spark):
     assert labels == {100: 100, 200: 100, 300: 100}
 
 
+def test_superseded_checkpoints_released(spark):
+    """Each star round localCheckpoints; superseded rounds' blocks must
+    be unpersisted as the loop advances, not pinned until GC (VERDICT
+    r4: pinned blocks bled a 3× regression into the next bench query).
+    Only the final round's checkpoint may remain at the end."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    # 60-node path: needs several large/small-star rounds to converge
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    out = graph.connected_components(df)
+    assert {r["component"] for r in out.collect()} == {0}
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 1, (
+        f"{after - before} checkpointed RDDs left persisted after "
+        "connected_components — superseded rounds are leaking"
+    )
+
+
 def test_random_graphs_match_union_find(spark):
     """Differential test: large-star/small-star vs a driver-side
     union-find on seeded random graphs (deterministic — no flaky
