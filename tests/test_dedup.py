@@ -75,6 +75,24 @@ def test_minhash_lsh_recall_and_precision(near_dup_corpus):
     assert hot <= lsh_pairs, "high-similarity pairs must never be missed"
 
 
+def test_minhash_oracle_banding_finds_every_pair(near_dup_corpus):
+    """The DRIVER registration (32 bands × 2 rows, threshold 0.5 —
+    plans/northstar._MINHASH_BANDS/_MINHASH_THRESHOLD) claims its
+    exact-pair oracle holds on ANY fixture because per-pair miss
+    probability (1-s²)³² ≤ 1e-4 at s ≥ 0.5. This corpus has pairs
+    right across the mid-similarity band the old 16×4 registration
+    went blind in — the 32×2 output must equal the exact pair set."""
+    threshold = 0.5
+    exact = _pairs(dedup.ngram_jaccard_pairs(near_dup_corpus, k=3, threshold=threshold))
+    lsh = _pairs(
+        dedup.minhash_lsh_pairs(
+            near_dup_corpus, k=3, n_hashes=64, bands=32, threshold=threshold
+        )
+    )
+    assert exact, "fixture must contain true pairs above threshold"
+    assert lsh == exact, f"missed: {exact - lsh}; spurious: {lsh - exact}"
+
+
 def test_minhash_excludes_shingleless_docs(spark):
     """Docs with < k words have no shingles and must not collide into a
     shared empty-signature bucket (the sentinel bug class)."""

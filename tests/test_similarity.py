@@ -110,6 +110,29 @@ def test_lsh_near_dup_recall_and_precision(clustered_emb):
     assert recall >= 0.6, f"near-dup recall {recall:.2f}"
 
 
+def test_lsh_near_dup_registered_banding_recall(clustered_emb):
+    """The driver registers cosine_near_dup_lsh at the exact twin's
+    0.42 threshold with 4 planes × 8 tables (plans/northstar) —
+    expected per-pair recall 1-(1-p⁴)⁸ ≈ 0.76 at p = 1-θ/π ≈ 0.64.
+    Assert a floor on clustered data so the de-vacuated driver row
+    (VERDICT r4 item 4) stays non-trivially comparable."""
+    threshold = 0.42
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dup_pairs(clustered_emb, threshold).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dup_lsh(
+            clustered_emb, threshold, n_planes=4, n_tables=8, dim=DIM
+        ).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"registered-banding recall {recall:.2f}"
+
+
 def test_brute_force_topk_is_exact_cosine(spark):
     """3 hand-built vectors with known cosine ordering."""
     rows = [
