@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array
 
-# int8 symmetric range; 1e-12 floor keeps all-zero vectors finite
+# int8 symmetric range; the 1e-12 floor bounds the SCALE (so the
+# division in quantize never sees 0) — it does NOT make an all-zero
+# vector's cosine defined. Zero-norm vectors are filtered out of
+# quantized_topk below: q = [0,...] has integer norm 0, and 0/0 = NaN
+# sorts ABOVE every real double under F.desc, so one zero corpus
+# vector would otherwise rank as the top-1 neighbor of every query.
 QMAX = 127
 SCALE_FLOOR = "1e-12D"
 
@@ -67,7 +72,7 @@ def quantized_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
     nrm = F.sqrt(
         F.expr("aggregate(q, 0L, (acc, x) -> acc + cast(x as bigint) * x)").cast("double")
     )
-    corpus = quant.select("vec_id", "q", nrm.alias("nrm"))
+    corpus = quant.select("vec_id", "q", nrm.alias("nrm")).where(F.col("nrm") > 0)
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
     )

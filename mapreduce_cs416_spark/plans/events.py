@@ -116,6 +116,20 @@ GROUP BY user_id, sid
 """
 
 
+def events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user reach via mergeable HLL sketches
+    (operators/sketches.distinct_user_rollup): per-day sketches roll
+    up by lossless union, the two-level re-aggregation exact distinct
+    state cannot do — constant-size partial state per group at any
+    cardinality. Rows-only at the driver: estimates depend on the
+    DataSketches hash family, which DuckDB does not implement; the
+    error-bound and union-losslessness contracts are pinned in
+    tests/test_sketches.py."""
+    from ..operators import sketches
+
+    return sketches.distinct_user_rollup(_ev(spark, sf_dir))
+
+
 def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch face of the stream-stream attribution join
     (streaming/pipelines.streaming_attribution_join — the same
@@ -150,6 +164,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
         QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
+        QuerySpec("events_distinct_rollup", events_distinct_rollup, None, events_distinct_rollup.__doc__, tags=("events", "agg", "approx", "sketch")),
     ]
 }
 

@@ -215,6 +215,56 @@ FROM pairs WHERE cos >= {_COSINE_NEAR_DUP_THRESHOLD}
 """
 
 
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (operators/quantize.quantized_topk):
+    the serving-side compression path — 3.5× narrower vectors on the
+    shuffle/broadcast wire than float32, scored with exact integer
+    dots. Oracle-exact BY CONSTRUCTION: the explicit floor-rounding
+    (`floor(x/scale + 0.5)`), integer dot products < 2^53, and one
+    IEEE sqrt + division per pair mean Spark and DuckDB produce
+    bit-identical doubles; tests/test_quantize.py pins the
+    reconstruction and cosine-error bounds the compression claims."""
+    from ..operators import quantize
+
+    return quantize.quantized_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+# DuckDB twin of operators/quantize.quantized_topk: same scale floor,
+# same floor-rounding, integer dots/norms (exact in BIGINT), and the
+# identical zero-norm filter — every float op is IEEE-identical, so
+# the driver's value-hash comparison holds bit-for-bit.
+QUANTIZED_TOPK_SQL = """
+WITH e AS (
+    SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+), s AS (
+    SELECT vec_id, v,
+           greatest(list_max([abs(x) FOR x IN v]) / 127.0, 1e-12) AS scale
+    FROM e
+), q AS (
+    SELECT vec_id,
+           [CAST(floor(x / scale + 0.5) AS BIGINT) FOR x IN v] AS q
+    FROM s
+), n AS (
+    SELECT vec_id, q,
+           sqrt(CAST(list_reduce(list_prepend(0::BIGINT, [x * x FOR x IN q]),
+                                 (acc, x) -> acc + x) AS DOUBLE)) AS nrm
+    FROM q
+    WHERE list_reduce(list_prepend(0::BIGINT, [x * x FOR x IN q]), (acc, x) -> acc + x) > 0
+), scored AS (
+    SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id,
+           CAST(list_reduce(list_prepend(0::BIGINT,
+                    [c.q[i] * p.q[i] FOR i IN range(1, len(c.q) + 1)]),
+                (acc, x) -> acc + x) AS DOUBLE) / (c.nrm * p.nrm) AS cos
+    FROM n c JOIN n p ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+), ranked AS (
+    SELECT q_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS score, rn FROM ranked WHERE rn <= 5
+"""
+
+
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_planes=8)
 
@@ -923,6 +973,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
+        QuerySpec("similarity_quantized_topk", similarity_quantized_topk, QUANTIZED_TOPK_SQL, similarity_quantized_topk.__doc__, tags=("northstar", "similarity", "quantize")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("text_doc_profile", text_doc_profile, TEXT_DOC_PROFILE_SQL, text_doc_profile.__doc__, tags=("northstar", "text")),

@@ -1344,7 +1344,6 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("range_band_join", range_band_join, RANGE_BAND_SQL, range_band_join.__doc__, tags=("relational", "join", "range")),
         QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
         QuerySpec("window_rank", window_rank, WINDOW_RANK_SQL, window_rank.__doc__, tags=("relational", "window")),
-        QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
         QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL, q17_small_quantity.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
@@ -1354,7 +1353,6 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("scalar_part_kernels", scalar_part_kernels, SCALAR_PART_KERNELS_SQL, scalar_part_kernels.__doc__, tags=("relational", "scalar", "struct", "map")),
         QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),
-        QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
         QuerySpec("json_funcs", json_funcs, JSON_FUNCS_SQL, json_funcs.__doc__, tags=("relational", "scalar", "json")),
         QuerySpec("exists_subquery", exists_subquery, EXISTS_SUBQUERY_SQL, exists_subquery.__doc__, tags=("relational", "join", "subquery", "sql-api")),
@@ -1366,11 +1364,15 @@ QUERIES: dict[str, QuerySpec] = {
 # twins — same oracles, verified by tests/test_parity.py at sf0.001
 # every CI run instead of occupying driver CORRECTNESS slots.
 # window_running / window_lag / scalar_conditional_funcs rotated here
-# in round 4 (window_rank + window_frames keep the window family in
-# the driver window) to free slots for the new northstar operators.
+# in round 4, window_frames / scalar_math_funcs in round 5 (window_rank
+# keeps the window family, scalar_part/datetime/array/json keep the
+# scalar families in the driver window) to free slots for the new
+# northstar operators (quantized_topk, distinct_user_rollup).
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
+        QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL, join_semi.__doc__, tags=("relational", "join")),
         QuerySpec("window_running", window_running, WINDOW_RUNNING_SQL, window_running.__doc__, tags=("relational", "window")),
         QuerySpec("window_lag", window_lag, WINDOW_LAG_SQL, window_lag.__doc__, tags=("relational", "window")),

@@ -1,0 +1,113 @@
+"""Contracts of operators/quantize.py (int8 quantization + quantized
+top-k), cited from the module docstrings:
+
+- reconstruction bound: |x - q*scale| <= scale/2 per element
+- quantized cosine tracks exact cosine within the claimed <1% error
+- zero-norm vectors are excluded (no NaN score can outrank real ones)
+- determinism: identical output under arbitrary repartitioning
+- driver registration parity is covered by
+  tests/test_parity.py::test_query_matches_oracle[similarity_quantized_topk]
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from mapreduce_cs416_spark.operators import quantize, similarity
+from mapreduce_cs416_spark.sources.tables import load_table
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows], SCHEMA
+    )
+
+
+def test_reconstruction_error_bound(spark, sf_dir):
+    """x̂ = q * scale must satisfy |x - x̂| <= scale/2 elementwise
+    (the defining property of round-half-toward-+inf quantization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bad = (
+        quantize.quantize_embeddings(emb)
+        .join(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")), "vec_id")
+        .select(
+            F.expr(
+                "exists(zip_with(v, q, (x, qi) -> abs(x - qi * scale) > scale / 2 + 1e-15), b -> b)"
+            ).alias("violates")
+        )
+        .where("violates")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_quantized_range(spark, sf_dir):
+    """Every quantized component lies in [-127, 127]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bad = (
+        quantize.quantize_embeddings(emb)
+        .where(F.expr("exists(q, x -> x < -127 OR x > 127)"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_quantized_cosine_error_vs_exact(spark, sf_dir):
+    """The quantized top-k scores match the float top-k scores of the
+    same (q_id, neighbor_id) pairs within 1% absolute — the module's
+    compression-accuracy claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qk = quantize.quantized_topk(emb, n_queries=5, k=5).select(
+        "q_id", "neighbor_id", F.col("score").alias("q_score")
+    )
+    exact = similarity.brute_force_topk(emb, n_queries=5, k=5).select(
+        "q_id", "neighbor_id", F.col("score").alias("f_score")
+    )
+    joined = qk.join(exact, ["q_id", "neighbor_id"]).collect()
+    assert joined, "top-k neighbor sets must overlap"
+    for r in joined:
+        assert abs(r["q_score"] - r["f_score"]) < 0.01, r
+
+
+def test_zero_norm_vectors_excluded(spark):
+    """An all-zero vector quantizes to integer norm 0 ⇒ cos would be
+    0/0 = NaN, and NaN sorts above every real double under F.desc —
+    so zero vectors must appear neither as queries nor neighbors
+    (ADVICE r4: the scale floor bounds the scale, not the cosine)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero query AND zero corpus vector
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    out = quantize.quantized_topk(_vecs(spark, rows), n_queries=2, k=3).collect()
+    assert out, "non-zero queries must still produce neighbors"
+    for r in out:
+        assert r["q_id"] != 1 and r["neighbor_id"] != 1
+        assert not math.isnan(r["score"])
+    # vec 2 ≈ vec 0 direction: its nearest neighbor must be vec 0
+    top = {r["q_id"]: r["neighbor_id"] for r in out if r["rn"] == 1}
+    assert top[0] == 2
+
+
+def test_determinism_under_repartition(spark, sf_dir):
+    """Integer dots are exact in double regardless of fold order, so
+    the result set is identical under any input partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {tuple(r) for r in quantize.quantized_topk(emb, n_queries=5, k=5).collect()}
+    b = {
+        tuple(r)
+        for r in quantize.quantized_topk(emb.repartition(17), n_queries=5, k=5).collect()
+    }
+    assert a == b
