@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_cs416_spark.plans.registry import QUERIES, headline_queries
+from mapreduce_cs416_spark.plans.registry import ALL_QUERIES, headline_queries
 from mapreduce_cs416_spark.session import get_spark
 
 
@@ -58,14 +58,14 @@ def main() -> int:
     for a in args:
         if os.path.isdir(a):
             sf_dir = a
-        elif a in QUERIES:
+        elif a in ALL_QUERIES:
             names.append(a)
         else:
             looks_like_path = os.sep in a or a.startswith("sf")
             kind = "sf_dir does not exist" if looks_like_path else "unknown query"
             print(
                 f"bench.py: {kind}: {a!r}\n"
-                f"  registered queries: {', '.join(sorted(QUERIES))}",
+                f"  registered queries: {', '.join(sorted(ALL_QUERIES))}",
                 file=sys.stderr,
             )
             return 2
@@ -77,7 +77,7 @@ def main() -> int:
 
     # warmup: absorb session/codegen startup so query timings are real
     t0 = time.time()
-    _materialize(QUERIES["file_count"].fn(spark, sf_dir))
+    _materialize(ALL_QUERIES["file_count"].fn(spark, sf_dir))
     print(f"warmup {time.time() - t0:.2f}s  sf_dir={sf_dir}", file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -86,7 +86,7 @@ def main() -> int:
         runs: list[float] = []
         for _ in range(N_RUNS):
             t0 = time.time()
-            _materialize(QUERIES[name].fn(spark, sf_dir))
+            _materialize(ALL_QUERIES[name].fn(spark, sf_dir))
             runs.append(time.time() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)

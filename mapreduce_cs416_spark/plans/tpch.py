@@ -16,7 +16,12 @@ The driver testdata omits a few TPC-H columns (no partsupp table, no
 l_shipmode/l_commitdate/l_receiptdate, no c_phone/o_comment); queries
 that touch those are *adaptations* — same plan shape and operator mix,
 predicates rewritten to the columns that exist. Each docstring says
-which. Q2/Q11/Q16/Q20 need partsupp itself and are out of scope.
+which. Q2/Q11/Q16/Q20 run against a deterministic partsupp SYNTHESIS
+derived from lineitem (``_partsupp`` below), which keeps their
+canonical shapes (correlated min subquery, share-of-total HAVING,
+NOT-IN distinct counts, nested semi joins) hash-oracle-checkable.
+With q1/q3/q5/q17 in plans/relational.py, all 22 TPC-H shapes are
+covered.
 
 Scale notes common to all: nation/region are constant-size →
 explicit broadcast; supplier/part/customer GROW with SF, so their
@@ -635,6 +640,434 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------- synthesized partsupp
+# The testdata ships no partsupp table; the four partsupp queries
+# (Q2/Q11/Q16/Q20) run against this deterministic derivation instead:
+# one row per observed (partkey, suppkey) with the minimum unit price
+# as ps_supplycost and total shipped quantity as ps_availqty. min()
+# over doubles is exact and order-independent; the quantity sum goes
+# through DECIMAL, so the derivation carries a hash-exact oracle and
+# the downstream queries keep canonical TPC-H plan shapes (the
+# derivation itself is one extra shuffle on (partkey, suppkey)).
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        decimal_sum(F.col("l_quantity"), "ps_availqty"),
+    )
+
+
+PS_CTE = f"""
+partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost,
+           {sql_decimal_sum('l_quantity')} AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+)"""
+
+
+# ------------------------------------------------------------------ Q2
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier per part in a region.
+
+    Adaptation: partsupp is the lineitem-derived synthesis (_partsupp);
+    p_type is an exact match ('STANDARD' — testdata types are single
+    words, canonical is a '%BRASS' suffix). The shape is canonical:
+    part filter → partsupp → supplier → nation → broadcast region,
+    with the correlated min-cost-per-part subquery planned as a window
+    over ps_partkey (one pass, no self-join re-scan); equality on the
+    exact double min keeps every tied supplier, as SQL does. nation ⋈
+    region collapses to a broadcast; the filtered part set (~1/300 of
+    part) broadcasts into the partsupp probe, so the only large
+    shuffles are the partsupp derivation and the per-part window.
+    """
+    from pyspark.sql import Window
+
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    eligible = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH {PS_CTE}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(ps_supplycost, 6) AS supplycost
+FROM partsupp
+JOIN part     ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+      SELECT min(ps.ps_supplycost)
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE ps.ps_partkey = p_partkey AND r.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ------------------------------------------------------------------ Q11
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts representing a significant share of one
+    nation's stock value.
+
+    partsupp is the lineitem-derived synthesis; the shape is
+    canonical: per-part value sums over one nation's suppliers,
+    HAVING sum above a share-of-stock threshold — the threshold is a
+    one-row aggregate broadcast into the filter (no driver
+    round-trip, no second scan of the grouped data). value =
+    ps_supplycost × ps_availqty per row, summed through DECIMAL so
+    the driver hash is partition-order-proof. The threshold is 3× the
+    mean per-part value (canonical uses fraction 0.0001/SF of the
+    total, but a FIXED fraction is vacuous away from its tuned SF —
+    the mean-relative form is non-vacuous at every SF: 5/16/192 rows
+    at sf0.001/0.01/0.1; the mean itself is decimal-exact, so the
+    comparison is engine-identical).
+    """
+    nation = F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ps = _partsupp(spark, sf_dir).join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    grouped = ps.groupBy("ps_partkey").agg(decimal_sum(value, "part_value"))
+    thresh = F.broadcast(
+        grouped.agg(
+            (F.sum(F.col("part_value").cast(DEC)).cast("double") / F.count("*")).alias("avg_value")
+        )
+    )
+    return (
+        grouped.crossJoin(thresh)
+        .where(F.col("part_value") > F.col("avg_value") * 3.0)
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH {PS_CTE},
+nat AS (
+    SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+),
+g AS (
+    SELECT ps_partkey, {sql_decimal_sum('value')} AS part_value
+    FROM nat
+    GROUP BY ps_partkey
+)
+SELECT ps_partkey, part_value
+FROM g
+WHERE part_value > (SELECT {sql_decimal_sum('part_value')} / count(*) FROM g) * 3.0
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+# ------------------------------------------------------------------ Q12
+def q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: priority mix of late shipments by line class.
+
+    Adaptation: l_shipmode / l_commitdate / l_receiptdate are absent —
+    the class column is l_returnflag and "late" is l_shipdate more
+    than 60 days after o_orderdate (cf. q4's stand-in). The operator
+    mix is canonical Q12: one orders⋈lineitem equi-join (the only
+    shuffle; both date predicates push into the lineitem scan side
+    where possible), then conditional aggregation splitting counts by
+    order priority.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("line_class")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag AS line_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------------ Q16
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier counts per (brand, type, size)
+    for an excluded-brand part subset, minus blacklisted suppliers.
+
+    Adaptation: partsupp is the lineitem-derived synthesis and the
+    supplier blacklist is s_acctbal < 0 (canonical: comment LIKE
+    '%Customer%Complaints%' on a column the testdata omits). Shape is
+    canonical: NOT-IN planned as a broadcast anti join (the blacklist
+    is a scalar-filtered projection of supplier), part filter pushed
+    to the scan, then count(DISTINCT ps_suppkey) per group — a
+    two-level agg (dedup then count) in one shuffle cycle.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = f"""
+WITH {PS_CTE}
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ------------------------------------------------------------------ Q20
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers in one region holding excess stock of a
+    name-filtered part family.
+
+    Adaptation: partsupp is the lineitem-derived synthesis, so
+    ps_availqty (all-time shipped quantity) stands in for stock on
+    hand; "excess" is availqty > 2× the 1997 shipped quantity of the
+    same (part, supplier); geography is region-level (EUROPE — a
+    single test nation holds too few suppliers to be non-vacuous at
+    sf0.001: 4/13/19 rows at sf0.001/0.01/0.1). Shape is canonical
+    Q20: part-name semi filter → correlated per-(part,supp) quantity
+    subquery (an aggregated equi-join, not a re-scan per row) →
+    supplier semi join → broadcast nation⋈region. The 1997 aggregate
+    joins INNER, matching SQL's NULL-comparison semantics for pairs
+    with no 1997 shipments.
+    """
+    part_keys = (
+        _t(spark, sf_dir, "part").where(F.col("p_name").like("blue%")).select("p_partkey")
+    )
+    qty97 = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("q_partkey"), F.col("l_suppkey").alias("q_suppkey"))
+        .agg(decimal_sum(F.col("l_quantity"), "qty_1997"))
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part_keys), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            qty97,
+            (F.col("ps_partkey") == F.col("q_partkey"))
+            & (F.col("ps_suppkey") == F.col("q_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("qty_1997") * 2.0)
+        .select("ps_suppkey")
+    )
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH {PS_CTE}
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        AND ps_availqty > 2.0 * (
+            SELECT {sql_decimal_sum('l_quantity')}
+            FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'))
+ORDER BY s_name
+"""
+
+
+# ------------------------------------------------------------------ Q21
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late supplier on
+    multi-supplier finalized orders — the heaviest classic shape: a
+    triple self-join on the fact table with one semi and one anti arm.
+
+    Adaptation: "late" is l_shipdate > o_orderdate + 30 days
+    (l_commitdate/l_receiptdate are absent, cf. q4/q12) and the
+    supplier geography filter is region EUROPE (nation-level on 100
+    test suppliers leaves ~4). Shape is canonical Q21: late lines of
+    'F' orders ⋈ supplier(region) as the probe; EXISTS another
+    supplier on the order → left-semi self-join on (orderkey,
+    suppkey≠); NOT EXISTS another LATE supplier → left-anti against
+    the late set. All three arms share the orderkey shuffle key, so
+    AQE plans them as one exchange reused three times, and the late
+    set (date-filtered) is the small side of both probes.
+    """
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation")
+                .join(
+                    _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.join(supp, late.l_suppkey == supp.s_suppkey)
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 # no driver-window entries — the 50-slot CORRECTNESS window is full
 # and already covers every operator family; these widen the oracled
 # surface via tests/test_parity.py (and tools/check_parity --extra).
@@ -647,7 +1080,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, q6_forecast_revenue.__doc__, tags=("tpch", "scan", "agg")),
         QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL, q7_volume_shipping.__doc__, tags=("tpch", "join", "agg")),
         QuerySpec("q8_market_share", q8_market_share, Q8_SQL, q8_market_share.__doc__, tags=("tpch", "join", "agg")),
-        QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL, q9_product_profit.__doc__, tags=("tpch", "join", "agg")),
+        # headline: the join-heaviest warehouse shape in the bench set
+        # (4-way fact join + year rollup) — VERDICT r4 item 7
+        QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL, q9_product_profit.__doc__, headline=True, tags=("tpch", "join", "agg")),
         QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL, q10_returned_items.__doc__, tags=("tpch", "join", "topk")),
         QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL, q13_customer_distribution.__doc__, tags=("tpch", "outer-join", "agg")),
         QuerySpec("q14_promo_effect", q14_promo_effect, Q14_SQL, q14_promo_effect.__doc__, tags=("tpch", "join", "agg")),
@@ -655,5 +1090,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("q18_large_volume_customer", q18_large_volume_customer, Q18_SQL, q18_large_volume_customer.__doc__, tags=("tpch", "having", "semi-join")),
         QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL, q19_disjunctive_revenue.__doc__, tags=("tpch", "join", "predicate")),
         QuerySpec("q22_prospects", q22_prospects, Q22_SQL, q22_prospects.__doc__, tags=("tpch", "anti-join", "subquery")),
+        QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL, q2_min_cost_supplier.__doc__, tags=("tpch", "join", "subquery", "window")),
+        QuerySpec("q11_important_stock", q11_important_stock, Q11_SQL, q11_important_stock.__doc__, tags=("tpch", "agg", "having", "subquery")),
+        QuerySpec("q12_late_lines_by_class", q12_late_lines_by_class, Q12_SQL, q12_late_lines_by_class.__doc__, tags=("tpch", "join", "agg")),
+        QuerySpec("q16_part_supplier_counts", q16_part_supplier_counts, Q16_SQL, q16_part_supplier_counts.__doc__, tags=("tpch", "anti-join", "distinct", "agg")),
+        QuerySpec("q20_excess_stock_suppliers", q20_excess_stock_suppliers, Q20_SQL, q20_excess_stock_suppliers.__doc__, tags=("tpch", "semi-join", "subquery")),
+        # headline: triple self-join on the fact table (semi + anti arms)
+        QuerySpec("q21_suppliers_kept_waiting", q21_suppliers_kept_waiting, Q21_SQL, q21_suppliers_kept_waiting.__doc__, headline=True, tags=("tpch", "join", "semi-join", "anti-join")),
     ]
 }

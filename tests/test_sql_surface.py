@@ -49,6 +49,7 @@ SQL_PORTABLE = (
     "map_funcs",
     "pivot_events",
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
@@ -57,12 +58,17 @@ SQL_PORTABLE = (
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_class",
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
+    "q16_part_supplier_counts",
     "q17_small_quantity",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_suppliers_kept_waiting",
     "q22_prospects",
     "range_band_join",
     "rollup_agg",
