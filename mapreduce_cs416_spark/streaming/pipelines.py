@@ -31,21 +31,27 @@ from ..functions.numeric import decimal_sum
 from ..sources.tables import load_table
 
 
-def _stream_dir(src: str) -> str:
+def _stream_dir(src: str, copies: int = 1) -> str:
     """The file source monitors a *directory*; the driver fixtures are
     single files, so expose one through a symlink dir (production
-    streams point at a directory or Kafka and skip this)."""
+    streams point at a directory or Kafka and skip this). With
+    ``copies`` > 1 the same file is linked under several names, so a
+    reader capped at one file per trigger replays the fixture as that
+    many identical micro-batches — the input shape that makes
+    cross-batch state (dedup, running counts) observable in tests."""
     if not os.path.isfile(src):
         return src
     d = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_stream",
-        hashlib.md5(src.encode()).hexdigest()[:12],
+        hashlib.md5(f"{src}|{copies}".encode()).hexdigest()[:12],
     )
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, os.path.basename(src))
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    for i in range(copies):
+        prefix = f"copy{i}_" if copies > 1 else ""
+        link = os.path.join(d, prefix + os.path.basename(src))
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
@@ -61,6 +67,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources/tables._load_events does for batch
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select(*batch.columns)
+
+
+def stream_events_replayed(spark: SparkSession, sf_dir: str, copies: int = 2) -> DataFrame:
+    """events replayed ``copies`` times as SEPARATE micro-batches
+    (maxFilesPerTrigger=1, honored by the availableNow trigger): every
+    event_id arrives again in a later batch, so stateful operators
+    must actually carry state across batches to be correct —
+    streaming_dedup must drop the replays, running_counts_stateful
+    must accumulate them. tests/test_streaming.py drives both."""
+    batch = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(src, copies=copies))
+    )
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.select(*batch.columns)
