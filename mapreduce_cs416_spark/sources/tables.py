@@ -40,22 +40,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return utcify(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def utcify(df: DataFrame) -> DataFrame:
+    """Normalize every TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Parquet timestamps written without UTC adjustment (arrow
+    ``timestamp[us]`` with no tz — how the driver testdata stores
+    o_orderdate / l_shipdate / ts) load as TIMESTAMP_NTZ, a type some
+    instant functions (``unix_micros``) reject. The engine's session
+    timezone is pinned to UTC (session.py), so casting NTZ → LTZ
+    reinterprets the naive wall clock as UTC — value-identical to the
+    DuckDB oracle's naive TIMESTAMP view of the same file, and to the
+    LTZ micros the pre-regeneration testdata produced."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-    rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a long via
-    the legacy conf and convert back to a µs timestamp with exact
-    integer division (`ts div 1000` stays in long arithmetic — a
-    double division would lose precision above 2^53 ns). This matches
-    DuckDB's µs-truncated TIMESTAMP view of the same file, so the
-    oracle comparison is exact."""
+    """Historically events.parquet stored ts as INT64 TIMESTAMP(NANOS),
+    which Spark rejects by default (PARQUET_TYPE_ILLEGAL): read it as a
+    long via the legacy conf and convert back to a µs timestamp with
+    exact integer division (`ts div 1000` stays in long arithmetic — a
+    double division would lose precision above 2^53 ns). Regenerated
+    testdata stores µs without UTC adjustment instead, which loads as
+    TIMESTAMP_NTZ and is normalized by ``utcify``. Both paths match
+    DuckDB's µs-truncated naive TIMESTAMP view of the same file, so
+    the oracle comparison is exact either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return utcify(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

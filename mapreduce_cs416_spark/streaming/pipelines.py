@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import decimal_sum
-from ..sources.tables import load_table
+from ..sources.tables import load_table, utcify
 
 
 def _stream_dir(src: str, copies: int = 1) -> str:
@@ -69,7 +69,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(raw_schema).parquet(src)
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.select(*batch.columns)
+    return utcify(raw).select(*batch.columns)
 
 
 def stream_events_replayed(spark: SparkSession, sf_dir: str, copies: int = 2) -> DataFrame:
@@ -90,7 +90,7 @@ def stream_events_replayed(spark: SparkSession, sf_dir: str, copies: int = 2) ->
     )
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.select(*batch.columns)
+    return utcify(raw).select(*batch.columns)
 
 
 def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
