@@ -342,6 +342,84 @@ def repetition_stats(docs: DataFrame, top_bigram_flag: float = 0.08) -> DataFram
     )
 
 
+def _bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, bg) — one row per word-bigram occurrence. The
+    bigram list is built row-locally from the token array (no
+    self-join of adjacent tokens); empty for docs under 2 tokens."""
+    from ..functions.text import bind_once
+
+    def pairs_of(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(ws) - 2)
+        mk = lambda i: F.struct(  # noqa: E731
+            F.get(ws, i).alias("w1"),
+            F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)).alias("bg"),
+        )
+        empty = F.array().cast("array<struct<w1:string,bg:string>>")
+        return F.when(F.size(ws) < 2, empty).otherwise(F.transform(idx, mk))
+
+    return docs.select(
+        "doc_id", F.explode(bind_once(_words(), pairs_of)).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+
+def top_ngrams(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-wide most-frequent word bigrams: (ngram, cnt), top
+    ``top_k`` by count with the ngram string as a total tie-break —
+    the deterministic heavy-hitters query a corpus audit needs before
+    choosing repetition filters.
+
+    Scale shape: row-local bigram construction, one explode + hash
+    agg with map-side partial combine (the only shuffle, keyed on the
+    ngram), then top-k via orderBy+limit which Spark executes as
+    TakeOrderedAndProject — per-partition heaps and a driver merge of
+    k-row tops, never a global sort materialization."""
+    return (
+        _bigram_occurrences(docs)
+        .groupBy(F.col("bg").alias("ngram"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(top_k)
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM likelihood (CCNet-style quality signal):
+    train a corpus bigram model P(w2|w1) = c(w1 w2)/c(w1 ·), then
+    score every document by the mean log-probability of its bigram
+    occurrences. Low scores flag out-of-distribution / garbled text.
+    Returns (doc_id, n_bigrams, avg_logp); docs under 2 tokens are
+    absent (no bigrams to score).
+
+    Scale shape: the model is two hash aggs over the exploded bigram
+    stream (vocab²-bounded — far smaller than the corpus), a model-
+    internal join on the prefix word, then one join of occurrences to
+    the model on the bigram key and a per-doc agg. The corpus text
+    itself is never shuffled — only 8-byte-ish bigram keys. Float
+    discipline for the oracle: per-bigram logp is multiply-rounded to
+    6 dp (ln may differ by 1 ulp across engines), the per-doc sum
+    runs in DECIMAL so it is partitioning-order-independent, and the
+    final mean is multiply-rounded again."""
+    from ..functions.numeric import decimal_sum
+
+    occ = _bigram_occurrences(docs)
+    c2 = occ.groupBy("w1", "bg").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    logp = F.round(F.log(F.col("n2").cast("double") / F.col("n1")) * 1000000.0, 0) / 1000000.0
+    model = c2.join(c1, "w1").select("bg", logp.alias("logp"))
+    return (
+        occ.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), decimal_sum(F.col("logp"), "sum_logp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.round(F.col("sum_logp") / F.col("n_bigrams") * 1000000.0, 0) / 1000000.0).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -158,6 +158,82 @@ JOIN events p
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: the first
+    view, the first click at-or-after that view, and the first
+    purchase at-or-after that click, plus the funnel stage reached
+    (0-3). The sequential constraint is what distinguishes this from
+    three independent mins — a click before any view does not count.
+
+    Single-pass shape: two stacked range-frame window mins over the
+    SAME (user_id, ts) ordering (one shuffle on user_id; the second
+    Window and the final groupBy reuse the partitioning), then a
+    conditional-min hash agg. No self-joins: the naive 3-way
+    events⋈events⋈events formulation shuffles the fact table three
+    times and explodes on users with many events; this is one shuffle
+    and O(rows) work. RANGE frames (not ROWS) make ties exact: a
+    click at the identical timestamp as the first view counts,
+    regardless of row order within the tie — ROWS frames would make
+    the result depend on nondeterministic shuffle order.
+    """
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_type")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    staged = (
+        ev.withColumn("v1", F.min(F.when(is_view, F.col("ts"))).over(wr))
+        .withColumn("c1", F.min(F.when(is_click & F.col("v1").isNotNull(), F.col("ts"))).over(wr))
+    )
+    funnel = staged.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("view_ts"),
+        F.min(F.when(is_click & F.col("v1").isNotNull(), F.col("ts"))).alias("click_ts"),
+        F.min(F.when(is_purchase & F.col("c1").isNotNull(), F.col("ts"))).alias("purchase_ts"),
+    )
+    stage = (
+        F.col("view_ts").isNotNull().cast("int")
+        + F.col("click_ts").isNotNull().cast("int")
+        + F.col("purchase_ts").isNotNull().cast("int")
+    )
+    return funnel.select("user_id", "view_ts", "click_ts", "purchase_ts", stage.alias("stage"))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH o AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+    FROM events
+), c AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'click' AND v1 IS NOT NULL THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+    FROM o
+)
+SELECT user_id,
+       view_ts, click_ts, purchase_ts,
+       (CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS stage
+FROM (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+           min(CASE WHEN event_type = 'click' AND v1 IS NOT NULL THEN ts END) AS click_ts,
+           min(CASE WHEN event_type = 'purchase' AND c1 IS NOT NULL THEN ts END) AS purchase_ts
+    FROM c
+    GROUP BY user_id
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -175,5 +251,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("events_attribution_join", events_attribution_join, EVENTS_ATTRIBUTION_SQL, events_attribution_join.__doc__, tags=("events", "join", "streaming", "range")),
+        QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
     ]
 }

@@ -458,6 +458,55 @@ FROM documents
 """
 
 
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.top_ngrams(_docs(spark, sf_dir), top_k=20)
+
+
+# bigrams in DuckDB: zip two same-length unnests (positional) over the
+# 1-based token array; range(1, len) = indices of every bigram start.
+_SQL_TOKENS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+TEXT_TOP_NGRAMS_SQL = f"""
+WITH w AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+occ AS (
+    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+    FROM w
+)
+SELECT ngram, count(*) AS cnt
+FROM occ
+GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT 20
+"""
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+TEXT_BIGRAM_LM_SQL = f"""
+WITH w AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+occ AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+    FROM w
+),
+c2 AS (SELECT w1, bg, count(*) AS n2 FROM occ GROUP BY w1, bg),
+c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+model AS (
+    SELECT bg, round(ln(CAST(n2 AS DOUBLE) / n1) * 1000000.0) / 1000000.0 AS logp
+    FROM c2 JOIN c1 USING (w1)
+)
+SELECT occ.doc_id,
+       count(*) AS n_bigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1000000.0)
+           / 1000000.0 AS avg_logp
+FROM occ JOIN model USING (bg)
+GROUP BY occ.doc_id
+"""
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(_docs(spark, sf_dir))
@@ -1003,6 +1052,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_SQL, textstats.quality_score.__doc__, tags=("northstar", "text")),
         QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL, textstats.token_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL, textstats.fingerprint.__doc__, tags=("northstar", "text")),
+        QuerySpec("text_top_ngrams", text_top_ngrams, TEXT_TOP_NGRAMS_SQL, textstats.top_ngrams.__doc__, tags=("northstar", "text", "topk")),
+        QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL, textstats.bigram_lm_scores.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
