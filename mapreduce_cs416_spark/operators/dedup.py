@@ -278,3 +278,55 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, col: str, max_dist: int = 3, band: int | None = None
+) -> DataFrame:
+    """Fuzzy string self-join: every pair of DISTINCT values of
+    ``col`` within Levenshtein distance ``max_dist``. Returns
+    (name_a, name_b, dist) with name_a < name_b.
+
+    Scale shape: (1) the join runs on the *vocabulary* (distinct
+    values), not the rows — at 100 TB the distinct names of a
+    dimension column are orders of magnitude smaller than the fact
+    table; (2) LOSSLESS length-band blocking replaces the all-pairs
+    cross join: levenshtein(a,b) >= |len(a)-len(b)|, so each value
+    registers at bucket floor(len/band) and probes every bucket
+    covering [len-max_dist, len+max_dist] (floor is monotone, so a
+    qualifying partner's registration bucket is always inside the
+    probe range — no candidate is missed); (3) the distance itself
+    runs with Spark's thresholded levenshtein, which early-exits the
+    DP once the band exceeds max_dist (O(max_dist * len) per pair,
+    not O(len^2)). A q-gram prefix filter could further cut
+    candidates for long strings (an edit destroys at most q q-grams),
+    but is not lossless below (q+1)*max_dist + q - 1 chars, so for
+    short dimension names length banding alone is the safe choice.
+    """
+    band = band or (max_dist + 1)
+    names = df.select(F.col(col).alias("name")).distinct().withColumn("len", F.length("name"))
+    reg = names.withColumn("bucket", F.floor(F.col("len") / band))
+    probe = names.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("len") - max_dist) / band),
+                F.floor((F.col("len") + max_dist) / band),
+            )
+        ),
+    )
+    cand = (
+        reg.alias("a")
+        .join(probe.alias("b"), "bucket")
+        .where(
+            (F.col("a.name") < F.col("b.name"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist)
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()  # a pair can meet in more than one probed bucket
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b", max_dist))
+        .where(F.col("dist") >= 0)
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -507,6 +507,19 @@ GROUP BY occ.doc_id
 """
 
 
+def part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(load_table(spark, sf_dir, "part"), "p_name", max_dist=3)
+
+
+PART_FUZZY_PAIRS_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(_docs(spark, sf_dir))
@@ -1054,6 +1067,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL, textstats.fingerprint.__doc__, tags=("northstar", "text")),
         QuerySpec("text_top_ngrams", text_top_ngrams, TEXT_TOP_NGRAMS_SQL, textstats.top_ngrams.__doc__, tags=("northstar", "text", "topk")),
         QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL, textstats.bigram_lm_scores.__doc__, tags=("northstar", "text", "pipeline")),
+        QuerySpec("part_fuzzy_pairs", part_fuzzy_pairs, PART_FUZZY_PAIRS_SQL, dedup.edit_distance_pairs.__doc__, tags=("northstar", "dedup", "fuzzy", "join")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),

@@ -212,6 +212,32 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantit
 """
 
 
+def bloom_semi_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join lineitem to urgent orders through the explicit
+    bloom-prefilter operator (operators/bloomjoin.bloom_semi_join):
+    the bitset is built distributively from the small side (bit_or
+    partials), broadcast as one map row, and tested inside the fact
+    scan so non-matching rows never reach the shuffle; the exact
+    semi-join afterwards removes false positives, making the result
+    bit-identical to a plain semi-join — which is exactly what the
+    DuckDB oracle runs."""
+    from ..operators.bloomjoin import bloom_semi_join
+
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    line = _t(spark, sf_dir, "lineitem")
+    return bloom_semi_join(line, "l_orderkey", urgent, "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+BLOOM_SEMI_JOIN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+"""
+
+
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: customers with no order above 400k."""
     cust = _t(spark, sf_dir, "customer")
@@ -1374,6 +1400,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
         QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL, join_semi.__doc__, tags=("relational", "join")),
+        QuerySpec("bloom_semi_join", bloom_semi_join_query, BLOOM_SEMI_JOIN_SQL, bloom_semi_join_query.__doc__, tags=("relational", "join", "bloom", "custom-op")),
         QuerySpec("window_running", window_running, WINDOW_RUNNING_SQL, window_running.__doc__, tags=("relational", "window")),
         QuerySpec("window_lag", window_lag, WINDOW_LAG_SQL, window_lag.__doc__, tags=("relational", "window")),
         QuerySpec("scalar_conditional_funcs", scalar_conditional_funcs, SCALAR_CONDITIONAL_SQL, scalar_conditional_funcs.__doc__, tags=("relational", "scalar")),
