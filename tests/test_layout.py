@@ -1,0 +1,69 @@
+"""write_clustered layout contract: directory pruning reaches the
+plan (PartitionFilters), row-group stats are tight disjoint ranges
+(footer-verified), and the round-trip loses no data."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.sources.io import write_clustered
+from mapreduce_cs416_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def clustered_events(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "events_clustered")
+    ev = load_table(spark, sf_dir, "events")
+    write_clustered(ev, path, partition_by=["event_type"], cluster_by=["ts"])
+    return path
+
+
+def test_round_trip_loses_nothing(spark, sf_dir, clustered_events):
+    ev = load_table(spark, sf_dir, "events")
+    back = spark.read.parquet(clustered_events)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+
+
+def test_partition_pruning_reaches_the_plan(spark, clustered_events):
+    scan = spark.read.parquet(clustered_events).where(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    # the pruned scan must read only the click directory's file(s)
+    files = scan.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("event_type=click" in r["f"] for r in files)
+    assert len(files) >= 1
+
+
+def test_one_file_per_partition_directory(clustered_events):
+    """repartition(partition_by) before partitionBy: each hive dir
+    gets one file, not one per writing task."""
+    for d in glob.glob(f"{clustered_events}/event_type=*"):
+        files = [f for f in glob.glob(f"{d}/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+
+def test_row_groups_are_clustered_on_ts(clustered_events):
+    """sortWithinPartitions makes per-row-group ts min/max tight and
+    non-overlapping — the property parquet row-group pruning needs."""
+    import pyarrow.parquet as pq
+
+    checked_multi = False
+    for f in glob.glob(f"{clustered_events}/event_type=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+        ranges = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            ranges.append((st.min, st.max))
+        for (lo, hi) in ranges:
+            assert lo <= hi
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next  # disjoint, ordered row groups
+        checked_multi = checked_multi or md.num_row_groups >= 1
+    assert checked_multi
