@@ -520,6 +520,22 @@ WHERE levenshtein(a.name, b.name) <= 3
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank) over the part–supplier
+    bipartite graph from lineitem (supplier nodes carry negated ids to
+    keep the two key spaces disjoint), symmetrized so the walk can
+    cross both ways. Rows-only at the driver: power-iteration ranks
+    are float sums whose exact value depends on summation order; the
+    NumPy-differential and sum(rank)==1 contracts live in
+    tests/test_graph.py. Row count (= node count) IS deterministic."""
+    from ..operators.graph import pagerank
+
+    line = load_table(spark, sf_dir, "lineitem")
+    edges = line.select(F.col("l_partkey").alias("u"), (-F.col("l_suppkey")).alias("v"))
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return pagerank(sym, n_iter=8).select("node", F.round("rank", 6).alias("rank"))
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(_docs(spark, sf_dir))
@@ -1068,6 +1084,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_top_ngrams", text_top_ngrams, TEXT_TOP_NGRAMS_SQL, textstats.top_ngrams.__doc__, tags=("northstar", "text", "topk")),
         QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL, textstats.bigram_lm_scores.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("part_fuzzy_pairs", part_fuzzy_pairs, PART_FUZZY_PAIRS_SQL, dedup.edit_distance_pairs.__doc__, tags=("northstar", "dedup", "fuzzy", "join")),
+        QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),

@@ -129,3 +129,61 @@ def test_random_graphs_match_union_find(spark):
         # unions always attach the larger root under the smaller
         got = _cc(spark, edges)
         assert got == expected, f"seed={seed}"
+
+
+# ----------------------------------------------------------------- pagerank
+def _numpy_pagerank(edges: list[tuple[int, int]], n_iter: int, damping: float):
+    """Dense power-iteration reference with uniform dangling
+    redistribution — the exact semantics operators/graph.pagerank
+    claims."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {node: i for i, node in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for u, v in set(edges):
+        if u != v:
+            out.setdefault(u, []).append(v)
+    r = [1.0 / n] * n
+    for _ in range(n_iter):
+        dangling = sum(r[idx[x]] for x in nodes if x not in out)
+        contrib = [0.0] * n
+        for u, vs in out.items():
+            share = r[idx[u]] / len(vs)
+            for v in vs:
+                contrib[idx[v]] += share
+        base = (1.0 - damping) / n + damping * dangling / n
+        r = [base + damping * c for c in contrib]
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import random
+
+    from mapreduce_cs416_spark.operators.graph import pagerank
+
+    rng = random.Random(416)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(150)})
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    want = _numpy_pagerank(edges, n_iter=10, damping=0.85)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], rel=1e-9, abs=1e-12)
+
+
+def test_pagerank_mass_conserved_with_dangling_nodes(spark):
+    from mapreduce_cs416_spark.operators.graph import pagerank
+
+    # 3 is a pure sink (dangling): its mass must be redistributed,
+    # keeping the total at exactly 1 within float tolerance
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u long, v long")
+    ranks = pagerank(df, n_iter=12).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_chain_orders_ranks(spark):
+    from mapreduce_cs416_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=15).collect()}
+    assert got[3] > got[2] > got[1]
