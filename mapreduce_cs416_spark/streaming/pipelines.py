@@ -183,6 +183,82 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_funnel_stateful(events: DataFrame) -> DataFrame:
+    """Per-user funnel state machine (view → click → purchase) via
+    applyInPandasWithState — the streaming face of
+    plans/events.events_funnel. GroupState per user carries the three
+    earliest qualifying timestamps as int64 micros; each micro-batch
+    is processed in event-time order and every transition is a
+    min-update, so the operator is IDEMPOTENT under replayed input
+    (at-least-once sources) — tests/test_streaming.py replays the
+    full fixture twice and asserts the updates converge to the batch
+    result.
+
+    Contract: batch==stream equivalence holds when batches arrive in
+    event-time order (a replay of already-seen events is fine). An
+    out-of-order VIEW earlier than everything seen could retroactively
+    qualify an already-discarded click; supporting that would require
+    buffering all events per user (what the batch query effectively
+    does) instead of three scalars per user — the classic
+    streaming-funnel state/ordering trade-off, here resolved for
+    bounded state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("view_ts", TimestampType()),
+            StructField("click_ts", TimestampType()),
+            StructField("purchase_ts", TimestampType()),
+            StructField("stage", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("v", LongType()), StructField("c", LongType()), StructField("p", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        v, c, p = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if et == "view":
+                v = us if v is None else min(v, us)
+            elif et == "click" and v is not None and us >= v:
+                c = us if c is None else min(c, us)
+            elif et == "purchase" and c is not None and us >= c:
+                p = us if p is None else min(p, us)
+        state.update((v, c, p))
+        to_ts = lambda us: pd.Timestamp(us * 1000) if us is not None else pd.NaT  # noqa: E731
+        stage = (v is not None) + (c is not None) + (p is not None)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "view_ts": [to_ts(v)],
+                "click_ts": [to_ts(c)],
+                "purchase_ts": [to_ts(p)],
+                "stage": [stage],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_attribution_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stream-stream INNER JOIN with an event-time range condition —
     the attribution shape: each purchase joined to the same user's

@@ -120,3 +120,23 @@ def test_streaming_corpus_ingest_matches_batch(spark, sf_dir):
     want = _canon(sp.streaming_corpus_ingest(load_table(spark, sf_dir, "documents")))
     assert got == want
     assert got, "quality floor must keep a non-empty slice"
+
+
+def test_stateful_funnel_converges_to_batch(spark, sf_dir):
+    """Funnel state machine over the twice-replayed input: the final
+    update per user must equal the batch events_funnel row exactly —
+    replays are absorbed by the min-update transitions (idempotent
+    state), so at-least-once delivery cannot corrupt funnel stages."""
+    from mapreduce_cs416_spark.plans.events import events_funnel
+
+    replay = sp.stream_events_replayed(spark, sf_dir, copies=2)
+    sp.run_available_now(
+        sp.streaming_funnel_stateful(replay), "t_funnel", output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch; the second
+    # batch is a pure replay so its update must equal the first's
+    # final state — distinct() collapses to one row per user iff the
+    # state machine is idempotent
+    got = spark.table("t_funnel").distinct()
+    want = events_funnel(spark, sf_dir)
+    assert _canon(got) == _canon(want)
