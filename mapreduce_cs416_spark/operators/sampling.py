@@ -18,7 +18,7 @@ split without touching the data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 256  # two hex chars
@@ -94,6 +94,62 @@ def deterministic_sample(
     on any other cluster."""
     cut = format(keep_buckets, "02x")
     return df.where(hash_bucket(F.col(key), salt) < F.lit(cut))
+
+
+def source_cap(
+    df: DataFrame,
+    key: str = "doc_id",
+    stratum: str = "source",
+    cap: int = 50,
+    headroom: int = 2,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Per-stratum quota capping: keep at most ``cap`` rows per
+    stratum — the RefinedWeb/CCNet-style "no domain dominates the
+    corpus" guard. Kept rows are the ``cap`` smallest by
+    md5(salt || key) within their stratum (ties → key), so the
+    selection is a pure function of the data: reproducible across
+    runs, engines, and partition layouts. Returns (key, stratum, rn).
+
+    Two-phase shape for 100 TB: a naive single window
+    ``row_number() OVER (PARTITION BY stratum)`` shuffles the ENTIRE
+    corpus by stratum, and a dominant stratum (half the web is a
+    handful of domains) lands on one task. Instead:
+
+    1. one tiny groupBy(stratum) count (map-side combined), broadcast;
+    2. a row-local hash-bucket pre-filter keeps ≈ cap·headroom/n of
+       each oversized stratum — survivors shrink from n_s to
+       ~cap·headroom per stratum BEFORE any shuffle-by-stratum;
+    3. the exact rank runs on survivors only, so the skewed window
+       sees O(cap·headroom) rows per stratum, never n_s.
+
+    The pre-filter cut is exact integer math (ceil via DIV), and the
+    whole two-phase selection — including which rows phase 2 drops —
+    is mirrored verbatim in the DuckDB oracle, so the driver check is
+    hash-exact. Phase 2 can only disagree with the single-window
+    semantics if fewer than ``cap`` of a stratum's rows fall under the
+    cut (P < 1e-9 at headroom 2 via Chernoff for cap ≥ 50);
+    tests/test_sampling.py asserts the fixture agreement with the
+    one-phase form.
+    """
+    counts = df.groupBy(stratum).agg(F.count("*").alias("n"))
+    cut = F.expr(f"CAST(({N_BUCKETS} * {cap} * {headroom} + n - 1) DIV n AS INT)")
+    cuts = counts.select(stratum, F.least(cut, F.lit(N_BUCKETS)).alias("cut"))
+    cut_hex = F.when(F.col("cut") >= N_BUCKETS, F.lit("zz")).otherwise(
+        F.lpad(F.lower(F.hex(F.col("cut"))), 2, "0")
+    )
+    bucket = hash_bucket(F.col(key), salt)
+    survivors = (
+        df.select(key, stratum)
+        .join(F.broadcast(cuts), stratum)
+        .where(bucket < cut_hex)
+    )
+    w = Window.partitionBy(stratum).orderBy(bucket, key)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select(key, stratum, "rn")
+    )
 
 
 def quality_weighted_sample(

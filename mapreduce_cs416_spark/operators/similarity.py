@@ -38,8 +38,14 @@ def _prepared(emb: DataFrame) -> DataFrame:
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Exact cosine top-k: queries = vec_id < n_queries (excluded from
-    their own result). Returns (q_id, neighbor_id, score, rn)."""
-    corpus = _prepared(emb)
+    their own result). Returns (q_id, neighbor_id, score, rn).
+
+    Zero-norm vectors are dropped from both sides: their cosine is
+    0/0 = NaN, and NaN sorts above every double under desc, so one
+    all-zero corpus vector would otherwise rank top-1 for every query
+    (ADVICE r4). The oracle twin applies the identical nrm > 0 filter.
+    """
+    corpus = _prepared(emb).where(F.col("nrm") > 0)
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -361,6 +367,63 @@ def cosine_near_dup_lsh(
     return pairs.where(F.col("cos") >= threshold).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("score")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.5,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop every
+    vector that has a smaller-id near-neighbor (cos >= threshold)
+    *within its cluster*. Returns the survivors (vec_id, cell),
+    i.e. one greedy min-id representative per near-duplicate chain.
+
+    This is THE scale path for embedding-level dedup: the clustering
+    turns the O(n²) all-pairs cosine into per-cell blocks — with k
+    balanced cells the pair work drops by ~k×, and cells shard freely
+    across executors. Plan shape: one row-local centroid-argmax scan
+    (broadcast literal centroids, no shuffle — identical to
+    ``ivf_topk``), one equi-join on cell for the intra-cell pairs, one
+    left-anti join to subtract the dominated ids. A giant cell (the
+    skew risk) is handled in practice by raising n_cells or
+    re-clustering that cell; fixture-scale cells here are hundreds of
+    rows.
+
+    "Has a smaller-id near-neighbor" (not transitive closure) is the
+    published SemDeDup policy; it is deterministic, engine-portable,
+    and — with the deterministic ``ivf_centroids`` — fully
+    SQL-expressible, so the registered query carries an exact DuckDB
+    oracle (``SEMANTIC_DEDUP_SQL``); pass ``fit_centroids(...)`` for
+    data-adapted cells at the cost of the oracle. Zero-norm vectors
+    have no cosine and are dropped up front (cf. brute_force_topk).
+    """
+    from .dedup import _spread
+
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
+    assigned = p.select(
+        "vec_id", "v", "nrm", (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell")
+    )
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    dominated = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dot / (F.col("na") * F.col("nb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dominated, "vec_id", "left_anti").select("vec_id", "cell")
 
 
 def lang_centroid_scores(

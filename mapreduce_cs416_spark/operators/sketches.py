@@ -1,5 +1,6 @@
-"""Mergeable cardinality sketches (Apache DataSketches HLL, built into
-Spark 4 as ``hll_sketch_agg``/``hll_union_agg``).
+"""Mergeable sketches: HLL cardinality (Apache DataSketches, built
+into Spark 4 as ``hll_sketch_agg``/``hll_union_agg``) and a count-min
+frequency sketch built from plain aggregations.
 
 The 100 TB use case: "distinct users per slice, and per rollup of
 slices" cannot be answered at scale by ``count_distinct`` because
@@ -12,15 +13,20 @@ without touching the raw data again. The reference's closest analog
 is the wc-style exact count (mrapps/wc.go:19-40) — it has no
 approximate or mergeable story at all.
 
-No DuckDB oracle on purpose: estimates depend on the DataSketches
-hash family, which DuckDB does not implement — the registered query
-is rows-only, and tests/test_sketches.py pins the real contracts
-(relative-error bound vs exact, lossless union == direct sketch).
+The HLL estimates depend on the DataSketches hash family, which DuckDB
+does not implement — that registered query is rows-only, and
+tests/test_sketches.py pins the real contracts (relative-error bound
+vs exact, lossless union == direct sketch).
+
+The count-min sketch below deliberately hashes with md5 (identical in
+Spark and DuckDB), so unlike most sketch implementations its estimates
+ARE engine-portable and the registered heavy-hitters query carries a
+full value-hash DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^12 registers ≈ 0.8 kB per sketch, ~1.6% relative standard error —
@@ -55,4 +61,109 @@ def distinct_user_rollup(events: DataFrame, lg_k: int = LG_K) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("reach_est"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+# depth d rows × width w counters: point estimate overestimates the true
+# frequency by at most 2N/w with probability ≥ 1 - 2^-d (N = stream
+# length). 4×512 ⇒ ε ≈ 0.4% of N at ~16 kB of state — constant
+# regardless of vocabulary size, which is the whole point.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_bucket(item: Column, row: Column | int, width: int = CMS_WIDTH) -> Column:
+    """Row-``row``'s counter index for ``item``: the first 8 hex chars
+    of md5(row || '|' || item) as an integer, mod width. md5 is
+    bit-identical in Spark and DuckDB, so the sketch (and every
+    estimate read from it) is engine-portable — see
+    ``plans/northstar.CMS_HEAVY_HITTERS_SQL`` for the oracle twin."""
+    r = F.lit(row) if isinstance(row, int) else row
+    h = F.substring(F.md5(F.concat_ws("|", r.cast("string"), item)), 1, 8)
+    return (F.conv(h, 16, 10).cast("long") % width).alias("bucket")
+
+
+def cms_build(
+    items: DataFrame,
+    col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch from an item stream: (r, bucket, cnt), at most
+    depth×width rows.
+
+    One shuffle over ≤ depth·width groups with map-side combine: every
+    task's partial-aggregation state is bounded by the sketch size, not
+    by the number of distinct items — the memory contract that lets
+    this run over a 100 TB token stream where an exact groupBy(token)
+    would shuffle and hold the full vocabulary. Sketches of disjoint
+    shards merge by summing counters (plain ``+`` per (r, bucket) —
+    asserted lossless in tests/test_sketches.py), so per-day or
+    per-source sketches roll up without rescanning."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    return (
+        items.select(F.col(col).alias("item"), rows)
+        .select("r", cms_bucket(F.col("item"), F.col("r"), width))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every candidate item: (item, est)
+    where est = min over the d rows of the hashed counter —
+    ``est >= true_count`` always (counters only ever over-count).
+
+    The sketch is at most depth×width rows → broadcast; estimating any
+    candidate set is then a map-side join, never a shuffle of the
+    corpus the sketch was built from."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    probes = candidates.select(F.col(col).alias("item"), rows).select(
+        "item", "r", cms_bucket(F.col("item"), F.col("r"), width)
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    col: str = "token",
+    k: int = 15,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-k most frequent items by count-min estimate:
+    (token, est, rn), rank ties broken by token.
+
+    vs the exact ``textstats.top_ngrams`` path: exact top-k shuffles
+    and holds O(vocabulary) count state; this holds O(depth·width)
+    whatever the vocabulary. The candidate set probed here is the
+    distinct items (fine when the vocabulary fits a shuffle — it's the
+    estimates, not the candidate walk, that the sketch makes cheap);
+    at true stream scale the candidate set would instead be a sampled
+    or per-partition-top-m superset, with the same probe join."""
+    sketch = cms_build(tokens, col, depth, width)
+    est = cms_estimate(sketch, tokens.select(col).distinct(), col, depth, width)
+    # sort+limit compiles to TakeOrderedAndProject (per-partition top-k
+    # then a k-row merge on the driver) — the candidate table is never
+    # globally sorted through one task; the row_number window then runs
+    # over k rows only.
+    top = est.orderBy(F.desc("est"), "item").limit(k)
+    w = Window.orderBy(F.desc("est"), "item")
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .select(F.col("item").alias(col), "est", "rn")
     )

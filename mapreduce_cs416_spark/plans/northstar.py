@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, sampling, similarity, sketches, textstats
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -139,6 +139,8 @@ WITH e AS (
     SELECT vec_id, v,
            sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
     FROM e
+    -- zero-norm guard, mirroring brute_force_topk (ADVICE r4)
+    WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0
 ), scored AS (
     SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
            list_reduce(list_prepend(0.0, [c.v[i] * q.v[i] FOR i IN range(1, len(c.v) + 1)]),
@@ -1033,6 +1035,146 @@ WHERE substring(md5('mix-v1' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
       < CASE WHEN c.cut >= 256 THEN 'zz' ELSE lpad(lower(hex(c.cut)), 2, '0') END
 """
 
+# --------------------------------------------------------- round-5 additions
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import words_col
+
+    toks = _docs(spark, sf_dir).select(F.explode(words_col("text")).alias("token"))
+    return sketches.cms_heavy_hitters(toks, k=15)
+
+
+def _cms_sql(depth: int = 4, width: int = 512, k: int = 15) -> str:
+    """DuckDB twin of cms_heavy_hitters: same md5 bucket hash (first 8
+    hex chars as an int, mod width), so the sketch counters — and
+    therefore every min-over-rows estimate — are bit-equal."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+    bucket = (
+        "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 8) AS BIGINT) % "
+        f"{width}"
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_WORDS}) AS item FROM documents),
+probes AS (SELECT item, r FROM toks CROSS JOIN (VALUES {rows}) d(r)),
+sketch AS (
+    SELECT r, {bucket} AS bucket, count(*) AS cnt
+    FROM probes GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT item FROM toks),
+cp AS (SELECT item, r, {bucket} AS bucket
+       FROM cand CROSS JOIN (VALUES {rows}) d(r)),
+est AS (
+    SELECT cp.item, min(coalesce(s.cnt, 0)) AS est
+    FROM cp LEFT JOIN sketch s ON s.r = cp.r AND s.bucket = cp.bucket
+    GROUP BY cp.item
+),
+ranked AS (SELECT item, est, row_number() OVER (ORDER BY est DESC, item) AS rn FROM est)
+SELECT item AS token, est, rn FROM ranked WHERE rn <= {k}
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.source_cap(_docs(spark, sf_dir), cap=10)
+
+
+def _source_cap_sql(cap: int = 10, headroom: int = 2, salt: str = "cap-v1") -> str:
+    """DuckDB twin of sampling.source_cap — both phases mirrored (the
+    broadcast count/cut table AND the pre-filter), so the comparison is
+    exact even in the measure-zero case where the pre-filter undershoots
+    the cap."""
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+cuts AS (
+    SELECT source, LEAST(CAST((256 * {cap} * {headroom} + n - 1) // n AS INT), 256) AS cut
+    FROM counts
+),
+b AS (
+    SELECT d.doc_id, d.source,
+           substring(md5('{salt}' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 2) AS bkt,
+           c.cut
+    FROM documents d JOIN cuts c USING (source)
+),
+surv AS (
+    SELECT doc_id, source, bkt FROM b
+    WHERE bkt < CASE WHEN cut >= 256 THEN 'zz' ELSE lpad(lower(hex(cut)), 2, '0') END
+),
+ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn
+    FROM surv
+)
+SELECT doc_id, source, rn FROM ranked WHERE rn <= {cap}
+"""
+
+
+CORPUS_SOURCE_CAP_SQL = _source_cap_sql()
+
+
+# The registered threshold sits inside the fixture's observed cosine
+# distribution (pair max ~0.51 — see _COSINE_NEAR_DUP_THRESHOLD) so the
+# dedup predicate is non-vacuous: 8 cells / 0.35 removes 61 of 500
+# vectors at sf0.001 and 70 at sf0.01, and the oracle verifies the cell
+# assignment AND the dominated-set subtraction value-exactly.
+_SEMDEDUP_CELLS = 8
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), n_cells=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+def _semantic_dedup_sql(
+    n_cells: int = _SEMDEDUP_CELLS,
+    threshold: float = _SEMDEDUP_THRESHOLD,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup, generated from the
+    same deterministic centroids (cf. _ivf_sql — identical assignment
+    tie-break: argmax dot, lowest cell id)."""
+    cents = similarity.ivf_centroids(n_cells, dim)
+    values = ",\n    ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])" for j, c in enumerate(cents)
+    )
+
+    def dot(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, [{v}[i] * {c}[i] FOR i IN range(1, len({v}) + 1)]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+      FROM e
+      WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0),
+cents(j, c) AS (VALUES
+    {values}),
+cd AS (SELECT n.vec_id, n.v, n.nrm, cents.j, {dot('n.v', 'cents.c')} AS d
+       FROM n CROSS JOIN cents),
+cell AS (SELECT vec_id, v, nrm, j AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, j) AS rnk
+               FROM cd)
+         WHERE rnk = 1),
+dominated AS (
+    SELECT DISTINCT b.vec_id
+    FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {threshold}
+)
+SELECT c.vec_id, c.cell FROM cell c
+WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.vec_id = c.vec_id)
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -1084,6 +1226,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_top_ngrams", text_top_ngrams, TEXT_TOP_NGRAMS_SQL, textstats.top_ngrams.__doc__, tags=("northstar", "text", "topk")),
         QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL, textstats.bigram_lm_scores.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("part_fuzzy_pairs", part_fuzzy_pairs, PART_FUZZY_PAIRS_SQL, dedup.edit_distance_pairs.__doc__, tags=("northstar", "dedup", "fuzzy", "join")),
+        QuerySpec("sketch_heavy_hitters", sketch_heavy_hitters, CMS_HEAVY_HITTERS_SQL, sketches.cms_heavy_hitters.__doc__, tags=("northstar", "sketch", "approx", "topk")),
+        QuerySpec("corpus_source_cap", corpus_source_cap, CORPUS_SOURCE_CAP_SQL, sampling.source_cap.__doc__, tags=("northstar", "sampling", "pipeline")),
+        QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, tags=("northstar", "dedup", "similarity", "pipeline")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),

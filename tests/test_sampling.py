@@ -99,3 +99,58 @@ def test_quality_weighted_sample_scales_rates_with_mean_quality(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+# --------------------------------------------------------------- source_cap
+
+
+def test_source_cap_agrees_with_single_window(spark):
+    """The two-phase plan (broadcast cuts -> hash pre-filter -> rank on
+    survivors) must select exactly the rows the naive one-phase
+    row_number() OVER (PARTITION BY stratum ORDER BY md5, key) would —
+    the pre-filter only sheds rows that cannot be in the top-cap."""
+    from pyspark.sql import Window
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+    two_phase = {
+        (r["doc_id"], r["rn"])
+        for r in sampling.source_cap(docs, cap=25).collect()
+    }
+    bucket = sampling.hash_bucket(F.col("doc_id"), "cap-v1")
+    w = Window.partitionBy("source").orderBy(bucket, "doc_id")
+    one_phase = {
+        (r["doc_id"], r["rn"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .collect()
+    }
+    assert two_phase == one_phase and len(two_phase) == 7 * 25
+
+
+def test_source_cap_respects_cap_and_small_strata(spark):
+    """Strata at/below the cap are kept whole (cut saturates at 256 ->
+    'zz' keeps every bucket); oversized strata return exactly cap."""
+    docs = spark.range(0, 460).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, "big").otherwise("small").alias("source"),
+    )
+    out = sampling.source_cap(docs, cap=100)
+    sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 100, "small": 60}
+
+
+def test_source_cap_is_partition_invariant(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("source"),
+    )
+    base = sorted((r["doc_id"], r["rn"]) for r in sampling.source_cap(docs, cap=40).collect())
+    for n_parts in (1, 13, 64):
+        again = sorted(
+            (r["doc_id"], r["rn"])
+            for r in sampling.source_cap(docs.repartition(n_parts), cap=40).collect()
+        )
+        assert again == base

@@ -236,3 +236,47 @@ def test_lang_centroid_scores_prefers_own_centroid(spark):
     out = similarity.lang_centroid_scores(docs, emb, dim=dim).collect()
     assert all(r["centroid_cos"] > 0.95 for r in out)
     assert {r["lang_n"] for r in out} == {n // 2}
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_removes_exact_duplicates(spark):
+    """An exact copy of a vector shares its cell and has cos = 1, so
+    the higher-id copy must always be dropped regardless of threshold."""
+    import pyspark.sql.functions as F
+
+    dim = 8
+    base = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> cast(sin(id * 7 + j) as float))"
+        ).alias("embedding"),
+    )
+    dups = base.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    out = similarity.semantic_dedup(base.unionByName(dups), n_cells=4, threshold=0.99, dim=dim)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert not kept & set(range(100, 110)), kept & set(range(100, 110))
+    assert set(range(10)) <= kept
+
+
+def test_semantic_dedup_partition_invariant_and_partitions_input(spark, sf_dir):
+    """Survivors are a pure function of the data (deterministic
+    centroids, min-id policy); survivors + dominated = all non-zero
+    vectors."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the registered parameters (plans/northstar._SEMDEDUP_*): the
+    # fixture's pair cosines top out ~0.51, so the 0.5 function default
+    # is vacuous here while 8 cells / 0.35 drops ~12% of vectors
+    kw = dict(n_cells=8, threshold=0.35)
+    base = sorted(r["vec_id"] for r in similarity.semantic_dedup(emb, **kw).collect())
+    again = sorted(
+        r["vec_id"] for r in similarity.semantic_dedup(emb.repartition(17), **kw).collect()
+    )
+    assert base == again
+    assert 0 < len(base) < emb.count()  # non-vacuous: some rows dropped
