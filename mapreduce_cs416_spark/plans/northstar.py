@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, sketches, textstats
+from ..operators import dedup, multimodal, sampling, similarity, sketches, textstats, vocab
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -1175,6 +1175,40 @@ WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.vec_id = c.vec_id)
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+# Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
+# hits so the reserved-id path is exercised, not just compiled.
+_VOCAB_SIZE = 25
+
+
+def corpus_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab.vocab_encode(_docs(spark, sf_dir), size=_VOCAB_SIZE)
+
+
+CORPUS_VOCAB_ENCODE_SQL = f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+occ AS (
+    SELECT doc_id,
+           unnest(range(1, len(ws) + 1)) AS pos,
+           unnest(list_transform(range(1, len(ws) + 1), i -> ws[i])) AS tok
+    FROM w
+),
+counts AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+vocab AS (
+    SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS id
+    FROM counts ORDER BY c DESC, tok LIMIT {_VOCAB_SIZE}
+),
+enc AS (
+    SELECT occ.doc_id, occ.pos, coalesce(v.id, 0) AS id
+    FROM occ LEFT JOIN vocab v ON occ.tok = v.tok
+)
+SELECT doc_id,
+       list(id ORDER BY pos) AS ids,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov
+FROM enc GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -1226,9 +1260,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_top_ngrams", text_top_ngrams, TEXT_TOP_NGRAMS_SQL, textstats.top_ngrams.__doc__, tags=("northstar", "text", "topk")),
         QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL, textstats.bigram_lm_scores.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("part_fuzzy_pairs", part_fuzzy_pairs, PART_FUZZY_PAIRS_SQL, dedup.edit_distance_pairs.__doc__, tags=("northstar", "dedup", "fuzzy", "join")),
-        QuerySpec("sketch_heavy_hitters", sketch_heavy_hitters, CMS_HEAVY_HITTERS_SQL, sketches.cms_heavy_hitters.__doc__, tags=("northstar", "sketch", "approx", "topk")),
+        QuerySpec("sketch_heavy_hitters", sketch_heavy_hitters, CMS_HEAVY_HITTERS_SQL, sketches.cms_heavy_hitters.__doc__, headline=True, tags=("northstar", "sketch", "approx", "topk")),
         QuerySpec("corpus_source_cap", corpus_source_cap, CORPUS_SOURCE_CAP_SQL, sampling.source_cap.__doc__, tags=("northstar", "sampling", "pipeline")),
-        QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, tags=("northstar", "dedup", "similarity", "pipeline")),
+        QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, headline=True, tags=("northstar", "dedup", "similarity", "pipeline")),
+        QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
