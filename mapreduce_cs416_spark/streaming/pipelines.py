@@ -327,6 +327,26 @@ def streaming_corpus_ingest(docs: DataFrame, min_quality: float = 0.46) -> DataF
     )
 
 
+def streaming_cms_sketch(docs: DataFrame) -> DataFrame:
+    """Incremental count-min sketch maintenance: each arriving
+    document's tokens update the (r, bucket) counter table — a plain
+    streaming aggregation (complete mode) whose state is the sketch
+    itself, ≤ depth×width rows FOREVER regardless of stream length or
+    vocabulary growth. That bounded-state property is exactly why a
+    sketch (and not an exact groupBy(token), whose state is the
+    unbounded vocabulary) is the right frequency monitor on an
+    infinite ingest stream; any moment's sketch answers heavy-hitter /
+    point-frequency queries via ``sketches.cms_estimate`` without
+    rescanning history. The IDENTICAL function body runs on the batch
+    table — tests/test_streaming.py asserts stream == batch counter
+    for counter via availableNow."""
+    from ..functions.text import words_col
+    from ..operators import sketches
+
+    toks = docs.select(F.explode(words_col("text")).alias("token"))
+    return sketches.cms_build(toks)
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the stream's current input in one run (availableNow) into
     an in-memory table `name`; returns after the query stops. The unit

@@ -122,6 +122,25 @@ def test_streaming_corpus_ingest_matches_batch(spark, sf_dir):
     assert got, "quality floor must keep a non-empty slice"
 
 
+def test_streaming_cms_sketch_matches_batch(spark, sf_dir):
+    """The incrementally maintained count-min sketch must equal the
+    batch-built sketch counter-for-counter once the stream drains —
+    sketch updates are a plain streaming aggregation with bounded
+    (depth x width) state."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    stream = sp.stream_documents(spark, sf_dir)
+    assert stream.isStreaming
+    sp.run_available_now(sp.streaming_cms_sketch(stream), "t_cms")
+    got = _canon(spark.table("t_cms"))
+    want = _canon(sp.streaming_cms_sketch(load_table(spark, sf_dir, "documents")))
+    assert got == want and got
+    # bounded-state contract: never more rows than depth x width
+    from mapreduce_cs416_spark.operators import sketches
+
+    assert len(got) <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
 def test_stateful_funnel_converges_to_batch(spark, sf_dir):
     """Funnel state machine over the twice-replayed input: the final
     update per user must equal the batch events_funnel row exactly —
