@@ -207,3 +207,63 @@ def pagerank(
     for df in (e, nodes, deg):
         _unpersist_checkpoint(df)
     return ranks.select(F.col("u").alias("node"), "rank")
+
+
+def triangle_counts(pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list: (node, n_triangles) for every node in >= 1 triangle. The
+    local-clustering signal of the near-dup graph — a node closing
+    many triangles sits in a dense duplicate clique, one closing none
+    is a chain artifact worth human review.
+
+    Degree-oriented wedge join (Suri & Vassilvitskii, WWW'11 — "the
+    curse of the last reducer"): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only at each edge's SMALLER endpoint, then confirm the closing
+    edge with a join. Orienting by degree bounds any node's
+    out-degree at O(sqrt(|E|)), so a celebrity node of degree d
+    generates O(|E|) wedges total instead of the d^2 a naive
+    neighbor join produces — the difference between a skew-immune
+    plan and one task holding the whole star at 100 TB. All three
+    legs are equi-joins on node ids (shuffle or broadcast by size);
+    nothing collects a neighborhood.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): lo -> hi
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.struct("db", "b")).otherwise(F.struct(F.col("da").alias("db"), F.col("a").alias("b"))).alias("hi"),
+    ).select("lo", F.col("hi.b").alias("hi"), F.col("hi.db").alias("dhi"))
+    # wedges at the common lower endpoint; (x, y) canonically ordered
+    # by (degree, id) so each candidate triangle edge is probed once
+    w1 = o.select(F.col("lo"), F.col("hi").alias("x"), F.col("dhi").alias("dx"))
+    w2 = o.select(F.col("lo"), F.col("hi").alias("y"), F.col("dhi").alias("dy"))
+    wedge = w1.join(w2, "lo").where(
+        (F.col("dx") < F.col("dy")) | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = wedge.join(closing, ["x", "y"]).select("lo", "x", "y")
+    member = (
+        tri.select(F.col("lo").alias("node"))
+        .union(tri.select(F.col("x").alias("node")))
+        .union(tri.select(F.col("y").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count("*").cast("int").alias("n_triangles"))

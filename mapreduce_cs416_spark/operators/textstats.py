@@ -437,3 +437,75 @@ def fingerprint(docs: DataFrame) -> DataFrame:
             f"0L, (acc, c) -> (acc * 31 + c) % {FINGERPRINT_MOD}L)"
         ).alias("fingerprint"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Walker-Jones, the classic
+    probabilistic ranking function): score every document against a
+    bag of query terms, return the top_k by score
+    (doc_id, score, rn). The reference's inverted index
+    (mrapps/indexer.go) stops at posting lists; this is the ranking
+    layer a corpus-search or decontamination-triage pipeline puts on
+    top.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  [the "plus-one" form,
+    always positive].
+
+    Shuffle accounting at scale: the term filter hits the exploded
+    token stream BEFORE the tf groupBy, so the heavy aggregation runs
+    on query-term occurrences only (|terms| tiny), not the vocabulary;
+    document length comes from a projection-only pass (no shuffle);
+    N/avgdl are one broadcast scalar row and df one broadcast
+    |terms|-row aggregate. Final top-k is sort+limit =
+    TakeOrderedAndProject. Float discipline: each per-(doc, term)
+    contribution is rounded to 6 dp, then decimal_sum makes the
+    per-doc total independent of addition order — and bit-equal in
+    the DuckDB oracle; ranking uses the rounded score (cf.
+    tfidf_top_terms).
+    """
+    from ..functions.numeric import decimal_sum
+    from ..operators.dedup import _spread
+
+    term_lits = [F.lit(t) for t in terms]
+    tok = _spread(docs).select("doc_id", F.explode(_words()).alias("term"))
+    tf = (
+        tok.where(F.col("term").isin(*term_lits))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(_words()).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).alias("part"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(decimal_sum(F.col("part")), 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rn", F.row_number().over(w)).select("doc_id", "score", "rn")

@@ -1175,6 +1175,101 @@ WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.vec_id = c.vec_id)
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+_BM25_TERMS = ("spark", "window", "join")  # all present in the fixture vocabulary
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bm25_search(_docs(spark, sf_dir), list(_BM25_TERMS))
+
+
+def _bm25_sql(terms=_BM25_TERMS, k1: float = 1.2, b: float = 0.75, top_k: int = 10) -> str:
+    """DuckDB twin of textstats.bm25_search: identical expression tree
+    and float literals (k1+1 rendered from the same Python double), so
+    the 6-dp-rounded contributions and their decimal sum are
+    bit-equal."""
+    from ..functions.numeric import sql_decimal_sum
+
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+    SELECT tf.doc_id,
+           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * {k1 + 1}) / (tf + {k1} * ({1 - b} + ({b} * dl) / avgdl)),
+                 6) AS part
+    FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+),
+scored AS (SELECT doc_id, round({sql_decimal_sum('part')}, 6) AS score
+           FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+           FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {top_k}
+"""
+
+
+TEXT_BM25_SQL = _bm25_sql()
+
+
+# same-threshold triangle analysis of the near-dup graph; 0.35 sits in
+# the fixture's cosine mass (3 triangles at sf0.001, 4 at sf0.01) so
+# the wedge-close path is exercised non-vacuously.
+_TRIANGLE_THRESHOLD = 0.35
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts of the cosine near-dup graph via the
+    degree-oriented wedge join (operators/graph.triangle_counts) —
+    dense-clique detection over the dedup candidate pairs."""
+    from ..operators import graph
+
+    pairs = similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), _TRIANGLE_THRESHOLD)
+    return graph.triangle_counts(pairs)
+
+
+def _triangles_sql(threshold: float = _TRIANGLE_THRESHOLD) -> str:
+    """DuckDB twin of graph.triangle_counts over the cosine near-dup
+    pairs — mirrors the degree orientation and wedge canonicalization
+    exactly (UNION ALL everywhere, same (degree, id) tie-breaks)."""
+    dot = (
+        "list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY node),
+o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b) THEN e0.a ELSE e0.b END AS lo,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b) THEN e0.b ELSE e0.a END AS hi,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b) THEN db.d ELSE da.d END AS dhi
+      FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+wedge AS (SELECT w1.lo, w1.hi AS x, w2.hi AS y
+          FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+          WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
+tri AS (SELECT wedge.lo, wedge.x, wedge.y
+        FROM wedge JOIN o ON o.lo = wedge.x AND o.hi = wedge.y),
+member AS (SELECT lo AS node FROM tri
+           UNION ALL SELECT x FROM tri
+           UNION ALL SELECT y FROM tri)
+SELECT node, CAST(count(*) AS INT) AS n_triangles FROM member GROUP BY node
+"""
+
+
+GRAPH_TRIANGLES_SQL = _triangles_sql()
+
+
 # Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
 # hits so the reserved-id path is exercised, not just compiled.
 _VOCAB_SIZE = 25
@@ -1266,6 +1361,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("part_fuzzy_pairs", part_fuzzy_pairs, PART_FUZZY_PAIRS_SQL, dedup.edit_distance_pairs.__doc__, tags=("northstar", "dedup", "fuzzy", "join")),
         QuerySpec("corpus_source_cap", corpus_source_cap, CORPUS_SOURCE_CAP_SQL, sampling.source_cap.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, tags=("northstar", "text", "pipeline")),
+        QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, tags=("northstar", "text", "topk")),
+        QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, tags=("northstar", "graph", "dedup")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py

@@ -187,3 +187,33 @@ def test_pagerank_chain_orders_ranks(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=15).collect()}
     assert got[3] > got[2] > got[1]
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """4-clique on {0,1,2,3} (4 triangles, each node in 3) plus a
+    path 10-11-12 (0 triangles) plus a star at 20 (0 triangles)."""
+    from mapreduce_cs416_spark.operators.graph import triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(10, 11), (11, 12)]
+    star = [(20, x) for x in (21, 22, 23, 24)]
+    pairs = spark.createDataFrame(clique + path + star, ["vec_a", "vec_b"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Edge orientation and duplicate edges must not change counts
+    (the operator canonicalizes via least/greatest + distinct)."""
+    from mapreduce_cs416_spark.operators.graph import triangle_counts
+
+    fwd = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["vec_a", "vec_b"])
+    rev = spark.createDataFrame(
+        [(1, 0), (2, 1), (2, 0), (0, 1), (0, 2)], ["vec_a", "vec_b"]
+    )
+    a = sorted((r["node"], r["n_triangles"]) for r in triangle_counts(fwd).collect())
+    b = sorted((r["node"], r["n_triangles"]) for r in triangle_counts(rev).collect())
+    assert a == b == [(0, 1), (1, 1), (2, 1)]

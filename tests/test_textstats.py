@@ -143,3 +143,40 @@ def test_benchmark_overlap_counts_shared_shingles(spark):
     assert set(out) == {0}
     assert out[0]["n_common_shingles"] == 2
     assert out[0]["overlap_ratio"] == round(2 / 3, 6)
+
+
+# ----------------------------------------------------------------- BM25
+
+
+def test_bm25_ranks_term_density(spark):
+    """With equal document lengths, more query-term occurrences must
+    score strictly higher; documents with zero query terms are absent."""
+    from mapreduce_cs416_spark.operators.textstats import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cat cat cat dog dog dog"),
+            (1, "cat dog dog dog dog dog"),
+            (2, "fish fish fish fish fish fish"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["score"], r["rn"]) for r in bm25_search(docs, ["cat"]).collect()}
+    assert set(out) == {0, 1}
+    assert out[0][0] > out[1][0] and out[0][1] == 1
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer document => lower score (the b·dl/avgdl
+    denominator term)."""
+    from mapreduce_cs416_spark.operators.textstats import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cat dog"),
+            (1, "cat dog dog dog dog dog dog dog dog dog dog dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_search(docs, ["cat"]).collect()}
+    assert out[0] > out[1]
