@@ -461,10 +461,14 @@ def bm25_search(
 
     Shuffle accounting at scale: the term filter hits the exploded
     token stream BEFORE the tf groupBy, so the heavy aggregation runs
-    on query-term occurrences only (|terms| tiny), not the vocabulary;
-    document length comes from a projection-only pass (no shuffle);
-    N/avgdl are one broadcast scalar row and df one broadcast
-    |terms|-row aggregate. Final top-k is sort+limit =
+    on query-term occurrences only (|terms| tiny), not the vocabulary.
+    Document length rides ALONG with the filtered occurrences
+    (computed in the same scan, carried through the groupBy as
+    first(dl)) instead of being joined from a corpus-wide (doc_id, dl)
+    table — that join would shuffle the entire corpus to serve a
+    result that only touches matching documents. N/avgdl are one
+    broadcast scalar row (partial-aggregated, no wide shuffle) and df
+    one broadcast |terms|-row aggregate. Final top-k is sort+limit =
     TakeOrderedAndProject. Float discipline: each per-(doc, term)
     contribution is rounded to 6 dp, then decimal_sum makes the
     per-doc total independent of addition order — and bit-equal in
@@ -475,20 +479,21 @@ def bm25_search(
     from ..operators.dedup import _spread
 
     term_lits = [F.lit(t) for t in terms]
-    tok = _spread(docs).select("doc_id", F.explode(_words()).alias("term"))
+    w = _spread(docs).select("doc_id", _words().alias("ws"))
+    tok = w.select(
+        "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
+    )
     tf = (
         tok.where(F.col("term").isin(*term_lits))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
-    dl = docs.select("doc_id", F.size(_words()).alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = w.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("ws")).alias("avgdl")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
