@@ -152,6 +152,54 @@ def source_cap(
     )
 
 
+# 16^13 = 2^52: 13 md5 hex chars parse to an integer that a double
+# represents EXACTLY, so u and every downstream value are bit-equal in
+# any IEEE-754 engine.
+_U_DENOM = float(16**13 + 1)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int = 50,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each row draws u ~ U(0,1] from md5(salt || key) and
+    gets priority u^(1/w); the k largest priorities are a weighted
+    sample without replacement. Returns (key, weight, pr, rn).
+
+    The A-ES scheme is reservoir-style ON PURPOSE: priorities are
+    row-local, so the top-k is one TakeOrdered pass — no per-stratum
+    counts, no second scan, no RNG state. Hash-derived u makes the
+    "random" draw a pure function of (salt, key): the sample is
+    reproducible across runs, engines, partitionings, and cluster
+    sizes, and re-running with a new salt draws an independent sample.
+
+    Ranking uses ln(u)/w (monotone in u^(1/w) for u in (0,1], w > 0)
+    rounded to 9 dp with a key tiebreak, so cross-engine ulp noise in
+    ``ln`` cannot reorder the selection — the DuckDB twin is
+    hash-exact. Zero/negative weights are excluded (their priority is
+    undefined; A-ES requires w > 0). u is never 0: the 13-hex-char
+    integer is shifted by +1 into (0, 16^13] before normalizing.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string"))), 1, 13), 16, 10).cast("long")
+        + 1
+    ).cast("double") / F.lit(_U_DENOM)
+    pr = F.round(F.log(u) / F.col(weight), 9)
+    top = (
+        df.where(F.col(weight) > 0)
+        .select(key, weight, pr.alias("pr"))
+        .orderBy(F.desc("pr"), key)
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("pr"), key)
+    return top.withColumn("rn", F.row_number().over(w))
+
+
 def quality_weighted_sample(
     docs: DataFrame,
     quality: DataFrame,

@@ -1270,6 +1270,36 @@ SELECT node, CAST(count(*) AS INT) AS n_triangles FROM member GROUP BY node
 GRAPH_TRIANGLES_SQL = _triangles_sql()
 
 
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.weighted_priority_sample(
+        _docs(spark, sf_dir), key="doc_id", weight="n_chars", k=50
+    )
+
+
+def _weighted_sample_sql(k: int = 50, salt: str = "wsample-v1") -> str:
+    """DuckDB twin of sampling.weighted_priority_sample — same md5-
+    derived u (13 hex chars = 2^52, exactly double-representable),
+    same ln(u)/w ranking rounded to 9 dp."""
+    from ..operators.sampling import _U_DENOM
+
+    return f"""
+WITH s AS (
+    SELECT doc_id, n_chars,
+           (CAST('0x' || substr(md5('{salt}' || '|' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+               / {_U_DENOM!r} AS u
+    FROM documents WHERE n_chars > 0
+),
+p AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS pr FROM s),
+ranked AS (SELECT doc_id, n_chars, pr,
+                  row_number() OVER (ORDER BY pr DESC, doc_id) AS rn
+           FROM p)
+SELECT doc_id, n_chars, pr, rn FROM ranked WHERE rn <= {k}
+"""
+
+
+CORPUS_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 # Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
 # hits so the reserved-id path is exercised, not just compiled.
 _VOCAB_SIZE = 25
@@ -1363,6 +1393,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, tags=("northstar", "text", "topk")),
         QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, tags=("northstar", "graph", "dedup")),
+        QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py

@@ -154,3 +154,64 @@ def test_source_cap_is_partition_invariant(spark):
             for r in sampling.source_cap(docs.repartition(n_parts), cap=40).collect()
         )
         assert again == base
+
+
+# ------------------------------------------------- weighted priority sample
+
+
+def test_weighted_sample_partition_invariant(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 + 1).alias("wt")
+    )
+    base = [
+        (r["doc_id"], r["rn"])
+        for r in sampling.weighted_priority_sample(docs, "doc_id", "wt", k=60).collect()
+    ]
+    again = [
+        (r["doc_id"], r["rn"])
+        for r in sampling.weighted_priority_sample(
+            docs.repartition(19), "doc_id", "wt", k=60
+        ).collect()
+    ]
+    assert base == again and len(base) == 60
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A-ES inclusion probability rises with weight: rows weighted
+    1000x more than the rest must dominate a small sample (each heavy
+    row's priority ln(u)/w sits ~1000x closer to 0)."""
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20, 10_000).otherwise(10).alias("wt"),
+    )
+    got = {
+        r["doc_id"]
+        for r in sampling.weighted_priority_sample(docs, "doc_id", "wt", k=20).collect()
+    }
+    heavy = got & set(range(20))
+    assert len(heavy) >= 15, f"only {len(heavy)} of 20 heavy rows selected"
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 0).otherwise(5).alias("wt"),
+    )
+    got = {
+        r["doc_id"]
+        for r in sampling.weighted_priority_sample(docs, "doc_id", "wt", k=100).collect()
+    }
+    assert got == {i for i in range(100) if i % 2 == 1}
+
+
+def test_weighted_sample_salt_draws_independent_sample(spark):
+    docs = spark.range(0, 5000).select(F.col("id").alias("doc_id"), F.lit(1).alias("wt"))
+    a = {
+        r["doc_id"]
+        for r in sampling.weighted_priority_sample(docs, "doc_id", "wt", k=100, salt="s1").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in sampling.weighted_priority_sample(docs, "doc_id", "wt", k=100, salt="s2").collect()
+    }
+    assert a != b and 0 < len(a & b) < 100
