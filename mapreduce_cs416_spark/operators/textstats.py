@@ -127,15 +127,18 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_profile(docs: DataFrame) -> DataFrame:
+def doc_profile(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """All four per-document analyses (lang_id, quality_score,
     token_stats, fingerprint) in ONE projection-only pass — a single
     corpus scan, zero joins, zero shuffles (plan-guarded in
-    tests/test_plans.py). Column expressions are the granular
-    operators' own, so values and types are identical to joining
-    their outputs on doc_id — which is exactly what the DuckDB oracle
-    still does. At 100 TB this is the difference between one scan and
-    four scans plus three doc_id shuffles.
+    tests/test_plans.py). ``keep`` passes extra input columns through
+    untouched (e.g. ``source`` for the per-source data card) so
+    downstream aggregations need no corpus-wide doc_id join back.
+    Column expressions are the granular operators' own, so values and
+    types are identical to joining their outputs on doc_id — which is
+    exactly what the DuckDB oracle still does. At 100 TB this is the
+    difference between one scan and four scans plus three doc_id
+    shuffles.
 
     The tokenization (`ws`) is referenced by many output columns;
     Spark's per-project subexpression elimination evaluates it once
@@ -145,6 +148,7 @@ def doc_profile(docs: DataFrame) -> DataFrame:
     langs = list(LANG_MARKERS)
     base = docs.select(
         "doc_id",
+        *keep,
         F.length("text").alias("n_chars_text"),
         F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")).alias("n_punct"),
         F.size(
@@ -160,6 +164,7 @@ def doc_profile(docs: DataFrame) -> DataFrame:
     )
     counted = base.select(
         "doc_id",
+        *keep,
         "n_chars_text",
         "n_punct",
         "n_ws_tokens",
@@ -194,6 +199,7 @@ def doc_profile(docs: DataFrame) -> DataFrame:
     quality = F.round(composite * 1000000.0, 0) / 1000000.0
     return counted.select(
         "doc_id",
+        *keep,
         pred.alias("pred_lang"),
         score.alias("score"),
         "n_chars_text",

@@ -1300,6 +1300,46 @@ SELECT doc_id, n_chars, pr, rn FROM ranked WHERE rn <= {k}
 CORPUS_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus release summary ("data card"): document and
+    token volumes, mean quality, unique-fingerprint count (exact-dup
+    proxy), and language spread — ONE profile scan (doc_profile with
+    ``keep=("source",)``, so no corpus-wide doc_id join) plus one
+    groupBy(source) with map-side partials. The mean uses decimal_sum
+    so it is addition-order-independent and hash-oracle-able."""
+    from ..functions.numeric import decimal_sum
+
+    prof = textstats.doc_profile(_docs(spark, sf_dir), keep=("source",))
+    return (
+        prof.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(decimal_sum(F.col("quality")) / F.count("*"), 6).alias("mean_quality"),
+            F.count_distinct("fingerprint").alias("n_unique_fingerprints"),
+            F.count_distinct("pred_lang").cast("int").alias("n_langs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DATA_CARD_SQL = f"""
+WITH prof AS ({TEXT_DOC_PROFILE_SQL}),
+j AS (SELECT d.source, p.* FROM documents d JOIN prof p USING (doc_id))
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+       count(DISTINCT fingerprint) AS n_unique_fingerprints,
+       CAST(count(DISTINCT pred_lang) AS INT) AS n_langs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM j GROUP BY source
+"""
+
+
 # Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
 # hits so the reserved-id path is exercised, not just compiled.
 _VOCAB_SIZE = 25
@@ -1394,6 +1434,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, tags=("northstar", "text", "topk")),
         QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, tags=("northstar", "graph", "dedup")),
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
+        QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py
