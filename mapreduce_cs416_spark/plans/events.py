@@ -234,6 +234,83 @@ FROM (
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week (Monday-truncated), counted distinct in each later week —
+    (cohort_week, week_offset, n_users). The standard product-
+    analytics rollup (offset 0 = cohort size).
+
+    Scale shape: one groupBy(user) for first-seen, one distinct over
+    (user, week) — both shuffles keyed by user_id so they co-partition
+    with the join between them; the final (cohort, offset) aggregate
+    is tiny (weeks² cells) with map-side partials. Week arithmetic is
+    date-integer math (both weeks Monday-aligned ⇒ the day diff is an
+    exact multiple of 7), identical in the DuckDB twin."""
+    ev = _ev(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH cohort AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: 20 buckets of 25
+    over [0, 500), top bucket open — (event_type, bucket, n, lo, hi).
+    One shuffle over |types|·20 groups with map-side partials; the
+    bucket index is row-local double math (identical IEEE division +
+    floor in the oracle), so the histogram is engine-exact — the
+    building block for distribution drift checks between corpus
+    snapshots."""
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(least(floor(value / 25.0), 19) AS INT) AS bucket,
+       count(*) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -252,5 +329,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("events_attribution_join", events_attribution_join, EVENTS_ATTRIBUTION_SQL, events_attribution_join.__doc__, tags=("events", "join", "streaming", "range")),
         QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
+        QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),
+        QuerySpec("events_value_histogram", events_value_histogram, EVENTS_HISTOGRAM_SQL, events_value_histogram.__doc__, tags=("events", "agg", "histogram")),
     ]
 }
