@@ -70,6 +70,7 @@ def write_clustered(
     path: str,
     partition_by: list[str],
     cluster_by: list[str],
+    options: dict[str, str] | None = None,
 ) -> None:
     """Layout-optimizing parquet sink: hive partitioning for
     directory pruning + within-file clustering for row-group pruning.
@@ -101,10 +102,40 @@ def write_clustered(
     # standard INT64 micros instead (also what the testdata uses).
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     cols = [F.col(c) for c in partition_by]
-    (
+    w = (
         df.repartition(*cols)
         .sortWithinPartitions(*[F.col(c) for c in partition_by + cluster_by])
         .write.mode("overwrite")
         .partitionBy(*partition_by)
-        .parquet(path)
     )
+    # writer-level knobs (e.g. parquet.block.size to size row groups —
+    # the pruning granularity — for the expected reader's filters)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.parquet(path)
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton/Z-order interleave of two pre-quantized non-negative int
+    columns in [0, 2^bits): bit i of c1 lands at position 2i, bit i of
+    c2 at 2i+1. Clustering (``write_clustered``'s ``cluster_by``) on
+    this single key gives row-group locality in BOTH dimensions —
+    a lexicographic sort on (c1, c2) leaves c2's per-row-group min/max
+    spanning its full domain, so scans filtering only on c2 can prune
+    nothing; under Z-order a range predicate on EITHER column skips
+    most row groups from the footer stats (asserted on real footers in
+    tests/test_layout.py).
+
+    The interleave is 2·bits codegen'd shift/mask/or terms — pure
+    row-local expression, no shuffle beyond the write's own
+    repartition. Callers quantize first (rank, ntile, or min-max
+    scale) — Z-order is only as balanced as its input grid.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(F.shiftleft(b2, 2 * i + 1))
+    return key

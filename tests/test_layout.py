@@ -67,3 +67,54 @@ def test_row_groups_are_clustered_on_ts(clustered_events):
             assert hi_prev <= lo_next  # disjoint, ordered row groups
         checked_multi = checked_multi or md.num_row_groups >= 1
     assert checked_multi
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Clustering on the Morton key keeps row-group min/max ranges
+    narrow on BOTH quantized dimensions; a lexicographic (x, y) sort
+    leaves y's per-row-group range spanning ~the full domain. Compare
+    the summed range widths over real written footers."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_cs416_spark.sources.io import zorder_key
+
+    n, bits = 1 << 17, 7  # 131k rows on a 128x128 grid
+    base = spark.range(n).select(
+        F.lit("all").alias("p"),
+        (F.hash(F.col("id")) % (1 << bits) + (1 << bits)) .cast("long").alias("x0"),
+        (F.hash(F.col("id") * 7 + 1) % (1 << bits) + (1 << bits)).cast("long").alias("y0"),
+    ).select(
+        "p",
+        (F.col("x0") % (1 << bits)).alias("x"),
+        (F.col("y0") % (1 << bits)).alias("y"),
+    )
+
+    def spans(path, col):
+        total = 0.0
+        n_groups = 0
+        for f in glob.glob(f"{path}/p=all/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += st.max - st.min
+                n_groups += 1
+        return total / n_groups, n_groups
+
+    # force several small row groups so pruning granularity exists
+    opts = {"parquet.block.size": str(16 * 1024), "parquet.page.size": str(4 * 1024)}
+    lex = str(tmp_path / "lex")
+    write_clustered(base, lex, partition_by=["p"], cluster_by=["x", "y"], options=opts)
+    zed = str(tmp_path / "zed")
+    zdf = base.withColumn("zk", zorder_key(F.col("x"), F.col("y"), bits=bits))
+    write_clustered(zdf, zed, partition_by=["p"], cluster_by=["zk"], options=opts)
+
+    lex_y, lex_groups = spans(lex, "y")
+    zed_x, zed_groups = spans(zed, "x")
+    zed_y, _ = spans(zed, "y")
+    if lex_groups < 4 or zed_groups < 4:
+        pytest.skip("row groups too coarse to measure pruning locality")
+    # lexicographic: y spans ~the full 128-wide domain per row group;
+    # z-order: both dimensions stay well under half the domain
+    assert lex_y > 100, lex_y
+    assert zed_x < 96 and zed_y < 96, (zed_x, zed_y)
