@@ -231,8 +231,6 @@ def quality_weighted_sample(
     back, then the pure hash_bucket filter — the corpus itself never
     shuffles.
     """
-    from pyspark.sql import Window
-
     j = docs.select(key, stratum).join(
         quality.select(key, F.round(F.col("quality") * 1_000_000).cast("long").alias("q6")),
         key,

@@ -327,6 +327,20 @@ def streaming_corpus_ingest(docs: DataFrame, min_quality: float = 0.46) -> DataF
     )
 
 
+def stream_documents_replayed(spark: SparkSession, sf_dir: str, copies: int = 2) -> DataFrame:
+    """documents replayed as ``copies`` identical single-file
+    micro-batches (cf. stream_events_replayed) — makes cross-batch
+    aggregation state observable: a correct streaming sketch must
+    ACCUMULATE across batches (counters double under a doubled input),
+    unlike dedup state which must absorb replays."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(f"{sf_dir}/documents.parquet", copies=copies))
+    )
+
+
 def streaming_cms_sketch(docs: DataFrame) -> DataFrame:
     """Incremental count-min sketch maintenance: each arriving
     document's tokens update the (r, bucket) counter table — a plain

@@ -118,3 +118,23 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     # z-order: both dimensions stay well under half the domain
     assert lex_y > 100, lex_y
     assert zed_x < 96 and zed_y < 96, (zed_x, zed_y)
+
+
+def test_zorder_key_is_bijective_on_the_grid(spark):
+    """De-interleaving the Morton key recovers (x, y) exactly for
+    every cell — no collisions, no drift at the bit boundaries."""
+    from mapreduce_cs416_spark.sources.io import zorder_key
+
+    bits = 5
+    grid = spark.range(1 << (2 * bits)).select(
+        (F.col("id") % (1 << bits)).alias("x"),
+        (F.col("id") / (1 << bits)).cast("long").alias("y"),
+    )
+    rows = grid.withColumn("zk", zorder_key(F.col("x"), F.col("y"), bits=bits)).collect()
+    assert len({r["zk"] for r in rows}) == len(rows)
+    for r in rows:
+        x = y = 0
+        for i in range(bits):
+            x |= ((r["zk"] >> (2 * i)) & 1) << i
+            y |= ((r["zk"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])

@@ -141,6 +141,23 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir):
     assert len(got) <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
 
 
+def test_streaming_cms_accumulates_across_microbatches(spark, sf_dir):
+    """Counters must ACCUMULATE across micro-batches (unlike dedup
+    state, which absorbs replays): the sketch of a twice-replayed
+    input is exactly 2x the batch sketch, counter for counter —
+    proving cross-batch aggregation state, not per-batch recompute."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    replay = sp.stream_documents_replayed(spark, sf_dir, copies=2)
+    sp.run_available_now(sp.streaming_cms_sketch(replay), "t_cms2")
+    got = {(r["r"], r["bucket"]): r["cnt"] for r in spark.table("t_cms2").collect()}
+    want = {
+        (r["r"], r["bucket"]): 2 * r["cnt"]
+        for r in sp.streaming_cms_sketch(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert got == want and got
+
+
 def test_stateful_funnel_converges_to_batch(spark, sf_dir):
     """Funnel state machine over the twice-replayed input: the final
     update per user must equal the batch events_funnel row exactly —
