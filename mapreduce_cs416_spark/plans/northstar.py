@@ -11,7 +11,7 @@ the exact operators) instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, sketches, textstats, vocab
@@ -1340,6 +1340,48 @@ FROM j GROUP BY source
 """
 
 
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end release gate composing the round-5 curation ops in
+    the order a production corpus build runs them: per-source quota
+    cap (no domain dominates) → quality floor → exact-dup
+    canonicalization (min doc_id per fingerprint). Returns the kept
+    (doc_id, source, quality).
+
+    Plan shape: the cap runs its two-phase rank on (doc_id, source)
+    only; quality + fingerprint come from ONE doc_profile scan; the
+    dedup canonicalization windows over fingerprint AFTER the cap and
+    floor have shrunk the row set. Three shuffles total on the
+    surviving slice, never a second corpus scan."""
+    docs = _docs(spark, sf_dir)
+    capd = sampling.source_cap(docs, cap=10).select("doc_id", "source")
+    prof = textstats.doc_profile(docs).select("doc_id", "quality", "fingerprint")
+    j = capd.join(prof, "doc_id").where(F.col("quality") >= 0.46)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        j.withColumn("fr", F.row_number().over(w))
+        .where(F.col("fr") == 1)
+        .select("doc_id", "source", "quality")
+    )
+
+
+CORPUS_RELEASE_SQL = f"""
+WITH capd AS ({_source_cap_sql()}),
+q AS ({TEXT_QUALITY_SQL}),
+f AS ({TEXT_FINGERPRINT_SQL}),
+j AS (
+    SELECT capd.doc_id, capd.source, q.quality, f.fingerprint
+    FROM capd JOIN q USING (doc_id) JOIN f USING (doc_id)
+    WHERE q.quality >= 0.46
+),
+kept AS (
+    SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS fr
+    FROM j
+)
+SELECT doc_id, source, quality FROM kept WHERE fr = 1
+"""
+
+
 # Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
 # hits so the reserved-id path is exercised, not just compiled.
 _VOCAB_SIZE = 25
@@ -1435,6 +1477,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, tags=("northstar", "graph", "dedup")),
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
+        QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py
