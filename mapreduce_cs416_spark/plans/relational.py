@@ -644,6 +644,54 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows — ntile quartiles, percent_rank, cume_dist
+    over order prices per priority segment. Completes the window-
+    function taxonomy beyond ranking/navigation/frames; the doubles
+    are ratios of identical integer ranks, rounded at 6 dp for
+    cross-engine ulp safety."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): melts the pivoted daily event matrix
+    back to (day, event_type, n) — the inverse of pivot_events, and
+    the densified long form (explicit zero rows for empty (day, type)
+    cells, which the plain groupBy omits)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return pivot_events(spark, sf_dir).unpivot(
+        ids=["day"], values=types, variableColumnName="event_type", valueColumnName="n"
+    )
+
+
+UNPIVOT_EVENTS_SQL = """
+WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT days.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days CROSS JOIN t
+LEFT JOIN c ON c.day = days.day AND c.event_type = t.event_type
+"""
+
+
 # ------------------------------------------------------------------- set ops
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT in one query: high-balance customers
@@ -1398,6 +1446,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
+        QuerySpec("window_distribution", window_distribution, WINDOW_DISTRIBUTION_SQL, window_distribution.__doc__, tags=("relational", "window")),
+        QuerySpec("unpivot_events", unpivot_events, UNPIVOT_EVENTS_SQL, unpivot_events.__doc__, tags=("relational", "pivot")),
         QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL, join_semi.__doc__, tags=("relational", "join")),
         QuerySpec("bloom_semi_join", bloom_semi_join_query, BLOOM_SEMI_JOIN_SQL, bloom_semi_join_query.__doc__, tags=("relational", "join", "bloom", "custom-op")),
