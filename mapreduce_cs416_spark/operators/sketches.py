@@ -76,15 +76,29 @@ CMS_DEPTH = 4
 CMS_WIDTH = 512
 
 
-def cms_bucket(item: Column, row: Column | int, width: int = CMS_WIDTH) -> Column:
-    """Row-``row``'s counter index for ``item``: the first 8 hex chars
-    of md5(row || '|' || item) as an integer, mod width. md5 is
-    bit-identical in Spark and DuckDB, so the sketch (and every
+def cms_bucket(h: Column, row: Column, width: int = CMS_WIDTH) -> Column:
+    """Row-``row``'s counter index from a precomputed md5 hex digest:
+    hex chars [8r+1, 8r+8] as an integer, mod width. One 128-bit md5
+    yields all four 32-bit row hashes — the digest is computed ONCE
+    per occurrence and sliced per depth row, not rehashed per row.
+    md5 is bit-identical in Spark and DuckDB, so the sketch (and every
     estimate read from it) is engine-portable — see
     ``plans/northstar.CMS_HEAVY_HITTERS_SQL`` for the oracle twin."""
-    r = F.lit(row) if isinstance(row, int) else row
-    h = F.substring(F.md5(F.concat_ws("|", r.cast("string"), item)), 1, 8)
-    return (F.conv(h, 16, 10).cast("long") % width).alias("bucket")
+    return (
+        F.conv(F.substring(h, row * 8 + 1, 8), 16, 10).cast("long") % width
+    ).alias("bucket")
+
+
+def _hashed_rows(items: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """(item, r, bucket) for every occurrence × depth row, one md5 per
+    occurrence. depth ≤ 4: a 32-hex digest only holds four 8-hex
+    slices."""
+    if depth > 4:
+        raise ValueError(f"depth {depth} > 4 needs more than one md5 digest")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    return items.select(F.col(col).alias("item"), F.md5(col).alias("h")).select(
+        "item", rows, "h"
+    ).select("item", "r", cms_bucket(F.col("h"), F.col("r"), width))
 
 
 def cms_build(
@@ -104,10 +118,8 @@ def cms_build(
     shards merge by summing counters (plain ``+`` per (r, bucket) —
     asserted lossless in tests/test_sketches.py), so per-day or
     per-source sketches roll up without rescanning."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
     return (
-        items.select(F.col(col).alias("item"), rows)
-        .select("r", cms_bucket(F.col("item"), F.col("r"), width))
+        _hashed_rows(items, col, depth, width)
         .groupBy("r", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -127,10 +139,7 @@ def cms_estimate(
     The sketch is at most depth×width rows → broadcast; estimating any
     candidate set is then a map-side join, never a shuffle of the
     corpus the sketch was built from."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
-    probes = candidates.select(F.col(col).alias("item"), rows).select(
-        "item", "r", cms_bucket(F.col("item"), F.col("r"), width)
-    )
+    probes = _hashed_rows(candidates, col, depth, width)
     return (
         probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy("item")

@@ -1046,14 +1046,12 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_sql(depth: int = 4, width: int = 512, k: int = 15) -> str:
-    """DuckDB twin of cms_heavy_hitters: same md5 bucket hash (first 8
-    hex chars as an int, mod width), so the sketch counters — and
-    therefore every min-over-rows estimate — are bit-equal."""
+    """DuckDB twin of cms_heavy_hitters: same md5 bucket hash (one
+    digest per occurrence, hex slice [8r+1, 8r+8] per depth row, mod
+    width), so the sketch counters — and therefore every min-over-rows
+    estimate — are bit-equal."""
     rows = ", ".join(f"({i})" for i in range(depth))
-    bucket = (
-        "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 8) AS BIGINT) % "
-        f"{width}"
-    )
+    bucket = f"CAST('0x' || substr(md5(item), r * 8 + 1, 8) AS BIGINT) % {width}"
     return f"""
 WITH toks AS (SELECT unnest({_SQL_WORDS}) AS item FROM documents),
 probes AS (SELECT item, r FROM toks CROSS JOIN (VALUES {rows}) d(r)),
