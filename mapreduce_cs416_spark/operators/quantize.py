@@ -94,3 +94,125 @@ def quantized_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
         .where(F.col("rn") <= k)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("score"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC search (Jégou, Douze, Schmid, TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+PQ_SUB = 8  # subspaces
+PQ_SUB_DIM = 8  # 64 / PQ_SUB
+PQ_CODES = 16  # codebook entries per subspace → 8 × 4 bits = 4 B/vector
+
+
+def pq_codebooks(
+    n_sub: int = PQ_SUB,
+    n_codes: int = PQ_CODES,
+    sub_dim: int = PQ_SUB_DIM,
+    seed: int = 11,
+) -> list[list[list[float]]]:
+    """Deterministic unit-norm codebooks, one per subspace (seeded LCG
+    — cf. similarity.ivf_centroids and its rationale: fixed codebooks
+    exercise the exact PQ plan shape with full reproducibility, which
+    is what lets the ADC query carry a DuckDB oracle; a k-means fit
+    per subspace would adapt them to data at the cost of the oracle)."""
+    import math
+
+    from .similarity import _hyperplanes
+
+    books = []
+    for s in range(n_sub):
+        book = []
+        for p in _hyperplanes(n_codes, sub_dim, seed + s):
+            n = math.sqrt(sum(x * x for x in p))
+            book.append([x / n for x in p])
+        books.append(book)
+    return books
+
+
+def _sub_dot(start: int, code: list[float]) -> str:
+    arr = ", ".join(repr(x) + "D" for x in code)
+    return (
+        f"aggregate(zip_with(slice(u, {start}, {len(code)}), array({arr}), "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _unit(emb: DataFrame) -> DataFrame:
+    from .similarity import _prepared
+
+    return (
+        _prepared(emb)
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
+    )
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]] | None = None) -> DataFrame:
+    """(vec_id, codes array<int>): each unit vector's subvectors
+    replaced by the argmax-dot codebook index (ties → lowest code).
+    Row-local, zero shuffle; at 100 TB the stored index drops from
+    256 B/vector (float32) to 8 small ints — the representation the
+    ADC join scores WITHOUT ever touching the float vectors again."""
+    books = books if books is not None else pq_codebooks()
+    codes = []
+    for s, book in enumerate(books):
+        dots = F.array(*[F.expr(_sub_dot(s * len(book[0]) + 1, c)) for c in book])
+        codes.append((F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
+    return _unit(emb).select("vec_id", F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the corpus is scored purely
+    from its PQ codes — score(q, x) = Σ_s lut_q[s][code_s(x)], where
+    each query's lookup table holds its subvector dots against every
+    codebook entry. Approximates cosine (unit vectors in, so the
+    reconstructed dot ≈ cos); recall vs the exact search is pinned in
+    tests/test_quantize.py.
+
+    Scale shape: the corpus side carries ONLY (vec_id, s, code) — the
+    8-code index, no floats; the per-query LUT is a broadcast of
+    n_queries × 8 × 16 rows; scoring is one equi-join on (s, code)
+    plus a groupBy(q, doc) decimal-sum of exactly 8 rounded terms —
+    addition-order-independent, hence the exact DuckDB twin
+    (plans/northstar.PQ_ADC_SQL)."""
+    from ..functions.numeric import decimal_sum
+
+    books = books if books is not None else pq_codebooks()
+    sub_dim = len(books[0][0])
+    cells = pq_encode(emb, books).select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    )
+    q = _unit(emb).where(F.col("vec_id") < n_queries)
+    per_s = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.array(
+                    *[F.round(F.expr(_sub_dot(s * sub_dim + 1, c)), 6) for c in book]
+                ).alias("ws"),
+            )
+            for s, book in enumerate(books)
+        ]
+    )
+    lut = (
+        q.select(F.col("vec_id").alias("q_id"), F.explode(per_s).alias("sw"))
+        .select("q_id", F.col("sw.s").alias("s"), F.posexplode("sw.ws").alias("code", "w"))
+    )
+    scored = (
+        cells.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(decimal_sum(F.col("w")), 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "score", "rn")
+    )

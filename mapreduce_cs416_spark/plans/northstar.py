@@ -1380,6 +1380,72 @@ SELECT doc_id, source, quality FROM kept WHERE fr = 1
 """
 
 
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/quantize.pq_adc_topk):
+    the corpus is scored purely from its 8-code PQ index via a
+    broadcast per-query lookup table — no float vector access at query
+    time; deterministic codebooks make even this approximate search
+    hash-exact against DuckDB."""
+    from ..operators import quantize
+
+    return quantize.pq_adc_topk(_emb(spark, sf_dir))
+
+
+def _pq_adc_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin of quantize.pq_adc_topk, generated from the same
+    deterministic codebooks: identical sub-dot folds, argmax
+    tie-breaks, 6-dp LUT rounding, and decimal summation."""
+    from ..operators import quantize
+
+    books = quantize.pq_codebooks()
+    sub_dim = len(books[0][0])
+    values = ",\n    ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for s, book in enumerate(books)
+        for j, c in enumerate(book)
+    )
+    sub_dot = (
+        f"list_reduce(list_prepend(0.0, [{{vec}}[cb.s * {sub_dim} + i] * cb.c[i] "
+        f"FOR i IN range(1, {sub_dim + 1})]), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+      FROM e
+      WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0),
+u AS (SELECT vec_id, [x / nrm FOR x IN v] AS u FROM n),
+cb(s, j, c) AS (VALUES
+    {values}),
+cells AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT u.vec_id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY u.vec_id, cb.s
+                                  ORDER BY {sub_dot.format(vec='u.u')} DESC, cb.j) AS rnk
+        FROM u CROSS JOIN cb
+    ) WHERE rnk = 1
+),
+lut AS (
+    SELECT q.vec_id AS q_id, cb.s, cb.j AS code,
+           round({sub_dot.format(vec='q.u')}, 6) AS w
+    FROM u q CROSS JOIN cb WHERE q.vec_id < {n_queries}
+),
+scored AS (
+    SELECT l.q_id, c.vec_id AS neighbor_id,
+           round(CAST(SUM(CAST(w AS DECIMAL(25,6))) AS DOUBLE), 6) AS score
+    FROM cells c JOIN lut l ON l.s = c.s AND l.code = c.code AND c.vec_id <> l.q_id
+    GROUP BY 1, 2
+),
+ranked AS (SELECT q_id, neighbor_id, score,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rn
+           FROM scored)
+SELECT q_id, neighbor_id, score, rn FROM ranked WHERE rn <= {k}
+"""
+
+
+PQ_ADC_SQL = _pq_adc_sql()
+
+
 # Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
 # hits so the reserved-id path is exercised, not just compiled.
 _VOCAB_SIZE = 25
@@ -1476,6 +1542,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
+        QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py

@@ -111,3 +111,46 @@ def test_determinism_under_repartition(spark, sf_dir):
         for r in quantize.quantized_topk(emb.repartition(17), n_queries=5, k=5).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+
+def test_pq_codes_are_partition_invariant(spark, sf_dir):
+    from mapreduce_cs416_spark.operators.quantize import pq_encode
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb.repartition(13)).collect()}
+    assert a == b and a
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_adc_recall_on_clustered_vectors(spark):
+    """On separable clusters ADC must put mostly same-cluster vectors
+    in the top-5 (the PQ approximation cannot confuse near-orthogonal
+    clusters even with random codebooks)."""
+    import math
+    import random
+
+    from mapreduce_cs416_spark.operators.quantize import pq_adc_topk
+
+    rows, vid = [], 0
+    rng = random.Random(42)
+    for c in range(5):
+        centroid = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(20):
+            vec = [x + 0.15 * rng.gauss(0, 1) for x in centroid]
+            n = math.sqrt(sum(x * x for x in vec))
+            rows.append((vid, [float(x / n) for x in vec], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    labels = {r[0]: r[2] for r in rows}
+    out = pq_adc_topk(emb, n_queries=10, k=5)
+    hits = total = 0
+    for r in out.collect():
+        total += 1
+        hits += labels[r["neighbor_id"]] == labels[r["q_id"]]
+    assert total == 50
+    assert hits / total >= 0.8, f"same-cluster fraction {hits}/{total}"
