@@ -520,3 +520,66 @@ def bm25_search(
     top = scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rn", F.row_number().over(w)).select("doc_id", "score", "rn")
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    vocab_size: int = 25,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution-drift score per source: smoothed KL divergence of
+    each source's unigram distribution from the corpus-wide one,
+    restricted to the top-``vocab_size`` vocabulary —
+    (source, n_tokens, kl). The monitoring primitive that catches a
+    crawl slice going off-distribution (spam bursts, language drift,
+    template floods) between corpus snapshots.
+
+    p_s(t) = (c_st + α) / (n_s + α·V)  (add-α smoothing, so sources
+    missing a vocab token still have finite KL), q(t) = c_t / N over
+    the same vocabulary; KL(p_s ‖ q) = Σ_t p_s ln(p_s / q).
+
+    Scale shape: one token groupBy for the vocabulary (TakeOrdered
+    top-V), one groupBy (source, token) on the vocab-filtered stream
+    (the broadcast vocab join prunes the long tail BEFORE the
+    shuffle), then a |sources|×V grid built by broadcast cross join —
+    tiny, whatever the corpus size. Each grid cell's contribution is
+    rounded to 9 dp and summed through DECIMAL(25,9) (the 6-dp
+    decimal_sum default would flatten the small per-cell terms), so
+    the scores are addition-order-independent and hash-exact in the
+    DuckDB twin.
+    """
+    from ..operators.dedup import _spread
+    from .vocab import build_vocab
+
+    toks = _spread(docs).select("source", F.explode(_words()).alias("tok"))
+    vocab = build_vocab(toks.select(F.col("tok").alias("token")), size=vocab_size)
+    vt = toks.join(F.broadcast(vocab), "tok")  # vocab tokens only
+    corpus = vt.groupBy("tok").agg(F.count("*").alias("ct"))
+    tot = corpus.agg(F.sum("ct").alias("n_total"))
+    per_src = vt.groupBy("source", "tok").agg(F.count("*").alias("cst"))
+    src_tot = per_src.groupBy("source").agg(F.sum("cst").alias("n_s"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .join(per_src, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            (
+                (F.coalesce("cst", F.lit(0)) + alpha)
+                / (F.col("n_s") + alpha * vocab_size)
+            ).alias("p"),
+            (F.col("ct") / F.col("n_total")).alias("q"),
+        )
+    )
+    contrib = grid.select(
+        "source", "n_s", F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 9).alias("c")
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c").cast("decimal(25,9)")).cast("double"), 9).alias("kl"),
+        )
+        .orderBy("source")
+    )

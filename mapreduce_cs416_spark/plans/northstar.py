@@ -1446,6 +1446,45 @@ SELECT q_id, neighbor_id, score, rn FROM ranked WHERE rn <= {k}
 PQ_ADC_SQL = _pq_adc_sql()
 
 
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.source_unigram_kl(_docs(spark, sf_dir))
+
+
+def _source_drift_sql(vocab_size: int = 25, alpha: float = 0.5) -> str:
+    """DuckDB twin of textstats.source_unigram_kl — same vocabulary
+    rank, same smoothing constants (rendered from the same Python
+    floats), same 9-dp rounding and DECIMAL(25,9) summation."""
+    return f"""
+WITH toks AS (SELECT source, unnest({_SQL_WORDS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM counts
+    ) WHERE rn <= {vocab_size}
+),
+vt AS (SELECT t.source, t.tok FROM toks t JOIN vocab USING (tok)),
+corpus AS (SELECT tok, count(*) AS ct FROM vt GROUP BY tok),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM corpus),
+per_src AS (SELECT source, tok, count(*) AS cst FROM vt GROUP BY 1, 2),
+src_tot AS (SELECT source, CAST(sum(cst) AS BIGINT) AS n_s FROM per_src GROUP BY source),
+grid AS (
+    SELECT s.source, s.n_s,
+           (coalesce(p.cst, 0) + {alpha}) / (s.n_s + {alpha * vocab_size}) AS p,
+           c.ct / t.n_total AS q
+    FROM src_tot s CROSS JOIN corpus c
+    LEFT JOIN per_src p ON p.source = s.source AND p.tok = c.tok
+    CROSS JOIN tot t
+),
+contrib AS (SELECT source, n_s, round(p * ln(p / q), 9) AS c FROM grid)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(c AS DECIMAL(25,9))) AS DOUBLE), 9) AS kl
+FROM contrib GROUP BY source
+"""
+
+
+TEXT_SOURCE_DRIFT_SQL = _source_drift_sql()
+
+
 # Fixture vocabulary is ~30 distinct words; size 25 leaves real OOV
 # hits so the reserved-id path is exercised, not just compiled.
 _VOCAB_SIZE = 25
@@ -1543,6 +1582,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
         QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
+        QuerySpec("text_source_drift", text_source_drift, TEXT_SOURCE_DRIFT_SQL, textstats.source_unigram_kl.__doc__, tags=("northstar", "text", "pipeline", "drift")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py

@@ -180,3 +180,27 @@ def test_bm25_length_normalization(spark):
     )
     out = {r["doc_id"]: r["score"] for r in bm25_search(docs, ["cat"]).collect()}
     assert out[0] > out[1]
+
+
+# ---------------------------------------------------------- source drift KL
+
+
+def test_source_drift_nonnegative_and_orders_drift(spark):
+    """KL >= 0 (both distributions sum to 1 over the vocab), and a
+    source with a skewed unigram distribution must score higher than
+    sources drawn from the shared distribution."""
+    from mapreduce_cs416_spark.operators.textstats import source_unigram_kl
+
+    balanced = "a b c d e f g h i j"
+    rows = []
+    for i in range(40):
+        rows.append((i, balanced, "normal0" if i % 2 == 0 else "normal1"))
+    for i in range(40, 60):
+        rows.append((i, "a a a a a a a a a j", "drifted"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r["kl"] for r in source_unigram_kl(docs, vocab_size=10).collect()}
+    assert set(out) == {"normal0", "normal1", "drifted"}
+    assert all(v >= -1e-6 for v in out.values()), out
+    # the normals also score > 0 (the corpus mixture q includes the
+    # drifted mass), so assert separation, not near-zero normals
+    assert out["drifted"] > out["normal0"] * 3 and out["drifted"] > out["normal1"] * 3, out
