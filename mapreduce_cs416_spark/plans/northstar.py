@@ -1127,6 +1127,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over k-means-fitted cells (similarity.fit_centroids —
+    the data-adaptive clustering the published method actually uses;
+    the deterministic-centroid twin above carries the oracle, this
+    face carries the quality: fitted cells group near-duplicates
+    together more often, so fewer cross-cell pairs escape the
+    intra-cell check). Rows-only at the driver — the fit's float sums
+    are partitioning-dependent; quality pinned in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.fit_centroids(emb, n_cells=_SEMDEDUP_CELLS)
+    return similarity.semantic_dedup(
+        emb, n_cells=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
+    )
+
+
 def _semantic_dedup_sql(
     n_cells: int = _SEMDEDUP_CELLS,
     threshold: float = _SEMDEDUP_THRESHOLD,
@@ -1583,6 +1599,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
         QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
         QuerySpec("text_source_drift", text_source_drift, TEXT_SOURCE_DRIFT_SQL, textstats.source_unigram_kl.__doc__, tags=("northstar", "text", "pipeline", "drift")),
+        QuerySpec("dedup_semantic_fitted", dedup_semantic_fitted, None, dedup_semantic_fitted.__doc__, tags=("northstar", "dedup", "similarity", "kmeans", "pipeline")),
         # rotated out of the driver window in r5 (see QUERIES comment);
         # rows-only smoke runs in test_parity, recall properties in
         # tests/test_dedup.py / tests/test_similarity.py

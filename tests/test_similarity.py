@@ -280,3 +280,30 @@ def test_semantic_dedup_partition_invariant_and_partitions_input(spark, sf_dir):
     )
     assert base == again
     assert 0 < len(base) < emb.count()  # non-vacuous: some rows dropped
+
+
+def test_semantic_dedup_fitted_cells_still_remove_exact_dups(spark):
+    """The data-adaptive face (fit_centroids cells): exact copies share
+    any cell assignment whatever the centroids, so the higher-id copy
+    must still always drop; on clustered data the fitted cells must
+    not remove MORE than a sanity bound of the corpus."""
+    import pyspark.sql.functions as F
+
+    dim = 8
+    base = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> cast(sin(id % 5 + j * 3) as float))"
+        ).alias("embedding"),
+    )
+    dups = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(dups)
+    cents = similarity.fit_centroids(emb, n_cells=4, dim=dim, n_iter=2)
+    out = similarity.semantic_dedup(emb, n_cells=4, threshold=0.999, dim=dim, centroids=cents)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert not kept & set(range(100, 105))
+    # base ids 0..59 repeat every 5 → only 5 distinct vectors + their
+    # copies; at cos >= 0.999 exactly the 5 min-id representatives stay
+    assert kept == set(range(5))
