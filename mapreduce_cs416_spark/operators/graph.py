@@ -88,21 +88,36 @@ def _is_star_fixpoint(edges: DataFrame) -> bool:
     labels as running to the probe-detected fixpoint.
 
     Star test = (each child has exactly one center) ∧ (no center is
-    itself a child): two constant-size jobs on the checkpointed edge
-    set, never a collect of the edges."""
-    row = edges.agg(
-        F.count("*").alias("n_edges"),
-        F.count_distinct("u").alias("n_children"),
-    ).collect()[0]
-    if row["n_edges"] != row["n_children"]:
-        return False
-    chained = (
-        edges.select("v")
-        .join(edges.select(F.col("u").alias("v")), "v", "left_semi")
-        .limit(1)
-        .count()
+    itself a child). Both conditions fold into ONE constant-size job:
+    tag each edge endpoint with a child/center flag, aggregate per
+    node, then reduce to three counters — total child-edge rows
+    (= |E|), distinct children, and nodes that are both child and
+    center (the chained set v ∩ u). One job per round instead of the
+    previous agg + semi-join pair; never a collect of the edges."""
+    row = (
+        edges.select(F.col("u").alias("node"), F.lit(1).alias("c"), F.lit(0).alias("p"))
+        .union(edges.select(F.col("v").alias("node"), F.lit(0).alias("c"), F.lit(1).alias("p")))
+        .groupBy("node")
+        .agg(
+            F.sum("c").alias("child_edges"),
+            F.max("c").alias("is_child"),
+            F.max("p").alias("is_center"),
+        )
+        .agg(
+            # coalesce: the sums are NULL over an EMPTY edge set (zero
+            # groups reach the final agg), which is a valid fixpoint
+            F.coalesce(F.sum("child_edges"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.sum("is_child"), F.lit(0)).alias("n_children"),
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("is_child") == 1) & (F.col("is_center") == 1), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_chained"),
+        )
+        .collect()[0]
     )
-    return chained == 0
+    return row["n_edges"] == row["n_children"] and row["n_chained"] == 0
 
 
 def connected_components(
