@@ -692,6 +692,54 @@ LEFT JOIN c ON c.day = days.day AND c.event_type = t.event_type
 """
 
 
+def null_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate null semantics kernel: count(*) vs count(col)
+    (null-skipping), null-skipping SUM/MIN, explicit sum/count average
+    (NULLs excluded from the denominator), and null-safe equality
+    (<=> / IS NOT DISTINCT FROM) — the corner where engines silently
+    disagree; here every behavior is pinned hash-exactly against
+    DuckDB. Nulls are injected deterministically (every 7th key)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("val").alias("n_vals"),
+            decimal_sum(F.col("val"), "sum_val"),
+            F.round(decimal_sum(F.col("val")) / F.count("val"), 6).alias("avg_val"),
+            F.sum(F.col("val").eqNullSafe(F.lit(None).cast("double")).cast("int")).alias(
+                "n_nulls_nullsafe"
+            ),
+            F.min("val").alias("min_val"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+NULL_AGG_SEMANTICS_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS val
+    FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(val) AS n_vals,
+       {sql_decimal_sum("val")} AS sum_val,
+       round({sql_decimal_sum("val")} / count(val), 6) AS avg_val,
+       CAST(sum(CASE WHEN val IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls_nullsafe,
+       min(val) AS min_val
+FROM o GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------------------------- set ops
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT in one query: high-balance customers
@@ -1448,6 +1496,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
         QuerySpec("window_distribution", window_distribution, WINDOW_DISTRIBUTION_SQL, window_distribution.__doc__, tags=("relational", "window")),
         QuerySpec("unpivot_events", unpivot_events, UNPIVOT_EVENTS_SQL, unpivot_events.__doc__, tags=("relational", "pivot")),
+        QuerySpec("null_agg_semantics", null_agg_semantics, NULL_AGG_SEMANTICS_SQL, null_agg_semantics.__doc__, tags=("relational", "agg", "nulls")),
         QuerySpec("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_SQL, scalar_math_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL, join_semi.__doc__, tags=("relational", "join")),
         QuerySpec("bloom_semi_join", bloom_semi_join_query, BLOOM_SEMI_JOIN_SQL, bloom_semi_join_query.__doc__, tags=("relational", "join", "bloom", "custom-op")),
