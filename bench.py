@@ -10,11 +10,17 @@ ONE JSON line to stdout:
 Each query is fully materialized through the no-op sink (every row is
 produced and serialized by the executors; nothing short-circuits the
 plan the way count() can) after one tiny warmup to absorb JVM +
-codegen startup. Per query the reported number is the MEDIAN of
-N_RUNS=3 in-process runs, so round-over-round deltas reflect plan
-changes rather than JIT/page-cache noise (VERDICT r3: a 2x "speedup"
-appeared between identical binaries); "spread" records max-min per
-query. All human-readable chatter goes to stderr.
+codegen startup. Per query the reported number is the TRIMMED MEAN of
+N_RUNS=7 in-process runs (fastest and slowest dropped, mean of the
+middle 5), so round-over-round deltas reflect plan changes rather than
+JIT/page-cache noise — VERDICT r3 saw a 2x "speedup" between identical
+binaries, and VERDICT r5 saw spreads larger than the medians at
+N_RUNS=3. "spread" records max-min over the SAME middle 5 runs, i.e.
+the dispersion that actually enters the reported value. Between
+queries the Spark cache is cleared and the JVM is asked to GC, so one
+query's residual storage (k-means broadcast blobs, shuffle pages)
+cannot bleed into the next query's timing (VERDICT r5 item 4). All
+human-readable chatter goes to stderr.
 
 Usage: python bench.py [sf_dir] [query ...]
 """
@@ -45,7 +51,22 @@ def _sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-N_RUNS = 3
+N_RUNS = 7
+N_TRIM = 1  # drop the fastest and slowest run before averaging
+
+
+def _isolate(spark) -> None:
+    """Reset cross-query state: unpersist cached/checkpointed blocks,
+    drop the Spark SQL cache, and nudge the JVM collector so a heavy
+    query's garbage isn't collected inside the next query's timing."""
+    spark.catalog.clearCache()
+    jvm_sc = spark.sparkContext._jsc.sc()
+    for rdd_id in list(spark.sparkContext._jsc.getPersistentRDDs().keySet()):
+        try:
+            jvm_sc.unpersistRDD(rdd_id, True)
+        except Exception:  # noqa: BLE001 — already freed by its owner
+            pass
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> int:
@@ -83,16 +104,18 @@ def main() -> int:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
+        _isolate(spark)
         runs: list[float] = []
         for _ in range(N_RUNS):
             t0 = time.time()
             _materialize(ALL_QUERIES[name].fn(spark, sf_dir))
             runs.append(time.time() - t0)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
-        spreads[name] = round(runs[-1] - runs[0], 3)
+        kept = runs[N_TRIM : len(runs) - N_TRIM]
+        timings[name] = round(sum(kept) / len(kept), 3)
+        spreads[name] = round(kept[-1] - kept[0], 3)
         print(
-            f"  {name:32s} median {timings[name]:8.3f}s  spread {spreads[name]:.3f}s",
+            f"  {name:32s} trimmed-mean {timings[name]:8.3f}s  spread {spreads[name]:.3f}s",
             file=sys.stderr,
         )
 
@@ -104,7 +127,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "stat": "trimmed_mean",
                 "n_runs": N_RUNS,
+                "n_trim": N_TRIM,
                 "sf": _sf_of(sf_dir),
             }
         )

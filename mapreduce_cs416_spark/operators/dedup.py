@@ -131,7 +131,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, n_hashes: int = 64, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures over k-shingles.
 
     Zero-shuffle: each signature element is a row-local
@@ -143,6 +145,11 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64) -> DataF
     Jaccard similarity to anything by definition, and keeping them
     would make every shingle-less doc share one signature and collide
     in every LSH band.
+
+    ``shingles`` lets callers feed an already-built ``shingle_sets``
+    frame (``minhash_lsh_pairs`` persists ONE shingle scan for both
+    its signature and verify branches — the tokenize+shingle pass is
+    the CPU-heavy part and used to run twice, VERDICT r5 item 2).
     """
     sig = bind_once(
         F.col("shingles"),
@@ -153,11 +160,8 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 64) -> DataF
             ]
         ),
     )
-    return (
-        shingle_sets(docs, k)
-        .where(F.col("n_sh") > 0)
-        .select("doc_id", sig.alias("sig"))
-    )
+    sh = shingles if shingles is not None else shingle_sets(docs, k)
+    return sh.where(F.col("n_sh") > 0).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -174,9 +178,18 @@ def minhash_lsh_pairs(
     band) are then verified against the exact shingle sets, so output
     precision is exact; recall follows the LSH S-curve
     1-(1-s^r)^b. Returns (doc_a, doc_b, jaccard).
+
+    The shingle scan (tokenize + shingle: the CPU-dominant pass) runs
+    ONCE, persisted, feeding both the signature branch and the two
+    verify-join probes — previously it recomputed per branch (VERDICT
+    r5 item 2). The cached blocks are |docs| shingle arrays ≈ the size
+    of the corpus itself; the bench/driver clears the SQL cache
+    between queries, and at 100 TB the persist level spills to disk
+    rather than evicting the working set.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(docs, k, n_hashes)
+    sh = shingle_sets(docs, k).persist()
+    sigs = minhash_signatures(docs, k, n_hashes, shingles=sh)
     band_cols = F.array(
         *[
             F.struct(
@@ -201,10 +214,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = shingle_sets(docs, k).select("doc_id", "shingles")
+    shv = sh.select("doc_id", "shingles")
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+        cand.join(shv.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+        .join(shv.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -216,6 +229,51 @@ def minhash_lsh_pairs(
     )
     return verified.where(F.col("jaccard_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+def duplicated_ngram_fraction(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Corpus-internal duplicated-text signal (the RefinedWeb /
+    Gopher-style "duplicated n-gram fraction" quality filter, applied
+    ACROSS documents rather than within one — the within-document
+    variant is textstats.repetition_stats): for every document, the
+    fraction of its distinct k-word shingles that also occur in at
+    least one OTHER document. Returns (doc_id, n_shingles,
+    n_dup_shingles, dup_frac); documents with fewer than k words have
+    no shingles and produce no row.
+
+    Scale shape: one shingle scan → explode keyed on xxhash64(shingle)
+    (8-byte longs on the wire, cf. ngram_jaccard_pairs) → one
+    groupBy(shingle) for corpus-wide document frequency → join back on
+    the same key (the exchange is reused: both sides are partitioned
+    by sh from the df groupBy) → one groupBy(doc_id). No pair joins at
+    all — this is the O(corpus) screening pass a pipeline runs BEFORE
+    deciding which documents deserve the pairwise dedup treatment.
+
+    A shingle repeated within one doc but nowhere else does NOT count
+    (df is per-document distinct occurrences, so df >= 2 means two
+    different documents share it).
+    """
+    ex = (
+        shingle_sets(docs, k)
+        .where(F.col("n_sh") > 0)
+        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("sh"))
+    )
+    df = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        ex.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_sh").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("int").alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
     )
 
 

@@ -1,9 +1,7 @@
 """Multimodal column plumbing (north-star surface).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The container has no image/audio libraries, so the *decode* step is
-stubbed (clearly-marked NotImplementedError / deterministic fake),
-while everything Spark-side — schema, batching, partitioning, UDF
+Everything Spark-side — schema, batching, partitioning, UDF
 signatures — is real and tested:
 
 - ``with_blob``      : attach a binary payload + media-type metadata
@@ -15,7 +13,13 @@ signatures — is real and tested:
                        one pandas frame per partition chunk; the
                        "decode" inside is a deterministic fake
                        (byte-chunk means), the batch shape is real.
-- ``decode_image``   : the genuine decode entry point, stubbed.
+- ``decode_image``   : the genuine decode entry point — a WORKING
+                       pure-Python parser for uncompressed 24-bit BMP
+                       and binary PPM (P6); compressed formats (which
+                       need libpng/libjpeg, absent from this
+                       container) still raise NotImplementedError.
+- ``decode_image_stats``: the oracled end-to-end decode query
+                       (make_bmp → decode_image → channel means).
 """
 
 from __future__ import annotations
@@ -285,12 +289,169 @@ def blob_profile(
     )
 
 
-def decode_image(payload: bytes):
-    """Real media decode entry point — STUB.
+BMP_WIDTH = 16  # 16 px × 3 B = 48 B rows — already 4-aligned, no pad
 
-    The container ships no image/audio codecs (no PIL/cv2/librosa);
-    wire one in here and ``extract_features`` picks it up unchanged.
+
+def make_bmp(payload: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Wrap raw bytes into a valid uncompressed 24-bit BMP (BI_RGB,
+    BITMAPINFOHEADER, bottom-up rows, 4-byte row stride). The
+    deterministic blob synthesizer for the decode path: pixel data =
+    ``payload`` zero-padded to stride·height, so every byte of the
+    input is addressable as a pixel channel."""
+    stride = (width * 3 + 3) & ~3
+    height = max(-(-len(payload) // stride), 1)
+    data = payload.ljust(stride * height, b"\x00")
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2  # palette
+    )
+    header = b"BM" + (14 + 40 + len(data)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    return header + info + data
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real media decode — pure-Python parsers for the two
+    uncompressed formats that need no codec library (the container
+    ships no PIL/cv2): 24-bit BI_RGB **BMP** (handles bottom-up AND
+    top-down rows, 4-byte row padding, arbitrary pixel-array offset)
+    and binary **PPM** (P6, maxval ≤ 255). Compressed formats
+    (PNG/JPEG) still raise — wiring libpng/libjpeg in here is a
+    dependency question, not a plumbing one; ``extract_features``
+    picks any richer decoder up unchanged.
+
+    Returns {"width", "height", "channels": 3, "pixels": bytes} with
+    pixels row-major TOP-DOWN in the format's channel order (BGR for
+    BMP, RGB for PPM), row padding stripped. tests/test_multimodal.py
+    pins both parsers against hand-built fixtures (incl. an
+    odd-width BMP whose rows genuinely carry pad bytes).
     """
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+        top_down = height < 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        need = off + stride * height
+        if len(payload) < need:
+            raise ValueError(f"truncated BMP pixel array: {len(payload)} < {need}")
+        rows = [
+            payload[off + r * stride : off + r * stride + width * 3]
+            for r in range(height)
+        ]
+        if not top_down:
+            rows.reverse()
+        return {"width": width, "height": height, "channels": 3, "pixels": b"".join(rows)}
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if i < len(payload) and payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM is not supported")
+        need = width * height * 3
+        if len(payload) < i + need:
+            raise ValueError("truncated PPM pixel data")
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixels": payload[i : i + need],
+        }
     raise NotImplementedError(
-        "media decoding requires an image/audio library not present in this container"
+        "unsupported format (only uncompressed BMP/PPM decode without codec libraries)"
+    )
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_data_bytes", T.IntegerType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("row0_hex", T.StringType()),
+    ]
+)
+
+
+def decode_image_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
+    """END-TO-END real decode path: wrap each blob's bytes into a
+    24-bit BMP (``make_bmp``), run the genuine parser
+    (``decode_image``), and emit per-channel pixel means plus the TOP
+    image row's hex — which is the LAST stored row of a bottom-up
+    BMP, so a decoder that ignored row order would fail the oracle.
+
+    One mapInPandas pass, blobs never leave the executor; the output
+    is reduced stats only (the 100 TB decode-stage shape). Everything
+    is deterministic integer byte math + one IEEE division per mean,
+    so the query is hash-exact against a DuckDB twin that recomputes
+    the same means straight from the payload byte positions
+    (plans/northstar.MULTIMODAL_DECODE_SQL).
+    """
+    blobs = with_blob(docs).select("doc_id", "blob")
+    stride = (width * 3 + 3) & ~3
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                img = decode_image(make_bmp(raw, width))
+                px = img["pixels"]
+                n_px = img["width"] * img["height"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_data_bytes"].append(len(raw))
+                # raw means here; 6-dp rounding happens JVM-side below —
+                # Python's round() is banker's (half-even) while Spark and
+                # DuckDB both round HALF_UP, and sums divided by the
+                # power-of-two pixel count hit exact .5 cases constantly
+                out["mean_b"].append(sum(px[0::3]) / n_px)
+                out["mean_g"].append(sum(px[1::3]) / n_px)
+                out["mean_r"].append(sum(px[2::3]) / n_px)
+                out["row0_hex"].append(px[: img["width"] * 3].hex())
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_data_bytes",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+        "row0_hex",
     )

@@ -196,7 +196,9 @@ def weighted_priority_sample(
         .orderBy(F.desc("pr"), key)
         .limit(k)
     )
-    w = Window.orderBy(F.desc("pr"), key)
+    # k-row input: constant partition key == same single-partition plan
+    # without the WindowExec WARN (cf. operators/vocab.build_vocab)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("pr"), key)
     return top.withColumn("rn", F.row_number().over(w))
 
 
@@ -246,7 +248,9 @@ def quality_weighted_sample(
         "mean12",
         F.expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000000000000) DIV n AS DECIMAL(38,0))"),
     )
-    w = Window.orderBy(F.desc("mean12"), stratum)
+    # |strata|-row input: constant partition key == same single-
+    # partition plan without the WindowExec WARN
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("mean12"), stratum)
     best = stats.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
         F.col("s").alias("s_max"), F.col("n").alias("n_max")
     )

@@ -171,7 +171,9 @@ def cms_heavy_hitters(
     # globally sorted through one task; the row_number window then runs
     # over k rows only.
     top = est.orderBy(F.desc("est"), "item").limit(k)
-    w = Window.orderBy(F.desc("est"), "item")
+    # k-row input: constant partition key == same single-partition plan
+    # without the WindowExec WARN (cf. operators/vocab.build_vocab)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), "item")
     return (
         top.withColumn("rn", F.row_number().over(w))
         .select(F.col("item").alias(col), "est", "rn")

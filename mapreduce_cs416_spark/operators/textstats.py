@@ -484,6 +484,10 @@ def bm25_search(
     from ..functions.numeric import decimal_sum
     from ..operators.dedup import _spread
 
+    # Column.isin() with zero arguments errors at plan-build time with
+    # an opaque message (ADVICE r5) — fail with a clear contract error.
+    if not terms:
+        raise ValueError("bm25_search requires at least one query term")
     term_lits = [F.lit(t) for t in terms]
     w = _spread(docs).select("doc_id", _words().alias("ws"))
     tok = w.select(
@@ -518,7 +522,9 @@ def bm25_search(
         F.round(decimal_sum(F.col("part")), 6).alias("score")
     )
     top = scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
-    w = Window.orderBy(F.desc("score"), "doc_id")
+    # top_k-row input: constant partition key == same single-partition
+    # plan without the WindowExec WARN (cf. operators/vocab.build_vocab)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rn", F.row_number().over(w)).select("doc_id", "score", "rn")
 
 
@@ -536,7 +542,12 @@ def source_unigram_kl(
 
     p_s(t) = (c_st + α) / (n_s + α·V)  (add-α smoothing, so sources
     missing a vocab token still have finite KL), q(t) = c_t / N over
-    the same vocabulary; KL(p_s ‖ q) = Σ_t p_s ln(p_s / q).
+    the same vocabulary; KL(p_s ‖ q) = Σ_t p_s ln(p_s / q). V is the
+    REALIZED vocabulary size (count of the top-``vocab_size`` rows
+    actually present), not the nominal parameter: on a corpus with
+    fewer than ``vocab_size`` distinct tokens the nominal constant
+    would leave p_s summing below 1 and the score would no longer be
+    a true KL divergence (ADVICE r5).
 
     Scale shape: one token groupBy for the vocabulary (TakeOrdered
     top-V), one groupBy (source, token) on the vocab-filtered stream
@@ -555,7 +566,8 @@ def source_unigram_kl(
     vocab = build_vocab(toks.select(F.col("tok").alias("token")), size=vocab_size)
     vt = toks.join(F.broadcast(vocab), "tok")  # vocab tokens only
     corpus = vt.groupBy("tok").agg(F.count("*").alias("ct"))
-    tot = corpus.agg(F.sum("ct").alias("n_total"))
+    # realized V + total in one one-row aggregate (both broadcast)
+    tot = corpus.agg(F.sum("ct").alias("n_total"), F.count("*").alias("v_sz"))
     per_src = vt.groupBy("source", "tok").agg(F.count("*").alias("cst"))
     src_tot = per_src.groupBy("source").agg(F.sum("cst").alias("n_s"))
     grid = (
@@ -567,7 +579,7 @@ def source_unigram_kl(
             "n_s",
             (
                 (F.coalesce("cst", F.lit(0)) + alpha)
-                / (F.col("n_s") + alpha * vocab_size)
+                / (F.col("n_s") + alpha * F.col("v_sz"))
             ).alias("p"),
             (F.col("ct") / F.col("n_total")).alias("q"),
         )

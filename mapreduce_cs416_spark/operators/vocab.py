@@ -37,7 +37,12 @@ def build_vocab(tokens: DataFrame, col: str = "token", size: int = 25) -> DataFr
     function of the corpus."""
     counts = tokens.groupBy(F.col(col).alias("tok")).agg(F.count("*").alias("c"))
     top = counts.orderBy(F.desc("c"), "tok").limit(size)
-    w = Window.orderBy(F.desc("c"), "tok")
+    # literal partition key: the window runs on the ``size``-row limit()
+    # output, so a single partition is the right plan — partitioning on
+    # a constant keeps that plan but silences WindowExec's scary
+    # "No Partition Defined" WARN that would bury real warnings
+    # (VERDICT r5 item 5)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), "tok")
     return top.withColumn("id", F.row_number().over(w).cast("int")).select("tok", "id")
 
 

@@ -317,7 +317,10 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
         QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
-        QuerySpec("events_distinct_rollup", events_distinct_rollup, None, events_distinct_rollup.__doc__, tags=("events", "agg", "approx", "sketch")),
+        # events_distinct_rollup rotated to EXTRA in r6 (VERDICT r5
+        # item 7): rows-only by construction (DataSketches HLL), its
+        # real check is the error-bound/union pytest — the freed window
+        # slot carries an oracled r5 family instead.
     ]
 }
 
@@ -327,6 +330,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("events_distinct_rollup", events_distinct_rollup, None, events_distinct_rollup.__doc__, tags=("events", "agg", "approx", "sketch")),
         QuerySpec("events_attribution_join", events_attribution_join, EVENTS_ATTRIBUTION_SQL, events_attribution_join.__doc__, tags=("events", "join", "streaming", "range")),
         QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
         QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),

@@ -127,6 +127,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def dedup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k=4 matches text_decontaminate's tuning note: at k=3 this corpus
+    # flags nearly everything, at k=4 the fraction genuinely varies
+    return dedup.duplicated_ngram_fraction(_docs(spark, sf_dir), k=4)
+
+
 # -------------------------------------------------------------- similarity
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=10, k=5)
@@ -171,6 +177,18 @@ FROM ranked WHERE rn <= 5
 # 34 pairs at sf0.01). Still rows-only at the driver — bucket
 # membership is hyperplane-dependent — with the recall floor asserted
 # on clustered fixtures in tests/test_similarity.py.
+#
+# MEASURED selectivity at this operating point (VERDICT r5 item 3):
+# the random-pair collision rate of 4×8 banding is
+# 1-(1-2⁻⁴)⁸ ≈ 0.403 in theory; similarity.lsh_candidate_stats
+# measures 0.409 on the sf0.001 fixture (tests/test_similarity.py
+# pins it) — the exact-verify stage scores ~41% of all pairs here.
+# This banding demonstrates the recall math at a mid-distribution
+# threshold, NOT a scale win; at a production 0.9 threshold the same
+# operator with 8 planes × 4 tables collides on a measured 1.8% of
+# random pairs, and for low-threshold sweeps the genuine scale path
+# is cluster-then-verify (dedup_semantic), whose per-cell blocking
+# cuts pair work ~n_cells× at ANY threshold.
 _COSINE_NEAR_DUP_THRESHOLD = 0.42
 
 
@@ -206,6 +224,10 @@ WITH e AS (
     SELECT vec_id, v,
            sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
     FROM e
+    -- zero-norm guard, mirroring cosine_near_dup_pairs (ADVICE r5:
+    -- NaN > threshold in both engines, so the oracle alone can't
+    -- catch an all-zero universal-hub vector)
+    WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0
 ), pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]),
@@ -605,6 +627,41 @@ FROM f
 """
 
 
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_image_stats(_docs(spark, sf_dir))
+
+
+# DuckDB twin of decode_image_stats: the blob bytes are wrapped into a
+# bottom-up 24-bit BMP (stride 48 = 16px — divisible by 3 AND 4, so
+# channel alignment survives row reversal and no pad bytes intrude),
+# then genuinely parsed back; the oracle recomputes the channel means
+# from raw byte positions ((i-1) % 3 picks B/G/R of the BGR triplets,
+# zero padding contributes 0 to each sum) and the TOP image row — the
+# LAST stored row, offset 48·(h−1) — so a decoder that ignored BMP's
+# bottom-up row order would hash-mismatch.
+MULTIMODAL_DECODE_SQL = """
+WITH c AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           [ascii(ch) FOR ch IN regexp_extract_all(text, '[\\s\\S]')] AS codes
+    FROM documents
+), d AS (
+    SELECT doc_id, text, n, codes,
+           greatest(CAST(ceil(n / 48.0) AS BIGINT), 1) AS h
+    FROM c
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_data_bytes,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 0]), 0) / (16 * h), 6) AS mean_b,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 1]), 0) / (16 * h), 6) AS mean_g,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 2]), 0) / (16 * h), 6) AS mean_r,
+       rpad(lower(hex(encode(substring(text, 48 * (h - 1) + 1, 48)))), 96, '0') AS row0_hex
+FROM d
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blobs(_docs(spark, sf_dir))
 
@@ -815,6 +872,29 @@ SELECT t.doc_id,
 FROM ex t JOIN v USING (g)
 WHERE t.sp = 'train'
 GROUP BY t.doc_id
+"""
+
+
+# SQL twin of dedup.duplicated_ngram_fraction (the function itself is
+# registered next to the other dedup queries near the top of the file;
+# the SQL lives here because it shares _SHINGLE4_SQL with
+# TEXT_DECONTAMINATE_SQL)
+DEDUP_NGRAM_FRACTION_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, {_SHINGLE4_SQL} AS s FROM w
+), ex AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh WHERE len(s) > 0
+), dfreq AS (
+    SELECT g, count(*) AS df FROM ex GROUP BY g
+)
+SELECT ex.doc_id,
+       CAST(max(ex.n_sh) AS INT) AS n_shingles,
+       CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_dup_shingles,
+       round(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) / max(ex.n_sh), 6) AS dup_frac
+FROM ex JOIN dfreq USING (g)
+GROUP BY ex.doc_id
 """
 
 
@@ -1258,7 +1338,10 @@ def _triangles_sql(threshold: float = _TRIANGLE_THRESHOLD) -> str:
 WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
 n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
-      FROM e),
+      FROM e
+      -- zero-norm guard (ADVICE r5): without it a 0-vector is a NaN
+      -- universal hub inflating every node's triangle count
+      WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0),
 e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
        FROM n a JOIN n b ON a.vec_id < b.vec_id
        WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),
@@ -1469,7 +1552,9 @@ def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _source_drift_sql(vocab_size: int = 25, alpha: float = 0.5) -> str:
     """DuckDB twin of textstats.source_unigram_kl — same vocabulary
     rank, same smoothing constants (rendered from the same Python
-    floats), same 9-dp rounding and DECIMAL(25,9) summation."""
+    floats), same REALIZED-vocabulary smoothing denominator (ADVICE
+    r5: nominal V breaks Σp=1 on small corpora), same 9-dp rounding
+    and DECIMAL(25,9) summation."""
     return f"""
 WITH toks AS (SELECT source, unnest({_SQL_WORDS}) AS tok FROM documents),
 counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
@@ -1480,12 +1565,13 @@ vocab AS (
 ),
 vt AS (SELECT t.source, t.tok FROM toks t JOIN vocab USING (tok)),
 corpus AS (SELECT tok, count(*) AS ct FROM vt GROUP BY tok),
-tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM corpus),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS v_sz FROM corpus),
 per_src AS (SELECT source, tok, count(*) AS cst FROM vt GROUP BY 1, 2),
 src_tot AS (SELECT source, CAST(sum(cst) AS BIGINT) AS n_s FROM per_src GROUP BY source),
 grid AS (
     SELECT s.source, s.n_s,
-           (coalesce(p.cst, 0) + {alpha}) / (s.n_s + {alpha * vocab_size}) AS p,
+           (coalesce(p.cst, 0) + {alpha}) / (s.n_s + {alpha} * t.v_sz) AS p,
            c.ct / t.n_total AS q
     FROM src_tot s CROSS JOIN corpus c
     LEFT JOIN per_src p ON p.source = s.source AND p.tok = c.tok
@@ -1555,11 +1641,19 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, headline=True, tags=("northstar", "dedup", "similarity", "pipeline")),
         QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
         QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup")),
-        QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
+        # r6 rotation (VERDICT r5 item 7): the three rows-only window
+        # entries (similarity_cosine_near_dup_lsh,
+        # similarity_ivf_fitted_topk, events_distinct_rollup) moved to
+        # EXTRA_QUERIES — their correctness evidence was always the
+        # pytest property suite, not the driver's rows-only check — to
+        # open slots for the ORACLED r5 families text_bm25_search,
+        # graph_triangles, corpus_release_pipeline. Window: 50/50 oracled.
         QuerySpec("sketch_heavy_hitters", sketch_heavy_hitters, CMS_HEAVY_HITTERS_SQL, sketches.cms_heavy_hitters.__doc__, headline=True, tags=("northstar", "sketch", "approx", "topk")),
         QuerySpec("similarity_quantized_topk", similarity_quantized_topk, QUANTIZED_TOPK_SQL, similarity_quantized_topk.__doc__, tags=("northstar", "similarity", "quantize")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
-        QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
+        QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, headline=True, tags=("northstar", "text", "topk")),
+        QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, headline=True, tags=("northstar", "graph", "dedup")),
+        QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, headline=True, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
         QuerySpec("text_doc_profile", text_doc_profile, TEXT_DOC_PROFILE_SQL, text_doc_profile.__doc__, tags=("northstar", "text")),
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
@@ -1591,23 +1685,24 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL, textstats.bigram_lm_scores.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("part_fuzzy_pairs", part_fuzzy_pairs, PART_FUZZY_PAIRS_SQL, dedup.edit_distance_pairs.__doc__, tags=("northstar", "dedup", "fuzzy", "join")),
         QuerySpec("corpus_source_cap", corpus_source_cap, CORPUS_SOURCE_CAP_SQL, sampling.source_cap.__doc__, tags=("northstar", "sampling", "pipeline")),
-        QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, tags=("northstar", "text", "pipeline")),
-        QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, tags=("northstar", "text", "topk")),
-        QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, tags=("northstar", "graph", "dedup")),
+        QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, headline=True, tags=("northstar", "text", "pipeline")),
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
-        QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
         QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
         QuerySpec("text_source_drift", text_source_drift, TEXT_SOURCE_DRIFT_SQL, textstats.source_unigram_kl.__doc__, tags=("northstar", "text", "pipeline", "drift")),
         QuerySpec("dedup_semantic_fitted", dedup_semantic_fitted, None, dedup_semantic_fitted.__doc__, tags=("northstar", "dedup", "similarity", "kmeans", "pipeline")),
-        # rotated out of the driver window in r5 (see QUERIES comment);
-        # rows-only smoke runs in test_parity, recall properties in
-        # tests/test_dedup.py / tests/test_similarity.py
+        # rotated out of the driver window in r5/r6 (see QUERIES
+        # comment); rows-only smoke runs in test_parity, recall/quality
+        # properties in tests/test_dedup.py / tests/test_similarity.py
         QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
+        QuerySpec("dedup_ngram_fraction", dedup_ngram_fraction, DEDUP_NGRAM_FRACTION_SQL, dedup.duplicated_ngram_fraction.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
+        QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
+        QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("multimodal_decode_image", multimodal_decode_image, MULTIMODAL_DECODE_SQL, multimodal.decode_image_stats.__doc__, tags=("northstar", "multimodal", "decode")),
     ]
 }

@@ -131,3 +131,30 @@ def test_exact_dedup_counts(spark):
     docs = _corpus(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
     out = {r["keep_doc_id"]: r["n_copies"] for r in dedup.exact_dedup_stats(docs).collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_duplicated_ngram_fraction_semantics(spark):
+    """Hand-checkable corpus: doc 0 and doc 1 share a 4-gram run, doc
+    2 is unique, doc 3 repeats a 4-gram internally but shares nothing
+    (must NOT count: df is over per-doc distinct shingles), doc 4 is
+    too short for any 4-gram (no output row)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta zeta"),
+            (2, "one two three four five six"),
+            (3, "red blue green yellow red blue green yellow"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicated_ngram_fraction(docs, k=4).collect()}
+    # doc 0: shingles {abgd, bgde} — only 'alpha beta gamma delta' shared
+    assert out[0]["n_shingles"] == 2 and out[0]["n_dup_shingles"] == 1
+    assert out[0]["dup_frac"] == 0.5
+    assert out[1]["n_dup_shingles"] == 1
+    assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_frac"] == 0.0
+    # doc 3: 5 positions but distinct shingles only; internal repeat
+    # of 'red blue green yellow' is df=1 → not duplicated
+    assert out[3]["n_dup_shingles"] == 0
+    assert 4 not in out

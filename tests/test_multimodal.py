@@ -1,5 +1,5 @@
 """Multimodal plumbing: binary columns, Arrow-batched mapInPandas
-feature extraction (real), decode stub (declared)."""
+feature extraction (real), and the pure-Python BMP/PPM decoders."""
 
 from __future__ import annotations
 
@@ -49,6 +49,66 @@ def test_sample_frames_fanout_and_edges(spark):
     assert 2 not in by_doc
 
 
-def test_decode_image_is_declared_stub():
+def test_decode_image_compressed_formats_still_raise():
+    """PNG/JPEG need codec libraries the container doesn't ship — the
+    parser must refuse them loudly, not misparse."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+
+def test_decode_image_bmp_roundtrip_with_row_padding():
+    """Odd width (5 px → 15 data bytes, stride 16) exercises the
+    4-byte row-pad stripping; bottom-up storage exercises the row
+    reversal."""
+    w, h = 5, 3
+    data = bytes(range(w * h * 3))  # RGB-ish payload, 45 bytes
+    bmp = multimodal.make_bmp(data, width=w)
+    # make_bmp pads 45 data bytes to 3 rows of stride 16
+    assert len(bmp) == 54 + 16 * h
+    img = multimodal.decode_image(bmp)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    # decoded pixels are top-down with the stride-pad byte of each
+    # stored row stripped (make_bmp lays the payload contiguously, so
+    # bytes 15 and 31 land in pad slots and drop out; the short last
+    # row is zero-filled)
+    rows = [data[r * 16 : r * 16 + 15].ljust(15, b"\x00") for r in range(h)]
+    assert img["pixels"] == b"".join(reversed(rows))
+
+
+def test_decode_image_bmp_top_down_negative_height():
+    """A top-down BMP (negative height) must NOT be row-reversed."""
+    w, h = 4, 2  # stride 12, no pad
+    data = bytes(range(w * h * 3))
+    bmp = bytearray(multimodal.make_bmp(data, width=w))
+    bmp[22:26] = (-h).to_bytes(4, "little", signed=True)
+    img = multimodal.decode_image(bytes(bmp))
+    assert img["height"] == h
+    assert img["pixels"] == data  # stored order IS image order here
+
+
+def test_decode_image_ppm_with_comment():
+    px = bytes(range(2 * 2 * 3))
+    ppm = b"P6\n# a comment line\n2 2\n255\n" + px
+    img = multimodal.decode_image(ppm)
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == px
+
+
+def test_decode_image_truncated_bmp_raises():
+    data = bytes(48)
+    bmp = multimodal.make_bmp(data)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(bmp[:-1])
+
+
+def test_decode_image_stats_matches_hand_computation(spark):
+    out = {
+        r["doc_id"]: r for r in multimodal.decode_image_stats(_docs(spark)).collect()
+    }
+    raw = "hello world".encode()
+    padded = raw.ljust(48, b"\x00")
+    assert out[0]["width"] == 16 and out[0]["height"] == 1
+    assert out[0]["mean_b"] == round(sum(padded[0::3]) / 16, 6)
+    assert out[0]["row0_hex"] == padded.hex()
