@@ -11,16 +11,19 @@ Each query is fully materialized through the no-op sink (every row is
 produced and serialized by the executors; nothing short-circuits the
 plan the way count() can) after one tiny warmup to absorb JVM +
 codegen startup. Per query the reported number is the TRIMMED MEAN of
-N_RUNS=7 in-process runs (fastest and slowest dropped, mean of the
-middle 5), so round-over-round deltas reflect plan changes rather than
+N_RUNS=7 in-process runs (two fastest and two slowest dropped, mean
+of the middle 3), so round-over-round deltas reflect plan changes rather than
 JIT/page-cache noise — VERDICT r3 saw a 2x "speedup" between identical
 binaries, and VERDICT r5 saw spreads larger than the medians at
-N_RUNS=3. "spread" records max-min over the SAME middle 5 runs, i.e.
-the dispersion that actually enters the reported value. Between
-queries the Spark cache is cleared and the JVM is asked to GC, so one
-query's residual storage (k-means broadcast blobs, shuffle pages)
-cannot bleed into the next query's timing (VERDICT r5 item 4). All
-human-readable chatter goes to stderr.
+N_RUNS=3. "spread" records max-min over the SAME middle 3 runs, i.e.
+the dispersion that actually enters the reported value. Before EVERY
+run the Spark cache is cleared, persisted RDD blocks are freed, and
+the JVM is asked to GC, so (a) one query's residual storage cannot
+bleed into the next query's timing (VERDICT r5 item 4 — this alone
+was the r5 cosine_near_dup "regression"), and (b) operators that
+persist() an intermediate are measured cold on every run instead of
+serving runs 2..N from run 1's cache. All human-readable chatter
+goes to stderr.
 
 Usage: python bench.py [sf_dir] [query ...]
 """
@@ -52,7 +55,8 @@ def _sf_of(sf_dir: str) -> float:
 
 
 N_RUNS = 7
-N_TRIM = 1  # drop the fastest and slowest run before averaging
+N_TRIM = 2  # keep the middle 3 of 7: scheduling/GC jitter on
+# sub-second queries makes the 2nd-fastest/2nd-slowest runs outliers too
 
 
 def _isolate(spark) -> None:
@@ -104,9 +108,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
-        _isolate(spark)
         runs: list[float] = []
         for _ in range(N_RUNS):
+            # isolate each RUN, not just each query: operators that
+            # persist() an intermediate (minhash shingles, triangle
+            # edges) would otherwise compute it in run 1 and serve
+            # runs 2..N from cache — bimodal timings (the r5 spread
+            # problem) and a number that measures the warm path
+            _isolate(spark)
             t0 = time.time()
             _materialize(ALL_QUERIES[name].fn(spark, sf_dir))
             runs.append(time.time() - t0)
