@@ -376,6 +376,114 @@ def lsh_candidate_stats(
     )
 
 
+def write_ivf_layout(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Materialize the corpus hive-partitioned by IVF cell — the
+    layout-as-index half of ANN serving at 100 TB: one directory per
+    cell, one file per directory (repartition on cell before the
+    write), so a probe-restricted search reads ONLY the probed cells'
+    directories and Catalyst proves it in the plan (PartitionFilters).
+    In-memory ``ivf_topk`` prunes candidates but still SCANS the whole
+    corpus to assign cells per query; against this layout the
+    assignment is baked into the storage and the scan itself shrinks
+    by n_cells/n_probe — the difference between "cheaper compute" and
+    "cheaper IO", and IO is what a 1000-executor scan pays for.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    p = _prepared(emb)
+    dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
+    assigned = p.select(
+        "vec_id",
+        F.col("v").alias("embedding"),
+        "nrm",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def _probe_cells_py(
+    qv: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The query-side cell ranking of ``ivf_topk`` in plain Python —
+    same sequential dot fold, same (dot desc, cell asc) tie-break, so
+    the probe set is identical to the in-engine argmax/row_number."""
+    dots = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(qv, c):
+            acc += x * y
+        dots.append((j, acc))
+    dots.sort(key=lambda t: (-t[1], t[0]))
+    return [j for j, _ in dots[:n_probe]]
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k served FROM the ``write_ivf_layout`` store with
+    directory pruning: the probed cells are computed driver-side from
+    the (tiny, bounded n_queries×dim) query vectors and pushed into
+    the scan as a LITERAL partition filter — only literals prune
+    directories, which is exactly why the probe list must be
+    driver-known. The one collect is the query set itself: n_queries
+    rows, the classic "small probes, huge corpus" asymmetry; the
+    corpus side reads n_probe·|union| directories and nothing else
+    (tests/test_layout.py asserts PartitionFilters in the plan and
+    result-equality with the in-memory ``ivf_topk``).
+    """
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    store = spark.read.parquet(path)
+    qrows = (
+        store.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding", "nrm")
+        .collect()
+    )
+    probes_rows = []
+    for r in qrows:
+        for cell in _probe_cells_py(list(r["embedding"]), cents, n_probe):
+            probes_rows.append((r["vec_id"], list(r["embedding"]), r["nrm"], cell))
+    probes = spark.createDataFrame(
+        probes_rows, "q_id long, qv array<double>, qnrm double, qcell int"
+    )
+    probed_cells = sorted({c for *_, c in probes_rows})
+    corpus = store.where(F.col("cell").isin(probed_cells))  # literal → dir pruning
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nrm") * F.col("qnrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("score"), "rn")
+    )
+
+
 def cosine_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -5,6 +5,7 @@ plan (PartitionFilters), row-group stats are tight disjoint ranges
 from __future__ import annotations
 
 import glob
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -138,3 +139,60 @@ def test_zorder_key_is_bijective_on_the_grid(spark):
             x |= ((r["zk"] >> (2 * i)) & 1) << i
             y |= ((r["zk"] >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r["x"], r["y"])
+
+
+# ---------------------------------------------------------------- IVF layout
+
+
+@pytest.fixture(scope="module")
+def ivf_store(spark, sf_dir, tmp_path_factory):
+    from mapreduce_cs416_spark.operators.similarity import write_ivf_layout
+
+    path = str(tmp_path_factory.mktemp("layout") / "emb_ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_ivf_layout(emb, path, n_cells=16, dim=64)
+    return path
+
+
+def test_ivf_layout_matches_in_memory_ivf(spark, sf_dir, ivf_store):
+    """Serving from the cell-partitioned store must return exactly the
+    in-memory ivf_topk result — the layout changes IO, not answers."""
+    from mapreduce_cs416_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = sorted(map(tuple, ivf_topk(emb, n_queries=10, k=5).collect()))
+    got = sorted(
+        map(tuple, ivf_topk_from_layout(spark, ivf_store, n_queries=10, k=5).collect())
+    )
+    assert got == want
+
+
+def test_ivf_layout_scan_prunes_to_probed_cells(spark, ivf_store):
+    """The corpus scan must carry a literal PartitionFilters on cell —
+    i.e. only the probed directories are read, the rest of the store
+    is never opened."""
+    from mapreduce_cs416_spark.operators.similarity import ivf_topk_from_layout
+
+    # 3 queries × 2 probes → ≤ 6 of 16 directories can ever be read
+    df = ivf_topk_from_layout(spark, ivf_store, n_queries=3, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, plan[:1500]
+    n_dirs = len(glob.glob(ivf_store + "/cell=*"))
+    # Spark prints small literal lists as `IN (...)` and larger ones
+    # as `INSET ...` — accept both
+    inset = re.search(r"cell#\d+ IN \(([0-9,]+)\)|cell#\d+ INSET ([0-9, ]+)", m.group(1))
+    assert inset, m.group(1)
+    n_probed = len((inset.group(1) or inset.group(2)).split(","))
+    assert n_probed <= 6 < n_dirs, (n_probed, n_dirs)
+
+
+def test_ivf_layout_one_file_per_cell(ivf_store):
+    for d in glob.glob(ivf_store + "/cell=*"):
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, (d, files)
