@@ -243,12 +243,15 @@ def triangle_counts(pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b") ->
     legs are equi-joins on node ids (shuffle or broadcast by size);
     nothing collects a neighborhood.
     """
-    # persist the canonical edge list: degrees, orientation, both wedge
-    # legs, and the closing-edge probe all read it, and `pairs` is
-    # typically an EXPENSIVE upstream (the O(n²) cosine pair join in
-    # graph_triangles) — without the persist every reference re-runs
-    # that upstream, which benched at ~7× the persisted cost at sf0.1.
-    # The edge list itself is small (near-dup pairs, not the corpus).
+    # EAGERLY materialize the canonical edge list (localCheckpoint):
+    # degrees, orientation, both wedge legs, and the closing-edge
+    # probe all read it, and `pairs` is typically an EXPENSIVE
+    # upstream (the O(n²) cosine pair join in graph_triangles). A lazy
+    # persist() is not enough — the seven references sit in ONE action,
+    # whose concurrent tasks race past the unfilled cache and re-run
+    # the pair join several times (benched ~7× the one-pass cost at
+    # sf0.1); the eager checkpoint runs the upstream exactly once. The
+    # edge list itself is small (near-dup pairs, not the corpus).
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -256,7 +259,7 @@ def triangle_counts(pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b") ->
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("n"))

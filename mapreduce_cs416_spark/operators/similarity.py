@@ -82,12 +82,14 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     the oracle could never catch it (ADVICE r5). The SQL twins
     (COSINE_NEAR_DUP_SQL, _triangles_sql) apply the identical guard.
 
-    The prepared frame is persisted: both sides of the pair join read
-    it, and without the persist the cast+norm prep scan runs twice.
+    The prepared frame is eagerly materialized (localCheckpoint):
+    both sides of the pair join read it, and a lazy cache lets the
+    two concurrent references race past the unfilled cache and run
+    the cast+norm prep twice (cf. graph.triangle_counts).
     """
     from .dedup import _spread
 
-    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).persist()
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
     a = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -518,14 +520,15 @@ def cosine_near_dup_lsh(
     # _spread: a single-row-group embeddings file otherwise runs the
     # signature pass, the bucket self-join, AND the verify join on one
     # task (see cosine_near_dup_pairs) — bench showed a 17s outlier.
-    # persist: the prepared frame feeds the bucketing scan AND both
-    # verify-join probes; without it the cast+norm prep runs three
-    # times (VERDICT r5 item 2). Zero-norm guard: cf.
-    # cosine_near_dup_pairs — output parity with the exact twin
+    # localCheckpoint: the prepared frame feeds the bucketing scan AND
+    # both verify-join probes; without eager materialization the
+    # cast+norm prep runs three times (VERDICT r5 item 2; lazy persist
+    # still races — benched 3.0s -> 2.2s at sf0.1). Zero-norm guard:
+    # cf. cosine_near_dup_pairs — output parity with the exact twin
     # requires the same NaN-proofing.
     from .dedup import _spread
 
-    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).persist()
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
     cand = _banded_candidates(p, n_planes, n_tables, dim)
     va = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -565,10 +565,23 @@ def source_unigram_kl(
     toks = _spread(docs).select("source", F.explode(_words()).alias("tok"))
     vocab = build_vocab(toks.select(F.col("tok").alias("token")), size=vocab_size)
     vt = toks.join(F.broadcast(vocab), "tok")  # vocab tokens only
-    corpus = vt.groupBy("tok").agg(F.count("*").alias("ct"))
+    per_src = vt.groupBy("source", "tok").agg(F.count("*").alias("cst"))
+    return source_kl_from_counts(per_src, alpha=alpha)
+
+
+def source_kl_from_counts(per_src: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """The stateless finishing step of the drift monitor: turn a
+    (source, tok, cst) counter table — however maintained — into the
+    per-source smoothed-KL scores of ``source_unigram_kl``. The
+    corpus-wide distribution q, the total N, and the realized V are
+    all derived from the SAME counter table (sums over sources), so a
+    batch snapshot and an incrementally-maintained streaming counter
+    state (streaming/pipelines.streaming_source_token_counts) produce
+    identical scores — asserted in tests/test_streaming.py. Same
+    9-dp/DECIMAL(25,9) float discipline as the one-shot query."""
+    corpus = per_src.groupBy("tok").agg(F.sum("cst").alias("ct"))
     # realized V + total in one one-row aggregate (both broadcast)
     tot = corpus.agg(F.sum("ct").alias("n_total"), F.count("*").alias("v_sz"))
-    per_src = vt.groupBy("source", "tok").agg(F.count("*").alias("cst"))
     src_tot = per_src.groupBy("source").agg(F.sum("cst").alias("n_s"))
     grid = (
         src_tot.crossJoin(F.broadcast(corpus))

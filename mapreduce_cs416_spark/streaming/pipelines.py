@@ -361,6 +361,31 @@ def streaming_cms_sketch(docs: DataFrame) -> DataFrame:
     return sketches.cms_build(toks)
 
 
+def streaming_source_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Incremental per-(source, token) counters against a FIXED
+    broadcast vocabulary — the stateful half of the distribution-drift
+    monitor (textstats.source_unigram_kl). The vocabulary is a batch
+    snapshot artifact (vocab.build_vocab), exactly how a production
+    drift monitor works: the reference distribution is pinned at
+    release time, the stream updates counts as crawl shards arrive.
+    State is ≤ |sources|·V rows FOREVER (the broadcast vocab join
+    prunes the unbounded token tail BEFORE the stateful aggregation —
+    same bounded-state argument as streaming_cms_sketch); any moment's
+    counter table feeds textstats.source_kl_from_counts for the
+    current KL scores without rescanning history. The identical
+    function body runs on the batch table; tests/test_streaming.py
+    asserts stream == batch counters AND end-to-end score equality
+    with the one-shot batch query via availableNow."""
+    from ..functions.text import words_col
+
+    toks = docs.select("source", F.explode(words_col("text")).alias("tok"))
+    return (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cst"))
+    )
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the stream's current input in one run (availableNow) into
     an in-memory table `name`; returns after the query stops. The unit

@@ -176,3 +176,47 @@ def test_stateful_funnel_converges_to_batch(spark, sf_dir):
     got = spark.table("t_funnel").distinct()
     want = events_funnel(spark, sf_dir)
     assert _canon(got) == _canon(want)
+
+
+def test_streaming_drift_counters_match_batch_and_finish_to_same_kl(spark, sf_dir):
+    """Drift monitor, streaming face: per-(source, token) counters
+    maintained incrementally against a pinned vocabulary must equal
+    the batch counters once the stream drains, and finishing them with
+    source_kl_from_counts must reproduce the one-shot batch
+    source_unigram_kl scores exactly (same 9-dp decimal discipline)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_cs416_spark.operators import textstats
+    from mapreduce_cs416_spark.operators.vocab import build_vocab
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the same snapshot vocabulary source_unigram_kl derives internally
+    # (build_vocab outputs (tok, id))
+    vocab = build_vocab(
+        docs.select(F.explode(F.split("text", r"[^\p{L}]+")).alias("token")).where(
+            F.col("token") != ""
+        ),
+        size=25,
+    )
+
+    stream = sp.stream_documents(spark, sf_dir)
+    sp.run_available_now(sp.streaming_source_token_counts(stream, vocab), "t_drift")
+    got = _canon(spark.table("t_drift"))
+    want = _canon(sp.streaming_source_token_counts(docs, vocab))
+    assert got == want and got
+
+    # end-to-end: the streamed counter state finishes to the same
+    # scores as the one-shot batch query. localCheckpoint snapshots
+    # the memory-sink view first: source_kl_from_counts self-joins its
+    # input three ways, and Spark cannot deduplicate conflicting
+    # references through a MemoryPlan view (INTERNAL_ERROR) — a real
+    # monitor would likewise snapshot the counter state it scores.
+    counts = spark.table("t_drift").localCheckpoint()
+    kl_stream = _canon(textstats.source_kl_from_counts(counts))
+    kl_batch = _canon(textstats.source_unigram_kl(docs))
+    assert kl_stream == kl_batch
+
+    # bounded-state contract: never more rows than |sources| x V
+    n_sources = docs.select("source").distinct().count()
+    assert len(got) <= n_sources * 25
