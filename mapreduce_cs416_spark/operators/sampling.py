@@ -190,16 +190,14 @@ def weighted_priority_sample(
         + 1
     ).cast("double") / F.lit(_U_DENOM)
     pr = F.round(F.log(u) / F.col(weight), 9)
-    top = (
-        df.where(F.col(weight) > 0)
-        .select(key, weight, pr.alias("pr"))
-        .orderBy(F.desc("pr"), key)
-        .limit(k)
+    from ..functions.ranking import ranked_topk
+
+    # window-free top-k rank (functions/ranking): no WindowExec WARN
+    return ranked_topk(
+        df.where(F.col(weight) > 0).select(key, weight, pr.alias("pr")),
+        [F.desc("pr"), F.col(key)],
+        k,
     )
-    # k-row input: constant partition key == same single-partition plan
-    # without the WindowExec WARN (cf. operators/vocab.build_vocab)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("pr"), key)
-    return top.withColumn("rn", F.row_number().over(w))
 
 
 def quality_weighted_sample(
@@ -248,10 +246,8 @@ def quality_weighted_sample(
         "mean12",
         F.expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000000000000) DIV n AS DECIMAL(38,0))"),
     )
-    # |strata|-row input: constant partition key == same single-
-    # partition plan without the WindowExec WARN
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("mean12"), stratum)
-    best = stats.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+    # argmax = orderBy + limit(1): TakeOrdered, no window, no WARN
+    best = stats.orderBy(F.desc("mean12"), stratum).limit(1).select(
         F.col("s").alias("s_max"), F.col("n").alias("n_max")
     )
     cuts = stats.crossJoin(F.broadcast(best)).select(

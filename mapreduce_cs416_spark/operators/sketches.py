@@ -26,7 +26,7 @@ full value-hash DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 2^12 registers ≈ 0.8 kB per sketch, ~1.6% relative standard error —
@@ -164,17 +164,13 @@ def cms_heavy_hitters(
     estimates, not the candidate walk, that the sketch makes cheap);
     at true stream scale the candidate set would instead be a sampled
     or per-partition-top-m superset, with the same probe join."""
+    from ..functions.ranking import ranked_topk
+
     sketch = cms_build(tokens, col, depth, width)
     est = cms_estimate(sketch, tokens.select(col).distinct(), col, depth, width)
-    # sort+limit compiles to TakeOrderedAndProject (per-partition top-k
-    # then a k-row merge on the driver) — the candidate table is never
-    # globally sorted through one task; the row_number window then runs
-    # over k rows only.
-    top = est.orderBy(F.desc("est"), "item").limit(k)
-    # k-row input: constant partition key == same single-partition plan
-    # without the WindowExec WARN (cf. operators/vocab.build_vocab)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("est"), "item")
-    return (
-        top.withColumn("rn", F.row_number().over(w))
-        .select(F.col("item").alias(col), "est", "rn")
+    # window-free top-k rank (functions/ranking): TakeOrderedAndProject
+    # merges per-partition heaps on the driver — the candidate table is
+    # never globally sorted through one task, and no WindowExec WARN
+    return ranked_topk(est, [F.desc("est"), F.col("item")], k).select(
+        F.col("item").alias(col), "est", "rn"
     )

@@ -521,11 +521,12 @@ def bm25_search(
     scored = contrib.groupBy("doc_id").agg(
         F.round(decimal_sum(F.col("part")), 6).alias("score")
     )
-    top = scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
-    # top_k-row input: constant partition key == same single-partition
-    # plan without the WindowExec WARN (cf. operators/vocab.build_vocab)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "doc_id")
-    return top.withColumn("rn", F.row_number().over(w)).select("doc_id", "score", "rn")
+    from ..functions.ranking import ranked_topk
+
+    # window-free top-k rank (functions/ranking): no WindowExec WARN
+    return ranked_topk(scored, [F.desc("score"), F.col("doc_id")], top_k).select(
+        "doc_id", "score", "rn"
+    )
 
 
 def source_unigram_kl(

@@ -22,7 +22,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import words_col
@@ -35,15 +35,13 @@ def build_vocab(tokens: DataFrame, col: str = "token", size: int = 25) -> DataFr
     """Frequency-ranked vocabulary: (token, id) with id 1..size by
     (count desc, token) — the tie-break makes the id assignment a pure
     function of the corpus."""
+    from ..functions.ranking import ranked_topk
+
     counts = tokens.groupBy(F.col(col).alias("tok")).agg(F.count("*").alias("c"))
-    top = counts.orderBy(F.desc("c"), "tok").limit(size)
-    # literal partition key: the window runs on the ``size``-row limit()
-    # output, so a single partition is the right plan — partitioning on
-    # a constant keeps that plan but silences WindowExec's scary
-    # "No Partition Defined" WARN that would bury real warnings
-    # (VERDICT r5 item 5)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), "tok")
-    return top.withColumn("id", F.row_number().over(w).cast("int")).select("tok", "id")
+    # window-free rank (functions/ranking): WindowExec's "No Partition
+    # Defined" WARN would bury real warnings, and a literal partition
+    # key gets constant-folded back to an empty spec (VERDICT r5 item 5)
+    return ranked_topk(counts, [F.desc("c"), F.col("tok")], size, rn="id").select("tok", "id")
 
 
 def encode_documents(docs: DataFrame, vocab: DataFrame) -> DataFrame:
