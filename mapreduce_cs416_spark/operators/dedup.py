@@ -241,6 +241,94 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_ingest(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup an incoming shard AGAINST the existing corpus — the
+    admission decision an incremental ingest pipeline makes per new
+    document, distinct from the batch self-join dedups above (those
+    compact a corpus; this gates what may enter it). Returns one row
+    per new document: (doc_id, status, best_match, jaccard) where
+    status ∈ {'exact', 'near', 'novel'}:
+
+    - 'exact': byte-identical text exists in the corpus (md5 join);
+      best_match = lowest matching corpus doc_id, jaccard = 1.0.
+    - 'near' : exact k-gram Jaccard ≥ ``threshold`` against some
+      corpus doc (inverted-index join, same machinery as
+      ``ngram_jaccard_pairs`` but new⋈corpus instead of self-join);
+      best_match = argmax-Jaccard corpus doc (ties → lowest doc_id).
+    - 'novel': neither — admit.
+
+    Scale shape: the corpus never joins itself — the inverted-index
+    join is |new shard| × corpus postings, and ``max_df`` caps the
+    corpus-side document frequency per shingle exactly as in the
+    self-join variant, so boilerplate shingles cannot blow up the
+    candidate set. The argmax is a struct-max aggregate
+    (max(round(j,6), -corpus_id)), one shuffle on new-doc id, no
+    window; deterministic and engine-portable, so the registered
+    query carries an exact DuckDB oracle
+    (plans/northstar.DEDUP_INCREMENTAL_SQL).
+    """
+    ch = corpus_docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("cid"))
+    exact = (
+        new_docs.select("doc_id", F.md5("text").alias("h"))
+        .join(ch, "h")
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("exact_match"))
+    )
+    ex_n = (
+        shingle_sets(new_docs, k)
+        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("sh"))
+    )
+    ex_c = (
+        shingle_sets(corpus_docs, k)
+        .select(
+            F.col("doc_id").alias("cid"),
+            F.col("n_sh").alias("c_n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .select("cid", "c_n_sh", F.xxhash64("shingle").alias("sh"))
+    )
+    if max_df is not None:
+        hot = ex_c.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+        ex_c = ex_c.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    common = (
+        ex_n.join(ex_c, "sh")
+        .groupBy("doc_id", "cid", "n_sh", "c_n_sh")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_sh") + F.col("c_n_sh") - F.col("common"))
+    pairs = common.select(
+        "doc_id", "cid", F.round(jac, 6).alias("j")
+    ).where(F.round(jac, 6) >= threshold)
+    best_near = (
+        pairs.groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("j"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("doc_id", (-F.col("m.nc")).alias("near_match"), F.col("m.j").alias("near_j"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best_near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("best_match"),
+            F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_j"))
+            .alias("jaccard"),
+        )
+    )
+
+
 def duplicated_ngram_fraction(docs: DataFrame, k: int = 4) -> DataFrame:
     """Corpus-internal duplicated-text signal (the RefinedWeb /
     Gopher-style "duplicated n-gram fraction" quality filter, applied

@@ -378,9 +378,17 @@ def streaming_source_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFram
     with the one-shot batch query via availableNow."""
     from ..functions.text import words_col
 
+    voc = vocab.select("tok")
+    if docs.isStreaming:
+        # snapshot the vocabulary plan: it is semantically a pinned
+        # artifact, and Spark's unsupported-operations checker rejects
+        # batch-only expressions (the window-free rank's
+        # monotonically_increasing_id, functions/ranking) anywhere
+        # inside a streaming plan — even on the static join side
+        voc = voc.localCheckpoint()
     toks = docs.select("source", F.explode(words_col("text")).alias("tok"))
     return (
-        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        toks.join(F.broadcast(voc), "tok")
         .groupBy("source", "tok")
         .agg(F.count("*").alias("cst"))
     )

@@ -158,3 +158,35 @@ def test_duplicated_ngram_fraction_semantics(spark):
     # of 'red blue green yellow' is df=1 → not duplicated
     assert out[3]["n_dup_shingles"] == 0
     assert 4 not in out
+
+
+def test_incremental_ingest_statuses(spark):
+    """All three admission decisions on a hand-built shard/corpus:
+    byte-identical -> 'exact' (lowest matching corpus id, jaccard 1),
+    shingle-overlapping -> 'near' (argmax-Jaccard match), otherwise
+    'novel'. A doc that is BOTH exact and near must report 'exact'."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # corpus-internal copy
+            (2, "one two three four five six seven"),
+            (3, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # exact (and near)
+            (101, "one two three four five nine ten"),  # near of 2
+            (102, "nothing shared with anything else"),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_ingest(new, corpus, k=3, threshold=0.2).collect()}
+    assert out[100]["status"] == "exact"
+    assert out[100]["best_match"] == 0  # min of the two identical corpus docs
+    assert out[100]["jaccard"] == 1.0
+    assert out[101]["status"] == "near" and out[101]["best_match"] == 2
+    assert 0 < out[101]["jaccard"] < 1
+    assert out[102]["status"] == "novel"
+    assert out[102]["best_match"] is None and out[102]["jaccard"] is None
