@@ -600,6 +600,55 @@ def semantic_dedup(
     return assigned.join(dominated, "vec_id", "left_anti").select("vec_id", "cell")
 
 
+def ranking_metrics(results: DataFrame, truth: DataFrame) -> DataFrame:
+    """Retrieval-quality evaluation: score a ranked result set against
+    a relevance ground truth, per query — the measurement loop every
+    retrieval/ANN pipeline closes before shipping an index config.
+    Returns (q_id, n_relevant, n_retrieved, n_hit, recall, mrr):
+
+    - ``results``: (q_id, neighbor_id, rn) — a ranked retrieval
+      output (brute_force_topk / ivf_topk / bm25-shaped frames).
+    - ``truth``: (q_id, rel_id) — the relevant set per query.
+    - recall = |retrieved ∩ relevant| / |relevant|;
+      mrr = 1 / rank of the first relevant hit (0 if none).
+
+    Every query in EITHER input gets a row (full outer on q_id), so
+    queries that retrieve nothing and queries with no relevant items
+    are visible rather than silently dropped. Shuffle shape: two tiny
+    per-query aggregates + one equi-join on q_id — the evaluation is
+    never heavier than the retrieval it scores. Deterministic integer
+    counts + one IEEE division per metric (6-dp rounded) make it
+    hash-exact against SQL twins built from the same result/truth
+    CTEs (plans/northstar.SIMILARITY_EVAL_SQL).
+    """
+    hits = (
+        results.join(
+            truth.select(F.col("q_id").alias("tq"), F.col("rel_id")),
+            (F.col("q_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("rel_id")),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"), F.min("rn").alias("first_rank"))
+    )
+    retrieved = results.groupBy("q_id").agg(F.count("*").alias("n_retrieved"))
+    relevant = truth.groupBy("q_id").agg(F.count("*").alias("n_relevant"))
+    return (
+        relevant.join(retrieved, "q_id", "full_outer")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("int").alias("n_relevant"),
+            F.coalesce("n_retrieved", F.lit(0)).cast("int").alias("n_retrieved"),
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0))
+                / F.when(F.coalesce("n_relevant", F.lit(0)) > 0, F.col("n_relevant")),
+                6,
+            ).alias("recall"),
+            F.coalesce(F.round(F.lit(1.0) / F.col("first_rank"), 6), F.lit(0.0)).alias("mrr"),
+        )
+    )
+
+
 def lang_centroid_scores(
     docs: DataFrame, emb: DataFrame, dim: int = 64, scale: int = 10_000_000
 ) -> DataFrame:

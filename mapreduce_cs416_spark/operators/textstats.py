@@ -445,6 +445,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def phrase_search(docs: DataFrame, phrase: list[str], top_k: int = 10) -> DataFrame:
+    """Exact-phrase retrieval over a positional token index — the IR
+    capability the reference's inverted index (mrapps/indexer.go)
+    gestures toward but cannot answer (it stores document sets, not
+    positions). Returns (doc_id, n_occurrences, rn): documents
+    containing the exact consecutive token sequence ``phrase``, ranked
+    by occurrence count (ties → doc_id), top_k only.
+
+    Plan shape: the token stream is posexploded ONCE; each phrase term
+    filters its own postings BEFORE any join (term-selective — the
+    postings of a query term are tiny next to the corpus), then
+    adjacency is |phrase|-1 equi-joins on (doc_id, pos) with the i-th
+    term's positions shifted by -i. All joins are on the same key pair
+    (exchange reuse), the per-doc count is one partial-aggregated
+    groupBy, and the final rank is the window-free TakeOrdered top-k
+    (functions/ranking). Engine-portable and hash-exact: the DuckDB
+    twin counts the same matches with an array comprehension.
+    """
+    from ..functions.ranking import ranked_topk
+    from ..operators.dedup import _spread
+
+    if not phrase:
+        raise ValueError("phrase_search requires at least one token")
+    occ = _spread(docs).select("doc_id", F.posexplode(_words()).alias("pos", "tok"))
+    base = occ.where(F.col("tok") == phrase[0]).select("doc_id", "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = occ.where(F.col("tok") == term).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, ["doc_id", "pos"])
+    counts = base.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_occurrences"))
+    return ranked_topk(counts, [F.desc("n_occurrences"), F.col("doc_id")], top_k)
+
+
 def bm25_search(
     docs: DataFrame,
     terms: list[str],

@@ -1344,6 +1344,78 @@ WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.vec_id = c.vec_id)
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+# "table hash" is the corpus's most frequent bigram (48 occurrences at
+# sf0.01), so the phrase join and the occurrence ranking are both
+# non-vacuous; unit tests exercise 3-token phrases and misses.
+_PHRASE = ("table", "hash")
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.phrase_search(_docs(spark, sf_dir), list(_PHRASE), top_k=10)
+
+
+def _phrase_sql(phrase=_PHRASE, top_k: int = 10) -> str:
+    """DuckDB twin of textstats.phrase_search: the adjacency joins are
+    re-expressed as one array comprehension counting start positions
+    where every phrase term matches at its offset."""
+    m = len(phrase)
+    cond = " AND ".join(f"ws[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+c AS (
+    SELECT doc_id,
+           len([i FOR i IN range(1, len(ws) - {m} + 2) IF {cond}]) AS n
+    FROM w
+),
+ranked AS (
+    SELECT doc_id, CAST(n AS INT) AS n_occurrences,
+           row_number() OVER (ORDER BY n DESC, doc_id) AS rn
+    FROM c WHERE n > 0
+)
+SELECT doc_id, n_occurrences, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= {top_k}
+"""
+
+
+TEXT_PHRASE_SQL = _phrase_sql()
+
+
+def similarity_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation AS A QUERY
+    (operators/similarity.ranking_metrics): the IVF ANN results scored
+    against the brute-force exact top-k as ground truth — per-query
+    recall and MRR, i.e. the measurement the pytest recall assertions
+    make, productized and oracle-checked (both inputs are
+    deterministic, so the whole evaluation is SQL-expressible)."""
+    emb = _emb(spark, sf_dir)
+    results = similarity.ivf_topk(emb, n_queries=10, k=5, n_cells=16, n_probe=4, dim=64)
+    truth = similarity.brute_force_topk(emb, n_queries=10, k=5).select(
+        "q_id", F.col("neighbor_id").alias("rel_id")
+    )
+    return similarity.ranking_metrics(results, truth)
+
+
+SIMILARITY_EVAL_SQL = f"""
+WITH res AS ({_ivf_sql()}),
+tru AS (SELECT q_id, neighbor_id AS rel_id FROM ({SIMILARITY_TOPK_SQL})),
+hits AS (
+    SELECT r.q_id, count(*) AS n_hit, min(r.rn) AS first_rank
+    FROM res r JOIN tru t ON r.q_id = t.q_id AND r.neighbor_id = t.rel_id
+    GROUP BY 1
+),
+ret AS (SELECT q_id, count(*) AS n_retrieved FROM res GROUP BY 1),
+rel AS (SELECT q_id, count(*) AS n_relevant FROM tru GROUP BY 1)
+SELECT coalesce(rel.q_id, ret.q_id) AS q_id,
+       CAST(coalesce(rel.n_relevant, 0) AS INT) AS n_relevant,
+       CAST(coalesce(ret.n_retrieved, 0) AS INT) AS n_retrieved,
+       CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / NULLIF(coalesce(rel.n_relevant, 0), 0), 6) AS recall,
+       coalesce(round(1.0 / h.first_rank, 6), 0.0) AS mrr
+FROM rel
+FULL OUTER JOIN ret ON rel.q_id = ret.q_id
+LEFT JOIN hits h ON coalesce(rel.q_id, ret.q_id) = h.q_id
+"""
+
+
 _BM25_TERMS = ("spark", "window", "join")  # all present in the fixture vocabulary
 
 
@@ -1775,6 +1847,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
         QuerySpec("dedup_ngram_fraction", dedup_ngram_fraction, DEDUP_NGRAM_FRACTION_SQL, dedup.duplicated_ngram_fraction.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, tags=("northstar", "dedup", "pipeline", "join")),
+        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, tags=("northstar", "text", "topk", "join")),
+        QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),

@@ -329,3 +329,27 @@ def test_lsh_candidate_ratio_is_measured_not_prose(spark, sf_dir):
 
     tight = similarity.lsh_candidate_stats(emb, n_planes=8, n_tables=4).collect()[0]
     assert tight["candidate_ratio"] <= 0.03, tight["candidate_ratio"]
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """recall/mrr on a hand-built case, including a query with no
+    relevant items (recall NULL, mrr from hits still counted) and a
+    query whose relevant items are never retrieved (mrr 0)."""
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        "q_id long, neighbor_id long, rn int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99), (2, 77), (4, 40)],
+        "q_id long, rel_id long",
+    )
+    out = {r["q_id"]: r for r in similarity.ranking_metrics(results, truth).collect()}
+    # q1: 2 of 3 relevant retrieved, first hit at rank 2
+    assert out[1]["n_hit"] == 2 and out[1]["recall"] == round(2 / 3, 6)
+    assert out[1]["mrr"] == 0.5
+    # q2: relevant never retrieved
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0 and out[2]["mrr"] == 0.0
+    # q3: retrieved but nothing relevant known -> recall undefined (null)
+    assert out[3]["n_relevant"] == 0 and out[3]["recall"] is None
+    # q4: relevant exists, nothing retrieved at all
+    assert out[4]["n_retrieved"] == 0 and out[4]["recall"] == 0.0 and out[4]["mrr"] == 0.0

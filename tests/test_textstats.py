@@ -204,3 +204,28 @@ def test_source_drift_nonnegative_and_orders_drift(spark):
     # the normals also score > 0 (the corpus mixture q includes the
     # drifted mass), so assert separation, not near-zero normals
     assert out["drifted"] > out["normal0"] * 3 and out["drifted"] > out["normal1"] * 3, out
+
+
+def test_phrase_search_adjacency_and_misses(spark):
+    """3-token phrase: only true consecutive runs match; scrambled or
+    gapped occurrences of the same tokens must not."""
+    from mapreduce_cs416_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "big red fox jumps big red fox"),   # 2 occurrences
+            (1, "red big fox"),                      # scrambled: no match
+            (2, "big red dog fox"),                  # gapped: no match
+            (3, "prefix big red fox suffix"),        # 1 occurrence
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.phrase_search(docs, ["big", "red", "fox"]).collect()}
+    assert set(out) == {0, 3}
+    assert out[0]["n_occurrences"] == 2 and out[0]["rn"] == 1
+    assert out[3]["n_occurrences"] == 1 and out[3]["rn"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.phrase_search(docs, [])
