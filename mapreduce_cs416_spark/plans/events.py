@@ -311,6 +311,62 @@ GROUP BY 1, 2
 """
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection per event type: each day's event count
+    scored as a z-score against that type's own daily history, |z| ≥ 2
+    flagged — the monitoring query that catches an instrumentation
+    break or a bot flood in one slice without a model. Returns
+    (event_type, day, n, z, is_anomaly).
+
+    Determinism discipline: mean and variance are computed explicitly
+    from INTEGER aggregates (Σn, Σn², d — exact in any order; counts
+    here keep Σn² far under 2⁵³) with one fixed float expression
+    var = (Σn² − (Σn)²/d)/d, NOT engine stddev implementations whose
+    internal accumulation differs — so the z-scores are bit-equal in
+    the DuckDB twin. Shuffle shape: one groupBy(type, day) with
+    map-side partials, one tiny groupBy(type), broadcast join of the
+    |types|-row stats back onto the daily counts.
+    """
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("d")) / F.col("d")
+    z = (F.col("n") - F.col("s") / F.col("d")) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 6).alias("z"),
+            (F.abs(F.round(z, 6)) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, count(*) AS d, sum(n) AS s, sum(n * n) AS q
+    FROM daily GROUP BY 1
+)
+SELECT daily.event_type, day, CAST(n AS BIGINT) AS n,
+       round((n - s / d) / sqrt((q - s * s / d) / d), 6) AS z,
+       abs(round((n - s / d) / sqrt((q - s * s / d) / d), 6)) >= 2.0 AS is_anomaly
+FROM daily JOIN stats ON daily.event_type = stats.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -335,5 +391,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
         QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),
         QuerySpec("events_value_histogram", events_value_histogram, EVENTS_HISTOGRAM_SQL, events_value_histogram.__doc__, tags=("events", "agg", "histogram")),
+        QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, tags=("events", "agg", "anomaly", "monitoring")),
     ]
 }
