@@ -367,6 +367,59 @@ FROM daily JOIN stats ON daily.event_type = stats.event_type
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: for every consecutive pair of
+    events by the same user (ordered by ts, event_id tie-break), the
+    transition count and conditional probability
+    P(next_type | event_type) — the first-order Markov view of product
+    flows ("what do users do after search?"). Returns
+    (event_type, next_type, n, p).
+
+    One shuffle partitions by user_id for the lead() window (a real
+    partitioned window — each user's timeline is modest, so no skewed
+    single task), then a tiny (|types|² upper-bounded) pair groupBy
+    with map-side partials and a broadcast of the per-type totals for
+    the probability. p is one integer-ratio IEEE division rounded to
+    6 dp → hash-exact in the DuckDB twin.
+    """
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = ev.select("event_type", nxt.alias("next_type")).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH seq AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+counts AS (
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (SELECT event_type, sum(n) AS tot FROM counts GROUP BY 1)
+SELECT c.event_type, c.next_type, c.n, round(c.n / t.tot, 6) AS p
+FROM counts c JOIN totals t ON c.event_type = t.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -392,5 +445,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),
         QuerySpec("events_value_histogram", events_value_histogram, EVENTS_HISTOGRAM_SQL, events_value_histogram.__doc__, tags=("events", "agg", "histogram")),
         QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, tags=("events", "agg", "anomaly", "monitoring")),
+        QuerySpec("events_transition_matrix", events_transition_matrix, EVENTS_TRANSITION_SQL, events_transition_matrix.__doc__, tags=("events", "window", "markov")),
     ]
 }

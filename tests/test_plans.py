@@ -272,3 +272,30 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_phrase_search_adjacency_is_equi_join(spark, sf_dir):
+    """Phrase adjacency must be (doc_id, pos) equi-joins over filtered
+    postings — never a cartesian/theta join over the token stream."""
+    plan = _plan(spark, sf_dir, "text_phrase_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_ingest_no_corpus_self_join(spark, sf_dir):
+    """The ingest gate joins the (small) new shard against the corpus
+    postings — no cartesian, and the corpus scan must keep parquet
+    pushdown."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_ingest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_transition_matrix_window_is_partitioned(spark, sf_dir):
+    """The lead() window must run partitioned by user — a global
+    (single-partition) window over the event stream is the 100 TB
+    anti-pattern this family exists to avoid."""
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    assert _nodes(plan, "Window") >= 1
+    assert "Exchange SinglePartition" not in plan
