@@ -200,6 +200,55 @@ def weighted_priority_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key: str = "doc_id",
+    stratum: str = "lang",
+    alpha: float = 0.5,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-based mixture downsampling (the UniMax/multilingual
+    data-mixing recipe): keep each stratum at a rate proportional to
+    n_s^(α−1), so the kept counts follow n_s^α — α = 1 reproduces the
+    natural distribution, α = 0 equalizes strata, α between flattens
+    the head without starving the tail. The smallest stratum keeps
+    everything (rate (n_min/n_s)^(1−α) = 1 there); larger strata are
+    hash-bucket downsampled toward it. Returns kept (key, stratum,
+    cut) rows.
+
+    Portability: the rate needs a real pow(), whose last-ulp behavior
+    is not identical across libm implementations — the same situation
+    as ln() in ``weighted_priority_sample``, handled the same way:
+    round the rate to 9 dp BEFORE the floor to a 0..256 bucket cut, so
+    an ulp of pow noise cannot move the cut except on exact
+    .5e-9 boundaries (measure-zero for real corpora). Everything after
+    the cut is the exact md5-bucket filter. Two-phase shape at scale:
+    one tiny groupBy(stratum), a one-row min broadcast, then a pure
+    row-local filter — the corpus never shuffles (cf. ``source_cap``).
+    """
+    counts = df.groupBy(stratum).agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rate = F.round(
+        F.pow(F.col("n_min") / F.col("n"), F.lit(1.0 - alpha)), 9
+    )
+    cuts = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            stratum,
+            F.least(F.lit(N_BUCKETS), F.floor(N_BUCKETS * rate).cast("int")).alias("cut"),
+        )
+    )
+    cut_hex = F.when(F.col("cut") >= N_BUCKETS, F.lit("zz")).otherwise(
+        F.lpad(F.lower(F.hex(F.col("cut"))), 2, "0")
+    )
+    return (
+        df.select(key, stratum)
+        .join(F.broadcast(cuts), stratum)
+        .where(hash_bucket(F.col(key), salt) < cut_hex)
+        .select(key, stratum, "cut")
+    )
+
+
 def quality_weighted_sample(
     docs: DataFrame,
     quality: DataFrame,

@@ -1514,6 +1514,36 @@ SELECT node, CAST(count(*) AS INT) AS n_triangles FROM member GROUP BY node
 GRAPH_TRIANGLES_SQL = _triangles_sql()
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lang is the skewed stratum on this corpus (en ≈ 3.4× fr), so the
+    # α=0.5 flattening genuinely drops head-language rows while the
+    # tail keeps cut=256 — non-vacuous in both directions
+    return sampling.temperature_mix(
+        _docs(spark, sf_dir), key="doc_id", stratum="lang", alpha=0.5
+    )
+
+
+def _temperature_mix_sql(alpha: float = 0.5, salt: str = "temp-v1") -> str:
+    """DuckDB twin of sampling.temperature_mix — same 9-dp-rounded
+    pow rate, same floor-to-bucket cut, same md5 bucket filter."""
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS n_min FROM counts),
+cuts AS (
+    SELECT lang,
+           least(256, CAST(floor(256 * round(pow(mn.n_min / n, {1.0 - alpha}), 9)) AS INT)) AS cut
+    FROM counts CROSS JOIN mn
+)
+SELECT d.doc_id, d.lang, c.cut
+FROM documents d JOIN cuts c USING (lang)
+WHERE substring(md5('{salt}' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN c.cut >= 256 THEN 'zz' ELSE lpad(lower(hex(c.cut)), 2, '0') END
+"""
+
+
+CORPUS_TEMPERATURE_SQL = _temperature_mix_sql()
+
+
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_priority_sample(
         _docs(spark, sf_dir), key="doc_id", weight="n_chars", k=50
@@ -1837,6 +1867,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_source_cap", corpus_source_cap, CORPUS_SOURCE_CAP_SQL, sampling.source_cap.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, headline=True, tags=("northstar", "text", "pipeline")),
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
+        QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
         QuerySpec("text_source_drift", text_source_drift, TEXT_SOURCE_DRIFT_SQL, textstats.source_unigram_kl.__doc__, tags=("northstar", "text", "pipeline", "drift")),

@@ -215,3 +215,28 @@ def test_weighted_sample_salt_draws_independent_sample(spark):
         for r in sampling.weighted_priority_sample(docs, "doc_id", "wt", k=100, salt="s2").collect()
     }
     assert a != b and 0 < len(a & b) < 100
+
+
+def test_temperature_mix_flattens_the_head(spark, sf_dir):
+    """alpha=0.5 must downsample the dominant stratum toward the
+    smallest (kept ~ n^alpha): the smallest stratum keeps everything
+    (cut 256), the largest keeps a strictly smaller fraction, and the
+    selection is a pure function of doc_id (partition-invariant)."""
+    from mapreduce_cs416_spark.operators.sampling import temperature_mix
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_by = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    out = temperature_mix(docs, stratum="lang", alpha=0.5).collect()
+    kept = {}
+    cuts = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        cuts[r["lang"]] = r["cut"]
+    smallest = min(n_by, key=n_by.get)
+    largest = max(n_by, key=n_by.get)
+    assert cuts[smallest] == 256 and kept[smallest] == n_by[smallest]
+    assert cuts[largest] < 256 and kept[largest] < n_by[largest]
+    # partition invariance
+    again = temperature_mix(docs.repartition(13), stratum="lang", alpha=0.5).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
