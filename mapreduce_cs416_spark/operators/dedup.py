@@ -87,6 +87,49 @@ def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     ).select("doc_id", F.col("s.shingles").alias("shingles"), F.col("s.n_sh").alias("n_sh"))
 
 
+def shingle_postings(
+    docs: DataFrame,
+    k: int = 3,
+    doc_col: str = "doc_id",
+    n_col: str = "n_sh",
+    materialize: bool = True,
+) -> DataFrame:
+    """The exploded inverted index every shingle-join operator builds:
+    (doc_col, n_col, sh) with one row per distinct k-shingle occurrence
+    and ``sh`` = xxhash64(shingle) — 8-byte longs on every downstream
+    shuffle instead of ~25-byte shingle text (exact up to 64-bit
+    collisions; see ngram_jaccard_pairs). Shared by the self-join
+    (ngram_jaccard_pairs), the screening pass
+    (duplicated_ngram_fraction), and the ingest gate
+    (incremental_ingest) so the postings contract cannot drift between
+    them (code-review r6 finding #6).
+
+    ``materialize`` eagerly localCheckpoints the postings: every
+    multi-branch consumer (df-cap groupBy + join sides) would
+    otherwise race a lazy cache and re-run the tokenize+shingle scan
+    per branch (the SKILL.md gotcha); pass False only when exactly one
+    downstream branch reads the result."""
+    ex = (
+        shingle_sets(docs, k)
+        .select(
+            F.col("doc_id").alias(doc_col),
+            F.col("n_sh").alias(n_col),
+            F.explode("shingles").alias("shingle"),
+        )
+        .select(doc_col, n_col, F.xxhash64("shingle").alias("sh"))
+    )
+    return ex.localCheckpoint() if materialize else ex
+
+
+def cap_postings(ex: DataFrame, max_df: int) -> DataFrame:
+    """Drop postings of shingles whose document frequency in ``ex``
+    exceeds ``max_df`` — the stop-shingle skew bound, applied as a
+    broadcast ANTI join against the (small by construction) hot set
+    rather than broadcasting the huge keep-set."""
+    hot = ex.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+    return ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 3, threshold: float = 0.2, max_df: int | None = None
 ) -> DataFrame:
@@ -105,17 +148,13 @@ def ngram_jaccard_pairs(
     (shingles with df > max_df), rather than broadcasting the huge
     keep-set.
     """
-    sh = shingle_sets(docs, k)
-    # eagerly materialize the inverted index: the df-cap groupBy and
-    # BOTH sides of the self-join read it, and concurrent references
-    # race past a lazy cache (cf. minhash_lsh_pairs) — benched
-    # 2.0s -> 1.6s at sf0.1
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle")).select(
-        "doc_id", "n_sh", F.xxhash64("shingle").alias("sh")
-    ).localCheckpoint()
+    # eagerly materialized postings (shingle_postings): the df-cap
+    # groupBy and BOTH sides of the self-join read them, and
+    # concurrent references race past a lazy cache (cf.
+    # minhash_lsh_pairs) — benched 2.0s -> 1.6s at sf0.1
+    ex = shingle_postings(docs, k)
     if max_df is not None:
-        hot = ex.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
-        ex = ex.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        ex = cap_postings(ex, max_df)
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
@@ -280,23 +319,17 @@ def incremental_ingest(
         .groupBy("doc_id")
         .agg(F.min("cid").alias("exact_match"))
     )
-    ex_n = (
-        shingle_sets(new_docs, k)
-        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("sh"))
-    )
-    ex_c = (
-        shingle_sets(corpus_docs, k)
-        .select(
-            F.col("doc_id").alias("cid"),
-            F.col("n_sh").alias("c_n_sh"),
-            F.explode("shingles").alias("shingle"),
-        )
-        .select("cid", "c_n_sh", F.xxhash64("shingle").alias("sh"))
+    # new-shard postings feed exactly one branch → no materialization;
+    # corpus postings feed the df-cap groupBy AND the join probe →
+    # eagerly materialized inside shingle_postings (code-review r6
+    # finding #3: the lazy form re-ran the corpus shingle scan per
+    # branch)
+    ex_n = shingle_postings(new_docs, k, materialize=False)
+    ex_c = shingle_postings(
+        corpus_docs, k, doc_col="cid", n_col="c_n_sh", materialize=max_df is not None
     )
     if max_df is not None:
-        hot = ex_c.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
-        ex_c = ex_c.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        ex_c = cap_postings(ex_c, max_df)
     common = (
         ex_n.join(ex_c, "sh")
         .groupBy("doc_id", "cid", "n_sh", "c_n_sh")
@@ -351,12 +384,10 @@ def duplicated_ngram_fraction(docs: DataFrame, k: int = 4) -> DataFrame:
     (df is per-document distinct occurrences, so df >= 2 means two
     different documents share it).
     """
-    ex = (
-        shingle_sets(docs, k)
-        .where(F.col("n_sh") > 0)
-        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("sh"))
-    )
+    # materialized postings: the df groupBy and the join-back both
+    # read them (shingle_postings; explode already drops shingle-less
+    # docs, so the old n_sh > 0 pre-filter was redundant)
+    ex = shingle_postings(docs, k)
     df = ex.groupBy("sh").agg(F.count("*").alias("df"))
     return (
         ex.join(df, "sh")

@@ -363,13 +363,21 @@ def lsh_candidate_stats(
     item 3 asked for — the scale claim as a measurement, not prose
     (tests/test_similarity.py pins it; the registered 4×8 banding
     measures 0.409 on the sf0.001 i.i.d. fixture, see
-    plans/northstar._COSINE_NEAR_DUP_THRESHOLD)."""
-    from .dedup import _spread
+    plans/northstar._COSINE_NEAR_DUP_THRESHOLD).
 
-    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).persist()
-    n_cand = _banded_candidates(p, n_planes, n_tables, dim).count()
-    n_vec = p.count()
-    p.unpersist()
+    The prepared frame is eagerly materialized (both self-join sides
+    of the candidate count read it — a lazy persist races, cf.
+    cosine_near_dup_lsh) and its blocks are freed before returning
+    even if a count throws."""
+    from .dedup import _spread
+    from .graph import _unpersist_checkpoint
+
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
+    try:
+        n_cand = _banded_candidates(p, n_planes, n_tables, dim).count()
+        n_vec = p.count()
+    finally:
+        _unpersist_checkpoint(p)
     spark = emb.sparkSession
     total = n_vec * (n_vec - 1) // 2
     return spark.createDataFrame(

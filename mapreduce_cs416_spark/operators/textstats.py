@@ -453,13 +453,15 @@ def phrase_search(docs: DataFrame, phrase: list[str], top_k: int = 10) -> DataFr
     containing the exact consecutive token sequence ``phrase``, ranked
     by occurrence count (ties → doc_id), top_k only.
 
-    Plan shape: the token stream is posexploded ONCE; each phrase term
-    filters its own postings BEFORE any join (term-selective — the
-    postings of a query term are tiny next to the corpus), then
-    adjacency is |phrase|-1 equi-joins on (doc_id, pos) with the i-th
-    term's positions shifted by -i. All joins are on the same key pair
-    (exchange reuse), the per-doc count is one partial-aggregated
-    groupBy, and the final rank is the window-free TakeOrdered top-k
+    Plan shape: the corpus is scanned and posexploded ONCE into the
+    phrase-term postings (filter tok ∈ phrase BEFORE materializing —
+    the postings of query terms are tiny next to the corpus), eagerly
+    checkpointed because every phrase term's adjacency branch reads
+    them (code-review r6 finding #4: the lazy form re-scanned the
+    corpus per term). Adjacency is then |phrase|-1 equi-joins on
+    (doc_id, pos) over the small postings with the i-th term's
+    positions shifted by -i, the per-doc count one partial-aggregated
+    groupBy, and the final rank the window-free TakeOrdered top-k
     (functions/ranking). Engine-portable and hash-exact: the DuckDB
     twin counts the same matches with an array comprehension.
     """
@@ -469,9 +471,10 @@ def phrase_search(docs: DataFrame, phrase: list[str], top_k: int = 10) -> DataFr
     if not phrase:
         raise ValueError("phrase_search requires at least one token")
     occ = _spread(docs).select("doc_id", F.posexplode(_words()).alias("pos", "tok"))
-    base = occ.where(F.col("tok") == phrase[0]).select("doc_id", "pos")
+    post = occ.where(F.col("tok").isin(*[F.lit(t) for t in phrase])).localCheckpoint()
+    base = post.where(F.col("tok") == phrase[0]).select("doc_id", "pos")
     for i, term in enumerate(phrase[1:], start=1):
-        nxt = occ.where(F.col("tok") == term).select(
+        nxt = post.where(F.col("tok") == term).select(
             "doc_id", (F.col("pos") - i).alias("pos")
         )
         base = base.join(nxt, ["doc_id", "pos"])

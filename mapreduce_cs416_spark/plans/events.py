@@ -338,7 +338,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("q"),
     )
     var = (F.col("q") - F.col("s") * F.col("s") / F.col("d")) / F.col("d")
-    z = (F.col("n") - F.col("s") / F.col("d")) / F.sqrt(var)
+    # zero-variance guard: a type seen on one day (or with constant
+    # daily counts) has var EXACTLY 0.0 (the float subtraction is
+    # exact for these integer magnitudes, identically in both
+    # engines) — without the guard the division is DIVIDE_BY_ZERO
+    # under ANSI mode and a NaN/NULL oracle divergence without it.
+    # No variance ⇒ no anomaly signal: z is NULL, flag false.
+    z = F.when(
+        var > 0, (F.col("n") - F.col("s") / F.col("d")) / F.sqrt(var)
+    )
     return (
         daily.join(F.broadcast(stats), "event_type")
         .select(
@@ -346,7 +354,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.col("n").cast("long").alias("n"),
             F.round(z, 6).alias("z"),
-            (F.abs(F.round(z, 6)) >= 2.0).alias("is_anomaly"),
+            F.coalesce(F.abs(F.round(z, 6)) >= 2.0, F.lit(False)).alias("is_anomaly"),
         )
     )
 
@@ -361,8 +369,11 @@ stats AS (
     FROM daily GROUP BY 1
 )
 SELECT daily.event_type, day, CAST(n AS BIGINT) AS n,
-       round((n - s / d) / sqrt((q - s * s / d) / d), 6) AS z,
-       abs(round((n - s / d) / sqrt((q - s * s / d) / d), 6)) >= 2.0 AS is_anomaly
+       CASE WHEN (q - s * s / d) / d > 0
+            THEN round((n - s / d) / sqrt((q - s * s / d) / d), 6) END AS z,
+       coalesce(CASE WHEN (q - s * s / d) / d > 0
+                     THEN abs(round((n - s / d) / sqrt((q - s * s / d) / d), 6)) >= 2.0
+                END, FALSE) AS is_anomaly
 FROM daily JOIN stats ON daily.event_type = stats.event_type
 """
 

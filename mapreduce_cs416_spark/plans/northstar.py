@@ -638,16 +638,22 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from raw byte positions ((i-1) % 3 picks B/G/R of the BGR triplets,
 # zero padding contributes 0 to each sum) and the TOP image row — the
 # LAST stored row, offset 48·(h−1) — so a decoder that ignored BMP's
-# bottom-up row order would hash-mismatch.
+# bottom-up row order would hash-mismatch. The byte values come from
+# hex-pair slices of the UTF-8 blob (hex(encode(text))), NOT from
+# per-character ascii(): the Spark side decodes real UTF-8 bytes, and
+# a code-point-based oracle would silently diverge on any non-ASCII
+# document (code-review r6 finding #2 — latent on today's pure-ASCII
+# fixture, wrong on the first accented character).
 MULTIMODAL_DECODE_SQL = """
 WITH c AS (
-    SELECT doc_id, text,
-           octet_length(encode(text)) AS n,
-           [ascii(ch) FOR ch IN regexp_extract_all(text, '[\\s\\S]')] AS codes
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
     FROM documents
 ), d AS (
-    SELECT doc_id, text, n, codes,
-           greatest(CAST(ceil(n / 48.0) AS BIGINT), 1) AS h
+    SELECT doc_id, hx, n,
+           greatest(CAST(ceil(n / 48.0) AS BIGINT), 1) AS h,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
     FROM c
 )
 SELECT doc_id,
@@ -657,7 +663,7 @@ SELECT doc_id,
        round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 0]), 0) / (16 * h), 6) AS mean_b,
        round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 1]), 0) / (16 * h), 6) AS mean_g,
        round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 2]), 0) / (16 * h), 6) AS mean_r,
-       rpad(lower(hex(encode(substring(text, 48 * (h - 1) + 1, 48)))), 96, '0') AS row0_hex
+       rpad(substr(hx, 96 * (h - 1) + 1, 96), 96, '0') AS row0_hex
 FROM d
 """
 

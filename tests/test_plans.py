@@ -299,3 +299,44 @@ def test_transition_matrix_window_is_partitioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_transition_matrix")
     assert _nodes(plan, "Window") >= 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_anomaly_zscore_survives_zero_variance(spark):
+    """A type seen on a single day (or with constant daily counts) has
+    exactly zero variance; the z-score must be NULL and the flag false
+    — not an ANSI DIVIDE_BY_ZERO crash, and not a NaN that compares
+    >= 2.0 as anomalous (code-review r6 finding #1)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        # 'launch': one single day -> d=1, var=0
+        ("launch", "2026-01-01 10:00:00", 5.0),
+        ("launch", "2026-01-01 11:00:00", 5.0),
+        # 'steady': constant daily counts across 3 days -> var=0
+        *[("steady", f"2026-01-0{d} 10:00:00", 1.0) for d in (1, 2, 3)],
+        # 'spiky': genuinely varying counts
+        ("spiky", "2026-01-01 10:00:00", 1.0),
+        ("spiky", "2026-01-02 10:00:00", 1.0),
+        ("spiky", "2026-01-02 11:00:00", 1.0),
+        ("spiky", "2026-01-02 12:00:00", 1.0),
+    ]
+    events = spark.createDataFrame(
+        [(t, ts, i, v) for i, (t, ts, v) in enumerate(rows)],
+        "event_type string, ts_s string, event_id long, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "value")
+
+    # drive the registered function body through a monkeypatched loader
+    import mapreduce_cs416_spark.plans.events as em
+
+    orig = em._ev
+    try:
+        em._ev = lambda _spark, _sf: events
+        out = em.events_anomaly_zscore(spark, "unused").collect()
+    finally:
+        em._ev = orig
+    by = {}
+    for r in out:
+        by.setdefault(r["event_type"], []).append(r)
+    assert all(r["z"] is None and r["is_anomaly"] is False for r in by["launch"])
+    assert all(r["z"] is None and r["is_anomaly"] is False for r in by["steady"])
+    assert any(r["z"] is not None for r in by["spiky"])
