@@ -190,3 +190,32 @@ def test_incremental_ingest_statuses(spark):
     assert 0 < out[101]["jaccard"] < 1
     assert out[102]["status"] == "novel"
     assert out[102]["best_match"] is None and out[102]["jaccard"] is None
+
+
+def test_incremental_ingest_indexed_equals_direct(spark, sf_dir, tmp_path_factory):
+    """Serving the ingest decision from a materialized corpus index
+    (digests + postings parquet) must produce exactly the direct
+    operator's output — the index changes where the corpus side comes
+    from, not the decision."""
+    from mapreduce_cs416_spark.operators.sampling import train_val_split
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    tagged = train_val_split(load_table(spark, sf_dir, "documents"), key="doc_id")
+    new = tagged.where(tagged["split"] == "val").select("doc_id", "text")
+    corpus = tagged.where(tagged["split"] == "train").select("doc_id", "text")
+
+    path = str(tmp_path_factory.mktemp("ingest") / "index")
+    dedup.write_ingest_index(corpus, path, k=3)
+
+    direct = sorted(
+        map(tuple, dedup.incremental_ingest(new, corpus, k=3, threshold=0.2, max_df=1000).collect())
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            dedup.incremental_ingest_indexed(
+                new, spark, path, k=3, threshold=0.2, max_df=1000
+            ).collect(),
+        )
+    )
+    assert indexed == direct and direct
