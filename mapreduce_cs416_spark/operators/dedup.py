@@ -108,7 +108,13 @@ def shingle_postings(
     multi-branch consumer (df-cap groupBy + join sides) would
     otherwise race a lazy cache and re-run the tokenize+shingle scan
     per branch (the SKILL.md gotcha); pass False only when exactly one
-    downstream branch reads the result."""
+    downstream branch reads the result. Lifecycle note: the
+    checkpointed blocks stay pinned until the session frees them —
+    the returned frame's plan reads them lazily, so the operator
+    cannot unpersist on your behalf; a long-lived service should free
+    consumed queries' blocks the way bench._isolate does
+    (unpersistRDD over getPersistentRDDs), and graph._unpersist_checkpoint
+    shows the per-frame API."""
     ex = (
         shingle_sets(docs, k)
         .select(
@@ -347,7 +353,6 @@ def write_ingest_index(corpus_docs: DataFrame, path: str, k: int = 3) -> None:
 
 def incremental_ingest_indexed(
     new_docs: DataFrame,
-    spark,
     index_path: str,
     k: int = 3,
     threshold: float = 0.2,
@@ -359,6 +364,7 @@ def incremental_ingest_indexed(
     digests + postings with pushdown-able scans. Result-equal to the
     direct face by construction (asserted in tests/test_dedup.py).
     ``k`` must match the index's build parameter."""
+    spark = new_docs.sparkSession
     ch = spark.read.parquet(f"{index_path}/digests")
     ex_c = spark.read.parquet(f"{index_path}/postings")
     return _ingest_decide(new_docs, ch, ex_c, k, threshold, max_df)

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 256  # two hex chars
+N_BUCKETS4 = 65536  # four hex chars — for rate laws where 1/256
+# granularity starves extreme strata (temperature_mix)
 
 
 def hash_bucket(key: Column, salt: str = "split-v1") -> Column:
@@ -29,9 +31,29 @@ def hash_bucket(key: Column, salt: str = "split-v1") -> Column:
     return F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 2)
 
 
+def hash_bucket4(key: Column, salt: str = "split-v1") -> Column:
+    """Four-hex-char bucket ('0000'..'ffff') — 65536 uniform buckets
+    for samplers whose rate law spans more than two hex digits of
+    dynamic range."""
+    return F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 4)
+
+
 def hash_bucket_sql(key_expr: str, salt: str = "split-v1") -> str:
     """The identical bucket in DuckDB SQL (for oracle twins)."""
     return f"substring(md5('{salt}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 2)"
+
+
+def cut_hex(cut: Column, chars: int = 2) -> Column:
+    """Hex comparison threshold for an integer bucket cut in
+    [0, 16^chars]: the ``chars``-hex-char zero-padded rendering, or a
+    'z'-string (> every hex char) when the cut keeps everything — the
+    shared tail of every bucket sampler (source_cap,
+    quality_weighted_sample, temperature_mix), extracted so a bucket-
+    encoding change cannot silently diverge them (code-review r6b
+    finding #4)."""
+    return F.when(cut >= 16**chars, F.lit("z" * chars)).otherwise(
+        F.lpad(F.lower(F.hex(cut)), chars, "0")
+    )
 
 
 def train_val_split(
@@ -135,14 +157,11 @@ def source_cap(
     counts = df.groupBy(stratum).agg(F.count("*").alias("n"))
     cut = F.expr(f"CAST(({N_BUCKETS} * {cap} * {headroom} + n - 1) DIV n AS INT)")
     cuts = counts.select(stratum, F.least(cut, F.lit(N_BUCKETS)).alias("cut"))
-    cut_hex = F.when(F.col("cut") >= N_BUCKETS, F.lit("zz")).otherwise(
-        F.lpad(F.lower(F.hex(F.col("cut"))), 2, "0")
-    )
     bucket = hash_bucket(F.col(key), salt)
     survivors = (
         df.select(key, stratum)
         .join(F.broadcast(cuts), stratum)
-        .where(bucket < cut_hex)
+        .where(bucket < cut_hex(F.col("cut")))
     )
     w = Window.partitionBy(stratum).orderBy(bucket, key)
     return (
@@ -219,12 +238,22 @@ def temperature_mix(
     Portability: the rate needs a real pow(), whose last-ulp behavior
     is not identical across libm implementations — the same situation
     as ln() in ``weighted_priority_sample``, handled the same way:
-    round the rate to 9 dp BEFORE the floor to a 0..256 bucket cut, so
-    an ulp of pow noise cannot move the cut except on exact
-    .5e-9 boundaries (measure-zero for real corpora). Everything after
-    the cut is the exact md5-bucket filter. Two-phase shape at scale:
-    one tiny groupBy(stratum), a one-row min broadcast, then a pure
+    round the rate to 9 dp BEFORE the floor to a bucket cut, so an
+    ulp of pow noise cannot move the cut except on exact .5e-9
+    boundaries (measure-zero for real corpora). Everything after the
+    cut is the exact md5-bucket filter. Two-phase shape at scale: one
+    tiny groupBy(stratum), a one-row min broadcast, then a pure
     row-local filter — the corpus never shuffles (cf. ``source_cap``).
+
+    Bucket granularity (code-review r6b finding #1): this sampler uses
+    the 4-hex-char / 65536-bucket space, NOT the 256-bucket space of
+    the fixed-rate samplers — a dominant stratum's keep-rate can span
+    many orders of magnitude, and a 1/256 floor would round any rate
+    below 0.4% to ZERO, silently deleting the head stratum instead of
+    flattening it (at α=0.5 that bites from ~65536× skew; real crawls
+    reach it). With 65536 buckets the realized rate is within 1/65536
+    of the n^(α−1) law, and starvation needs 16^4^(1/(1−α)) ≈ 4·10⁹×
+    skew at α=0.5.
     """
     counts = df.groupBy(stratum).agg(F.count("*").alias("n"))
     n_min = counts.agg(F.min("n").alias("n_min"))
@@ -235,16 +264,15 @@ def temperature_mix(
         counts.crossJoin(F.broadcast(n_min))
         .select(
             stratum,
-            F.least(F.lit(N_BUCKETS), F.floor(N_BUCKETS * rate).cast("int")).alias("cut"),
+            F.least(
+                F.lit(N_BUCKETS4), F.floor(N_BUCKETS4 * rate).cast("int")
+            ).alias("cut"),
         )
-    )
-    cut_hex = F.when(F.col("cut") >= N_BUCKETS, F.lit("zz")).otherwise(
-        F.lpad(F.lower(F.hex(F.col("cut"))), 2, "0")
     )
     return (
         df.select(key, stratum)
         .join(F.broadcast(cuts), stratum)
-        .where(hash_bucket(F.col(key), salt) < cut_hex)
+        .where(hash_bucket4(F.col(key), salt) < cut_hex(F.col("cut"), chars=4))
         .select(key, stratum, "cut")
     )
 
@@ -303,12 +331,10 @@ def quality_weighted_sample(
         stratum,
         F.expr(f"CAST(({base_buckets} * s * n_max) DIV (n * s_max) AS INT)").alias("cut"),
     )
-    cut_hex = F.when(F.col("cut") >= 256, F.lit("zz")).otherwise(
-        F.lpad(F.lower(F.hex(F.col("cut"))), 2, "0")
-    )
+
     return (
         docs.select(key, stratum)
         .join(F.broadcast(cuts), stratum)
-        .where(hash_bucket(F.col(key), salt) < cut_hex)
+        .where(hash_bucket(F.col(key), salt) < cut_hex(F.col("cut")))
         .select(key, stratum, "cut")
     )

@@ -445,7 +445,12 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def phrase_search(docs: DataFrame, phrase: list[str], top_k: int = 10) -> DataFrame:
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    top_k: int = 10,
+    materialize: bool = True,
+) -> DataFrame:
     """Exact-phrase retrieval over a positional token index — the IR
     capability the reference's inverted index (mrapps/indexer.go)
     gestures toward but cannot answer (it stores document sets, not
@@ -471,7 +476,13 @@ def phrase_search(docs: DataFrame, phrase: list[str], top_k: int = 10) -> DataFr
     if not phrase:
         raise ValueError("phrase_search requires at least one token")
     occ = _spread(docs).select("doc_id", F.posexplode(_words()).alias("pos", "tok"))
-    post = occ.where(F.col("tok").isin(*[F.lit(t) for t in phrase])).localCheckpoint()
+    post = occ.where(F.col("tok").isin(*[F.lit(t) for t in phrase]))
+    if materialize:
+        # ``materialize=False`` exists for the plan-audit tests: the
+        # checkpoint hides the scan→posexplode→filter segment from
+        # .explain, so the full-lineage plan guards inspect the
+        # unmaterialized form (code-review r6b finding #3)
+        post = post.localCheckpoint()
     base = post.where(F.col("tok") == phrase[0]).select("doc_id", "pos")
     for i, term in enumerate(phrase[1:], start=1):
         nxt = post.where(F.col("tok") == term).select(

@@ -1531,19 +1531,21 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _temperature_mix_sql(alpha: float = 0.5, salt: str = "temp-v1") -> str:
     """DuckDB twin of sampling.temperature_mix — same 9-dp-rounded
-    pow rate, same floor-to-bucket cut, same md5 bucket filter."""
+    pow rate, same floor to the 65536-bucket cut (4 hex chars: the
+    256-bucket space would zero out extreme-skew strata — see the
+    operator docstring), same md5 bucket filter."""
     return f"""
 WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 mn AS (SELECT min(n) AS n_min FROM counts),
 cuts AS (
     SELECT lang,
-           least(256, CAST(floor(256 * round(pow(mn.n_min / n, {1.0 - alpha}), 9)) AS INT)) AS cut
+           least(65536, CAST(floor(65536 * round(pow(mn.n_min / n, {1.0 - alpha}), 9)) AS INT)) AS cut
     FROM counts CROSS JOIN mn
 )
 SELECT d.doc_id, d.lang, c.cut
 FROM documents d JOIN cuts c USING (lang)
-WHERE substring(md5('{salt}' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
-      < CASE WHEN c.cut >= 256 THEN 'zz' ELSE lpad(lower(hex(c.cut)), 2, '0') END
+WHERE substring(md5('{salt}' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN c.cut >= 65536 THEN 'zzzz' ELSE lpad(lower(hex(c.cut)), 4, '0') END
 """
 
 

@@ -214,7 +214,7 @@ def test_incremental_ingest_indexed_equals_direct(spark, sf_dir, tmp_path_factor
         map(
             tuple,
             dedup.incremental_ingest_indexed(
-                new, spark, path, k=3, threshold=0.2, max_df=1000
+                new, path, k=3, threshold=0.2, max_df=1000
             ).collect(),
         )
     )

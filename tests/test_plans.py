@@ -340,3 +340,38 @@ def test_anomaly_zscore_survives_zero_variance(spark):
     assert all(r["z"] is None and r["is_anomaly"] is False for r in by["launch"])
     assert all(r["z"] is None and r["is_anomaly"] is False for r in by["steady"])
     assert any(r["z"] is not None for r in by["spiky"])
+
+
+def test_checkpoint_hidden_segments_keep_plan_quality(spark, sf_dir):
+    """The eager localCheckpoints in the shingle/phrase operators hide
+    their upstream segment (scan -> explode -> filter/hash) from the
+    registered queries' .explain — so audit that segment directly in
+    its unmaterialized form (code-review r6b finding #3): the corpus
+    scan must keep column pruning, and the phrase pipeline up to the
+    rank must stay cartesian-free with its term filter applied before
+    the joins."""
+    from mapreduce_cs416_spark.operators.dedup import shingle_postings
+    from mapreduce_cs416_spark.operators.textstats import phrase_search
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    post_plan = fmt(shingle_postings(docs, 3, materialize=False))
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", post_plan).group(1)
+    # only doc_id + text leave the scan, not the full documents schema
+    assert sorted(c.split(":")[0] for c in read_schema.split(",")) == ["doc_id", "text"]
+    # narrow pipeline: the only allowed exchange is _spread's
+    # round-robin repartition of a small single-row-group corpus —
+    # never a hash shuffle (no agg/join in this segment)
+    assert "Exchange hashpartitioning" not in post_plan
+    assert "Exchange rangepartitioning" not in post_plan
+
+    full = fmt(phrase_search(docs, ["table", "hash"], materialize=False))
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    # the phrase-term filter sits below the adjacency joins
+    assert re.search(r"tok#\d+ IN \(hash,table\)|tok#\d+ IN \(table,hash\)", full), full[:1200]

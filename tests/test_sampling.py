@@ -235,8 +235,29 @@ def test_temperature_mix_flattens_the_head(spark, sf_dir):
         cuts[r["lang"]] = r["cut"]
     smallest = min(n_by, key=n_by.get)
     largest = max(n_by, key=n_by.get)
-    assert cuts[smallest] == 256 and kept[smallest] == n_by[smallest]
-    assert cuts[largest] < 256 and kept[largest] < n_by[largest]
+    assert cuts[smallest] == 65536 and kept[smallest] == n_by[smallest]
+    assert cuts[largest] < 65536 and kept[largest] < n_by[largest]
     # partition invariance
     again = temperature_mix(docs.repartition(13), stratum="lang", alpha=0.5).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_temperature_mix_survives_extreme_skew(spark):
+    """code-review r6b finding #1: a 256-bucket space would floor a
+    dominant stratum's keep-rate to zero once skew exceeds ~65536x
+    (alpha=0.5) and DELETE the head instead of flattening it. With the
+    65536-bucket space a synthetic 10^6x-skew stratum must keep a
+    nonzero slice close to the n^alpha law."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_cs416_spark.operators.sampling import temperature_mix
+
+    big = spark.range(0, 1_000_000).select(F.col("id").alias("doc_id"), F.lit("head").alias("lang"))
+    tiny = spark.range(1_000_000, 1_000_001).select(
+        F.col("id").alias("doc_id"), F.lit("tail").alias("lang")
+    )
+    out = temperature_mix(big.unionByName(tiny), stratum="lang", alpha=0.5)
+    kept = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # law: head keeps ~ n*(n_min/n)^0.5 = sqrt(n*n_min) = 1000 docs
+    assert kept.get("tail", 0) == 1
+    assert 500 <= kept.get("head", 0) <= 2000, kept
