@@ -332,6 +332,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n"))
     )
+    return anomaly_from_counts(daily)
+
+
+def anomaly_from_counts(daily: DataFrame) -> DataFrame:
+    """The stateless finishing step of the volume-anomaly monitor:
+    turn an (event_type, day, n) daily-counter table — however
+    maintained — into the z-scored rows of ``events_anomaly_zscore``.
+    A batch snapshot and an incrementally-maintained streaming counter
+    state (streaming/pipelines.streaming_daily_type_counts) produce
+    identical scores — asserted in tests/test_streaming.py (cf. the
+    same split in textstats.source_kl_from_counts)."""
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("d"),
         F.sum("n").alias("s"),

@@ -394,6 +394,21 @@ def streaming_source_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFram
     )
 
 
+def streaming_daily_type_counts(events: DataFrame) -> DataFrame:
+    """Incremental (event_type, day) counters — the stateful half of
+    the volume-anomaly monitor (plans/events.events_anomaly_zscore,
+    finished by plans/events.anomaly_from_counts on any snapshot).
+    State is |types|·|days| rows — days accrue slowly, and a
+    production monitor bounds them with a watermark-expired window or
+    a periodic compaction of closed days into the batch store. The
+    identical function body runs on the batch table;
+    tests/test_streaming.py asserts stream == batch counters AND
+    end-to-end z-score equality with the one-shot batch query."""
+    return events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the stream's current input in one run (availableNow) into
     an in-memory table `name`; returns after the query stops. The unit

@@ -220,3 +220,27 @@ def test_streaming_drift_counters_match_batch_and_finish_to_same_kl(spark, sf_di
     # bounded-state contract: never more rows than |sources| x V
     n_sources = docs.select("source").distinct().count()
     assert len(got) <= n_sources * 25
+
+
+def test_streaming_anomaly_counters_match_batch_and_finish_to_same_zscores(spark, sf_dir):
+    """Anomaly monitor, streaming face: incrementally maintained
+    (event_type, day) counters must equal the batch counters once the
+    stream drains, and finishing them with anomaly_from_counts must
+    reproduce the one-shot batch events_anomaly_zscore exactly."""
+    from mapreduce_cs416_spark.plans import events as ev_plans
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    stream = sp.stream_events(spark, sf_dir)
+    sp.run_available_now(sp.streaming_daily_type_counts(stream), "t_anomaly")
+    got = _canon(spark.table("t_anomaly"))
+    batch_events = load_table(spark, sf_dir, "events")
+    want = _canon(sp.streaming_daily_type_counts(batch_events))
+    assert got == want and got
+
+    # snapshot the memory-sink view before the multi-reference
+    # finishing step (cf. the drift test: self-joins cannot resolve
+    # through a MemoryPlan view)
+    counts = spark.table("t_anomaly").localCheckpoint()
+    z_stream = _canon(ev_plans.anomaly_from_counts(counts))
+    z_batch = _canon(ev_plans.events_anomaly_zscore(spark, sf_dir))
+    assert z_stream == z_batch
