@@ -403,6 +403,74 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
+def make_ppm(payload: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Wrap raw bytes into a binary PPM (P6): zero-padded to
+    width·height RGB triplets — the padding-free, top-down counterpart
+    of ``make_bmp`` (PPM has no row stride and no row reversal)."""
+    height = max(-(-len(payload) // (width * 3)), 1)
+    data = payload.ljust(width * height * 3, b"\x00")
+    return f"P6\n{width} {height}\n255\n".encode() + data
+
+
+def decode_ppm_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
+    """The PPM face of the decode path: wrap each blob's bytes into a
+    P6 image (``make_ppm``), run the same ``decode_image`` parser, and
+    emit per-channel means + the first image row's hex. PPM stores
+    R,G,B top-down with no stride padding, so where the BMP query's
+    row0 is the LAST stored row, here it is simply the first 3·width
+    payload bytes — together the two queries pin both channel orders
+    and both row layouts of the decoder against hash-exact oracles
+    (plans/northstar.MULTIMODAL_DECODE_PPM_SQL)."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in PPM_DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                img = decode_image(make_ppm(raw, width))
+                px = img["pixels"]
+                n_px = img["width"] * img["height"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_data_bytes"].append(len(raw))
+                out["mean_r"].append(sum(px[0::3]) / n_px)
+                out["mean_g"].append(sum(px[1::3]) / n_px)
+                out["mean_b"].append(sum(px[2::3]) / n_px)
+                out["row0_hex"].append(px[: img["width"] * 3].hex())
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, PPM_DECODE_SCHEMA)
+    # JVM-side HALF_UP rounding, cf. decode_image_stats
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_data_bytes",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "row0_hex",
+    )
+
+
+PPM_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_data_bytes", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("row0_hex", T.StringType()),
+    ]
+)
+
+
 def decode_image_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     """END-TO-END real decode path: wrap each blob's bytes into a
     24-bit BMP (``make_bmp``), run the genuine parser

@@ -668,6 +668,38 @@ FROM d
 """
 
 
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_ppm_stats(_docs(spark, sf_dir))
+
+
+# PPM twin of MULTIMODAL_DECODE_SQL: RGB channel order, top-down rows,
+# no stride padding — row0 is simply the first 48 payload bytes, and
+# (i-1) % 3 maps to R/G/B instead of B/G/R. Same byte-exact hex-pair
+# parsing of the UTF-8 blob.
+MULTIMODAL_DECODE_PPM_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, hx, n,
+           greatest(CAST(ceil(n / 48.0) AS BIGINT), 1) AS h,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_data_bytes,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 0]), 0) / (16 * h), 6) AS mean_r,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 1]), 0) / (16 * h), 6) AS mean_g,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 2]), 0) / (16 * h), 6) AS mean_b,
+       rpad(substr(hx, 1, 96), 96, '0') AS row0_hex
+FROM d
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blobs(_docs(spark, sf_dir))
 
@@ -1896,5 +1928,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
+        QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
     ]
 }

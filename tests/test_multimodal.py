@@ -112,3 +112,12 @@ def test_decode_image_stats_matches_hand_computation(spark):
     assert out[0]["width"] == 16 and out[0]["height"] == 1
     assert out[0]["mean_b"] == round(sum(padded[0::3]) / 16, 6)
     assert out[0]["row0_hex"] == padded.hex()
+
+
+def test_make_ppm_roundtrip(spark):
+    """make_ppm -> decode_image round-trip: top-down RGB, no stride
+    padding, zero-fill to the triplet grid."""
+    data = bytes(range(100))
+    img = multimodal.decode_image(multimodal.make_ppm(data, width=16))
+    assert (img["width"], img["height"]) == (16, 3)  # ceil(100/48)=3 rows
+    assert img["pixels"] == data.ljust(16 * 3 * 3, b"\x00")
