@@ -620,18 +620,29 @@ def ranking_metrics(results: DataFrame, truth: DataFrame) -> DataFrame:
     - recall = |retrieved ∩ relevant| / |relevant|;
       mrr = 1 / rank of the first relevant hit (0 if none).
 
-    Every query in EITHER input gets a row (full outer on q_id), so
-    queries that retrieve nothing and queries with no relevant items
-    are visible rather than silently dropped. Shuffle shape: two tiny
-    per-query aggregates + one equi-join on q_id — the evaluation is
-    never heavier than the retrieval it scores. Deterministic integer
-    counts + one IEEE division per metric (6-dp rounded) make it
-    hash-exact against SQL twins built from the same result/truth
-    CTEs (plans/northstar.SIMILARITY_EVAL_SQL).
+    Every query in EITHER input gets a row, so queries that retrieve
+    nothing and queries with no relevant items are visible rather
+    than silently dropped. Rather than a full-outer join (which
+    Spark can only plan as a SortMergeJoin), the q_id universe is
+    the distinct union of both inputs' q_ids and every per-query
+    aggregate is broadcast-left-joined onto it: the aggregates are
+    at most |queries| rows — trivially broadcastable — so the whole
+    evaluation plans as BroadcastHashJoins and is never heavier than
+    the retrieval it scores. Deterministic integer counts + one IEEE
+    division per metric (6-dp rounded) make it hash-exact against
+    SQL twins built from the same result/truth CTEs
+    (plans/northstar.SIMILARITY_EVAL_SQL).
+
+    Distinctness contract: ``results`` must be distinct on
+    (q_id, neighbor_id) and ``truth`` distinct on (q_id, rel_id) —
+    duplicate rows inflate n_hit/n_retrieved/n_relevant and can push
+    recall above 1. Every produced retrieval frame (brute-force /
+    IVF / LSH top-k) satisfies this by construction; callers feeding
+    external frames must dedup first.
     """
     hits = (
         results.join(
-            truth.select(F.col("q_id").alias("tq"), F.col("rel_id")),
+            F.broadcast(truth.select(F.col("q_id").alias("tq"), F.col("rel_id"))),
             (F.col("q_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("rel_id")),
         )
         .groupBy("q_id")
@@ -639,9 +650,11 @@ def ranking_metrics(results: DataFrame, truth: DataFrame) -> DataFrame:
     )
     retrieved = results.groupBy("q_id").agg(F.count("*").alias("n_retrieved"))
     relevant = truth.groupBy("q_id").agg(F.count("*").alias("n_relevant"))
+    qids = truth.select("q_id").union(results.select("q_id")).distinct()
     return (
-        relevant.join(retrieved, "q_id", "full_outer")
-        .join(hits, "q_id", "left")
+        qids.join(F.broadcast(relevant), "q_id", "left")
+        .join(F.broadcast(retrieved), "q_id", "left")
+        .join(F.broadcast(hits), "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_relevant", F.lit(0)).cast("int").alias("n_relevant"),

@@ -819,22 +819,27 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     real dedup pipeline runs AFTER pair generation: "A~B, B~C" must
     collapse to one kept document even though (A,C) was never emitted
     as a pair. The label set is tiny next to the corpus (only docs
-    that appear in some pair), so the final join is a broadcast."""
-    from pyspark.sql import Window
-
+    that appear in some pair), so BOTH the label join and the
+    size join are broadcasts: component sizes are aggregated on the
+    label frame alone (docs outside every pair are singletons, size
+    1 by coalesce) — the corpus itself never shuffles, where a
+    ``count(*) OVER (PARTITION BY component_id)`` window would
+    repartition every document into mostly-singleton partitions."""
     from ..operators import graph
 
     docs = _docs(spark, sf_dir).select("doc_id")
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2, max_df=1000)
     labels = graph.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    sizes = labels.groupBy(F.col("component").alias("component_id")).agg(
+        F.count("*").cast("int").alias("component_size")
+    )
     out = docs.join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component_id")
     )
-    w = Window.partitionBy("component_id")
-    return out.select(
+    return out.join(F.broadcast(sizes), "component_id", "left").select(
         "doc_id",
         "component_id",
-        F.count("*").over(w).cast("int").alias("component_size"),
+        F.coalesce("component_size", F.lit(1)).cast("int").alias("component_size"),
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
 
