@@ -13,13 +13,17 @@ signatures — is real and tested:
                        one pandas frame per partition chunk; the
                        "decode" inside is a deterministic fake
                        (byte-chunk means), the batch shape is real.
-- ``decode_image``   : the genuine decode entry point — a WORKING
-                       pure-Python parser for uncompressed 24-bit BMP
-                       and binary PPM (P6); compressed formats (which
-                       need libpng/libjpeg, absent from this
-                       container) still raise NotImplementedError.
+- ``decode_image``   : the genuine decode entry point — WORKING
+                       pure-Python parsers for uncompressed 24-bit
+                       BMP, binary PPM (P6), and 8-bit truecolor PNG
+                       (zlib-inflated IDAT + all five scanline
+                       filters — the stdlib ships the codec). JPEG
+                       still raises: its DCT entropy coding genuinely
+                       needs libjpeg, absent from this container.
 - ``decode_image_stats``: the oracled end-to-end decode query
-                       (make_bmp → decode_image → channel means).
+                       (make_bmp → decode_image → channel means),
+                       with PPM and PNG faces over the same shared
+                       ``_decode_stats`` mapInPandas body.
 """
 
 from __future__ import annotations
@@ -316,22 +320,188 @@ def make_bmp(payload: bytes, width: int = BMP_WIDTH) -> bytes:
     return header + info + data
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real media decode — pure-Python parsers for the two
-    uncompressed formats that need no codec library (the container
-    ships no PIL/cv2): 24-bit BI_RGB **BMP** (handles bottom-up AND
-    top-down rows, 4-byte row padding, arbitrary pixel-array offset)
-    and binary **PPM** (P6, maxval ≤ 255). Compressed formats
-    (PNG/JPEG) still raise — wiring libpng/libjpeg in here is a
-    dependency question, not a plumbing one; ``extract_features``
-    picks any richer decoder up unchanged.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Returns {"width", "height", "channels": 3, "pixels": bytes} with
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of
+    left/up/up-left is closest to a + b − c, ties toward left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def make_png(payload: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Wrap raw bytes into a REAL 8-bit truecolor PNG: payload
+    zero-padded to width·height RGB triplets, scanlines filtered with
+    filter type ``row % 5`` (cycling None/Sub/Up/Average/Paeth so
+    every oracled decode exercises all five reconstruction paths),
+    zlib-compressed into one IDAT. Unlike ``make_bmp``/``make_ppm``
+    this is a genuinely compressed container — the decoder must
+    inflate and de-filter to get the bytes back, and the filters are
+    lossless, so the round trip is still byte-exact against the
+    padded payload (what the DuckDB oracle recomputes from)."""
+    import zlib
+
+    bpp = 3
+    row_len = width * bpp
+    height = max(-(-len(payload) // row_len), 1)
+    data = payload.ljust(row_len * height, b"\x00")
+    prior = bytes(row_len)
+    filtered = bytearray()
+    for r in range(height):
+        raw = data[r * row_len : (r + 1) * row_len]
+        ftype = r % 5
+        filtered.append(ftype)
+        if ftype == 0:  # None
+            filtered += raw
+        elif ftype == 1:  # Sub
+            filtered += bytes(
+                (raw[x] - (raw[x - bpp] if x >= bpp else 0)) & 0xFF for x in range(row_len)
+            )
+        elif ftype == 2:  # Up
+            filtered += bytes((raw[x] - prior[x]) & 0xFF for x in range(row_len))
+        elif ftype == 3:  # Average
+            filtered += bytes(
+                (raw[x] - (((raw[x - bpp] if x >= bpp else 0) + prior[x]) >> 1)) & 0xFF
+                for x in range(row_len)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (
+                    raw[x]
+                    - _paeth(
+                        raw[x - bpp] if x >= bpp else 0,
+                        prior[x],
+                        prior[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(row_len)
+            )
+        prior = raw
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, truecolor RGB, deflate, adaptive, no interlace
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Critical-chunk PNG parser: 8-bit truecolor RGB/RGBA, deflate
+    IDAT (stdlib zlib), all five scanline filters, non-interlaced.
+    Ancillary chunks are skipped; palette/grayscale/16-bit/Adam7
+    raise NotImplementedError (honest gaps — adding them is more
+    parsing, not a codec dependency)."""
+    import zlib
+
+    if len(payload) < len(PNG_SIG) + 25:
+        raise ValueError("truncated PNG")
+    pos = len(PNG_SIG)
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = data[8:13]
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise NotImplementedError("only 8-bit truecolor RGB/RGBA PNG is supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlaced PNG is not supported")
+            channels = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None or channels is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    row_len = width * bpp
+    if len(raw) != (row_len + 1) * height:
+        raise ValueError(
+            f"PNG scanline data: got {len(raw)} bytes, want {(row_len + 1) * height}"
+        )
+    prior = bytearray(row_len)
+    out = bytearray()
+    for r in range(height):
+        off = r * (row_len + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + row_len])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, row_len):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(row_len):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(row_len):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(row_len):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prior = line
+    return {"width": width, "height": height, "channels": channels, "pixels": bytes(out)}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real media decode — pure-Python parsers for every format the
+    stdlib can carry without a codec library (the container ships no
+    PIL/cv2): 24-bit BI_RGB **BMP** (handles bottom-up AND top-down
+    rows, 4-byte row padding, arbitrary pixel-array offset), binary
+    **PPM** (P6, maxval ≤ 255), and 8-bit truecolor **PNG** (RGB and
+    RGBA, zlib-inflated IDAT, all five scanline filters — see
+    ``_decode_png``). JPEG still raises: DCT entropy decoding
+    genuinely needs libjpeg; ``extract_features`` picks any richer
+    decoder up unchanged.
+
+    Returns {"width", "height", "channels", "pixels": bytes} with
     pixels row-major TOP-DOWN in the format's channel order (BGR for
-    BMP, RGB for PPM), row padding stripped. tests/test_multimodal.py
-    pins both parsers against hand-built fixtures (incl. an
-    odd-width BMP whose rows genuinely carry pad bytes).
+    BMP, RGB(A) for PPM/PNG), row padding stripped.
+    tests/test_multimodal.py pins all three parsers against
+    hand-built fixtures (incl. an odd-width BMP whose rows genuinely
+    carry pad bytes, and per-filter PNG fixtures).
     """
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -385,7 +555,7 @@ def decode_image(payload: bytes) -> dict:
             "pixels": payload[i : i + need],
         }
     raise NotImplementedError(
-        "unsupported format (only uncompressed BMP/PPM decode without codec libraries)"
+        "unsupported format (BMP/PPM/PNG decode without codec libraries; JPEG needs libjpeg)"
     )
 
 
@@ -412,51 +582,6 @@ def make_ppm(payload: bytes, width: int = BMP_WIDTH) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + data
 
 
-def decode_ppm_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
-    """The PPM face of the decode path: wrap each blob's bytes into a
-    P6 image (``make_ppm``), run the same ``decode_image`` parser, and
-    emit per-channel means + the first image row's hex. PPM stores
-    R,G,B top-down with no stride padding, so where the BMP query's
-    row0 is the LAST stored row, here it is simply the first 3·width
-    payload bytes — together the two queries pin both channel orders
-    and both row layouts of the decoder against hash-exact oracles
-    (plans/northstar.MULTIMODAL_DECODE_PPM_SQL)."""
-    blobs = with_blob(docs).select("doc_id", "blob")
-
-    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            out = {k.name: [] for k in PPM_DECODE_SCHEMA.fields}
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                raw = bytes(blob)
-                img = decode_image(make_ppm(raw, width))
-                px = img["pixels"]
-                n_px = img["width"] * img["height"]
-                out["doc_id"].append(doc_id)
-                out["width"].append(img["width"])
-                out["height"].append(img["height"])
-                out["n_data_bytes"].append(len(raw))
-                out["mean_r"].append(sum(px[0::3]) / n_px)
-                out["mean_g"].append(sum(px[1::3]) / n_px)
-                out["mean_b"].append(sum(px[2::3]) / n_px)
-                out["row0_hex"].append(px[: img["width"] * 3].hex())
-            yield pd.DataFrame(out)
-
-    out = blobs.mapInPandas(_decode, PPM_DECODE_SCHEMA)
-    # JVM-side HALF_UP rounding, cf. decode_image_stats
-    return out.select(
-        "doc_id",
-        "width",
-        "height",
-        "n_data_bytes",
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-        "row0_hex",
-    )
-
-
 PPM_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -470,6 +595,56 @@ PPM_DECODE_SCHEMA = T.StructType(
     ]
 )
 
+# PNG stores RGB top-down like PPM — same stats schema.
+PNG_DECODE_SCHEMA = PPM_DECODE_SCHEMA
+
+
+def _decode_stats(docs: DataFrame, make_fn, schema: T.StructType, width: int) -> DataFrame:
+    """The ONE mapInPandas decode-stats body shared by the BMP, PPM
+    and PNG faces (they differ only in the container wrapper and the
+    channel order, which is read off the schema's ``mean_*`` field
+    names — BGR for BMP, RGB for PPM/PNG). Wrap each blob's bytes
+    with ``make_fn``, run the genuine ``decode_image`` parser, and
+    emit per-channel pixel means + the TOP image row's hex. One
+    mapInPandas pass, blobs never leave the executor; the output is
+    reduced stats only (the 100 TB decode-stage shape).
+
+    Raw IEEE means leave the Python worker; 6-dp rounding happens
+    JVM-side — Python's round() is banker's (half-even) while Spark
+    and DuckDB both round HALF_UP, and sums divided by the
+    power-of-two pixel count hit exact .5 cases constantly."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+    chans = [f.name.removeprefix("mean_") for f in schema.fields if f.name.startswith("mean_")]
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                img = decode_image(make_fn(raw, width))
+                px = img["pixels"]
+                n_px = img["width"] * img["height"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_data_bytes"].append(len(raw))
+                for i, c in enumerate(chans):
+                    out[f"mean_{c}"].append(sum(px[i::3]) / n_px)
+                out["row0_hex"].append(px[: img["width"] * 3].hex())
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, schema)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_data_bytes",
+        *[F.round(f"mean_{c}", 6).alias(f"mean_{c}") for c in chans],
+        "row0_hex",
+    )
+
 
 def decode_image_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     """END-TO-END real decode path: wrap each blob's bytes into a
@@ -477,49 +652,36 @@ def decode_image_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     (``decode_image``), and emit per-channel pixel means plus the TOP
     image row's hex — which is the LAST stored row of a bottom-up
     BMP, so a decoder that ignored row order would fail the oracle.
-
-    One mapInPandas pass, blobs never leave the executor; the output
-    is reduced stats only (the 100 TB decode-stage shape). Everything
-    is deterministic integer byte math + one IEEE division per mean,
-    so the query is hash-exact against a DuckDB twin that recomputes
-    the same means straight from the payload byte positions
-    (plans/northstar.MULTIMODAL_DECODE_SQL).
+    Everything is deterministic integer byte math + one IEEE division
+    per mean, so the query is hash-exact against a DuckDB twin that
+    recomputes the same means straight from the payload byte
+    positions (plans/northstar.MULTIMODAL_DECODE_SQL).
     """
-    blobs = with_blob(docs).select("doc_id", "blob")
-    stride = (width * 3 + 3) & ~3
+    return _decode_stats(docs, make_bmp, DECODE_SCHEMA, width)
 
-    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
 
-        for pdf in batches:
-            out = {k.name: [] for k in DECODE_SCHEMA.fields}
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                raw = bytes(blob)
-                img = decode_image(make_bmp(raw, width))
-                px = img["pixels"]
-                n_px = img["width"] * img["height"]
-                out["doc_id"].append(doc_id)
-                out["width"].append(img["width"])
-                out["height"].append(img["height"])
-                out["n_data_bytes"].append(len(raw))
-                # raw means here; 6-dp rounding happens JVM-side below —
-                # Python's round() is banker's (half-even) while Spark and
-                # DuckDB both round HALF_UP, and sums divided by the
-                # power-of-two pixel count hit exact .5 cases constantly
-                out["mean_b"].append(sum(px[0::3]) / n_px)
-                out["mean_g"].append(sum(px[1::3]) / n_px)
-                out["mean_r"].append(sum(px[2::3]) / n_px)
-                out["row0_hex"].append(px[: img["width"] * 3].hex())
-            yield pd.DataFrame(out)
+def decode_ppm_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
+    """The PPM face of the decode path: wrap each blob's bytes into a
+    P6 image (``make_ppm``), run the same ``decode_image`` parser, and
+    emit per-channel means + the first image row's hex. PPM stores
+    R,G,B top-down with no stride padding, so where the BMP query's
+    row0 is the LAST stored row, here it is simply the first 3·width
+    payload bytes — together the two queries pin both channel orders
+    and both row layouts of the decoder against hash-exact oracles
+    (plans/northstar.MULTIMODAL_DECODE_PPM_SQL)."""
+    return _decode_stats(docs, make_ppm, PPM_DECODE_SCHEMA, width)
 
-    out = blobs.mapInPandas(_decode, DECODE_SCHEMA)
-    return out.select(
-        "doc_id",
-        "width",
-        "height",
-        "n_data_bytes",
-        F.round("mean_b", 6).alias("mean_b"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_r", 6).alias("mean_r"),
-        "row0_hex",
-    )
+
+def decode_png_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
+    """The PNG face of the decode path — the only COMPRESSED
+    container in the family: ``make_png`` deflate-compresses the
+    payload behind cycling scanline filters (row % 5 covers
+    None/Sub/Up/Average/Paeth), so every run of this query exercises
+    the inflate + all five filter-reconstruction paths of
+    ``_decode_png``, not just the header parsing. Because the filters
+    are lossless the decoded pixels equal the zero-padded payload,
+    and the DuckDB twin recomputes the channel means straight from
+    payload byte positions exactly as for PPM
+    (plans/northstar.MULTIMODAL_DECODE_PNG_SQL) — a filter or
+    inflate bug anywhere would hash-mismatch."""
+    return _decode_stats(docs, make_png, PNG_DECODE_SCHEMA, width)

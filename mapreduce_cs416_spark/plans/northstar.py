@@ -700,6 +700,42 @@ FROM d
 """
 
 
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_png_stats(_docs(spark, sf_dir))
+
+
+# PNG twin of MULTIMODAL_DECODE_PPM_SQL — and deliberately IDENTICAL
+# to it: PNG stores RGB top-down with no stride padding, and the five
+# scanline filters + deflate are lossless, so the decoded pixels must
+# equal the zero-padded payload byte-for-byte. The Spark side
+# genuinely compresses (make_png: filter row%5 → zlib) and inflates /
+# de-filters back (operators/multimodal._decode_png); the oracle never
+# sees the container, only the payload bytes — any inflate or filter
+# reconstruction bug hash-mismatches.
+MULTIMODAL_DECODE_PNG_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, hx, n,
+           greatest(CAST(ceil(n / 48.0) AS BIGINT), 1) AS h,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_data_bytes,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 0]), 0) / (16 * h), 6) AS mean_r,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 1]), 0) / (16 * h), 6) AS mean_g,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 2]), 0) / (16 * h), 6) AS mean_b,
+       rpad(substr(hx, 1, 96), 96, '0') AS row0_hex
+FROM d
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blobs(_docs(spark, sf_dir))
 
@@ -1934,5 +1970,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
+        QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
     ]
 }

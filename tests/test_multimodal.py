@@ -49,13 +49,14 @@ def test_sample_frames_fanout_and_edges(spark):
     assert 2 not in by_doc
 
 
-def test_decode_image_compressed_formats_still_raise():
-    """PNG/JPEG need codec libraries the container doesn't ship — the
-    parser must refuse them loudly, not misparse."""
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+def test_decode_image_unsupported_formats_still_raise():
+    """JPEG needs libjpeg (absent from the container) — the parser
+    must refuse it loudly, not misparse; malformed PNG bytes are a
+    ValueError, not a silent misparse."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    with pytest.raises(ValueError):  # PNG signature but no IHDR
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
 def test_decode_image_bmp_roundtrip_with_row_padding():
@@ -121,3 +122,137 @@ def test_make_ppm_roundtrip(spark):
     img = multimodal.decode_image(multimodal.make_ppm(data, width=16))
     assert (img["width"], img["height"]) == (16, 3)  # ceil(100/48)=3 rows
     assert img["pixels"] == data.ljust(16 * 3 * 3, b"\x00")
+
+
+# ------------------------------------------------------------- PNG
+def _png_rgb(raw: bytes, width: int, height: int, filters: list[int]) -> bytes:
+    """Hand-build an 8-bit RGB PNG with an EXPLICIT filter type per
+    row (forward-filtering the raw pixels), independent of make_png —
+    so the decoder is pinned against fixtures it didn't encode."""
+    import zlib
+
+    bpp, row_len = 3, width * 3
+    prior = bytes(row_len)
+    out = bytearray()
+    for r, ftype in zip(range(height), filters):
+        raw_row = raw[r * row_len : (r + 1) * row_len]
+        out.append(ftype)
+        for x in range(row_len):
+            left = raw_row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            pred = [0, left, up, (left + up) >> 1, multimodal._paeth(left, up, ul)][ftype]
+            out.append((raw_row[x] - pred) & 0xFF)
+        prior = raw_row
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_decode_png_each_filter_type(ftype):
+    """Every scanline filter individually: a 4×3 RGB image whose rows
+    all carry the same filter byte must reconstruct byte-exactly."""
+    raw = bytes((i * 71 + 13) % 256 for i in range(4 * 3 * 3))
+    img = multimodal.decode_image(_png_rgb(raw, 4, 3, [ftype] * 3))
+    assert (img["width"], img["height"], img["channels"]) == (4, 3, 3)
+    assert img["pixels"] == raw
+
+
+def test_decode_png_mixed_filters_and_ancillary_chunks():
+    """Mixed filters across rows + an ancillary chunk (tEXt) between
+    IHDR and IDAT, and IDAT split across two chunks — all must be
+    handled (skip ancillary, concatenate IDAT)."""
+    import zlib
+
+    raw = bytes((i * 29 + 7) % 256 for i in range(5 * 3 * 5))
+    png = _png_rgb(raw, 5, 5, [0, 1, 2, 3, 4])
+    # splice a tEXt chunk after IHDR and split IDAT in two
+    sig_ihdr_len = 8 + 12 + 13
+    head, rest = png[:sig_ihdr_len], png[sig_ihdr_len:]
+    idat_len = int.from_bytes(rest[:4], "big")
+    idat_data = rest[8 : 8 + idat_len]
+    iend = rest[12 + idat_len :]
+    mid = idat_len // 2
+    spliced = (
+        head
+        + multimodal._png_chunk(b"tEXt", b"comment\x00hi")
+        + multimodal._png_chunk(b"IDAT", idat_data[:mid])
+        + multimodal._png_chunk(b"IDAT", idat_data[mid:])
+        + iend
+    )
+    img = multimodal.decode_image(spliced)
+    assert img["pixels"] == raw
+
+
+def test_decode_png_rgba():
+    """Color type 6 (RGBA): 4 channels, filters use bpp=4."""
+    import zlib
+
+    w, h, bpp = 4, 2, 4
+    raw = bytes((i * 53 + 3) % 256 for i in range(w * h * bpp))
+    scan = b"".join(b"\x00" + raw[r * w * bpp : (r + 1) * w * bpp] for r in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    png = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(scan))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    img = multimodal.decode_image(png)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 4)
+    assert img["pixels"] == raw
+
+
+def test_decode_png_unsupported_variants_raise():
+    """Palette, 16-bit, and interlaced PNGs are honest gaps: refuse,
+    never misparse."""
+    import zlib
+
+    raw = bytes(4 * 3 * 3)
+    scan = b"".join(b"\x00" + raw[r * 12 : (r + 1) * 12] for r in range(3))
+    for depth_color_interlace in ([8, 3, 0, 0, 0], [16, 2, 0, 0, 0], [8, 2, 0, 0, 1]):
+        ihdr = (4).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes(depth_color_interlace)
+        png = (
+            multimodal.PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(scan))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(png)
+
+
+def test_make_png_roundtrip_covers_all_filters():
+    """make_png cycles filter row%5; a ≥5-row payload therefore
+    exercises every reconstruction path, and the decode must equal
+    the zero-padded payload (the invariant the DuckDB oracle uses)."""
+    payload = bytes((i * 37 + 11) % 256 for i in range(300))  # 7 rows at width 16
+    img = multimodal.decode_image(multimodal.make_png(payload, width=16))
+    assert img["height"] == 7 and img["width"] == 16
+    assert img["pixels"] == payload.ljust(16 * 3 * 7, b"\x00")
+    # the container is genuinely filtered: at least one non-zero filter byte
+    import zlib
+
+    png = multimodal.make_png(payload, width=16)
+    pos, idat = 8, b""
+    while pos + 8 <= len(png):
+        clen = int.from_bytes(png[pos : pos + 4], "big")
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+    scan = zlib.decompress(idat)
+    filters = [scan[r * 49] for r in range(7)]
+    assert filters == [0, 1, 2, 3, 4, 0, 1]
+
+
+def test_decode_png_stats_matches_hand_computation(spark):
+    out = {r["doc_id"]: r for r in multimodal.decode_png_stats(_docs(spark)).collect()}
+    data = "hello world".encode().ljust(48, b"\x00")
+    assert out[0]["height"] == 1 and out[0]["n_data_bytes"] == 11
+    assert out[0]["mean_r"] == round(sum(data[0::3]) / 16, 6)
+    assert out[0]["row0_hex"] == data.hex()
