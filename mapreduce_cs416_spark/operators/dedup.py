@@ -341,14 +341,39 @@ def write_ingest_index(corpus_docs: DataFrame, path: str, k: int = 3) -> None:
     (md5 → min doc id would lose ties info, so full (h, cid)) and the
     shingle postings, both parquet. At 100 TB this is the artifact an
     ingest service maintains — shards are admitted against the index,
-    and accepted shards' digests/postings are appended (a plain
-    parquet append of the same two frames), so the corpus raw text is
-    never rescanned."""
+    and accepted shards' digests/postings are accreted with
+    ``append_ingest_index`` (a plain parquet append of the same two
+    frames, in the index's own column names), so the corpus raw text
+    is never rescanned."""
     ch = corpus_docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("cid"))
     ch.write.mode("overwrite").parquet(f"{path}/digests")
     shingle_postings(
         corpus_docs, k, doc_col="cid", n_col="c_n_sh", materialize=False
     ).write.mode("overwrite").parquet(f"{path}/postings")
+
+
+def append_ingest_index(admitted_docs: DataFrame, path: str, k: int = 3) -> None:
+    """Accrete ADMITTED documents into a ``write_ingest_index`` store:
+    append their digest rows and shingle postings to the two parquet
+    tables, in the index's own column names (h, cid) / (cid, c_n_sh,
+    sh) — a caller appending ``shingle_postings`` defaults (doc_id,
+    n_sh) would write a schema-mismatched partition that
+    ``incremental_ingest_indexed`` misreads. ``k`` must match the
+    index's build parameter.
+
+    This closes the incremental loop: gate shard → filter the rows
+    the admission policy accepts → append exactly those documents →
+    gate the next shard against the grown index. Appending is two
+    parquet writes sized by the SHARD, never a corpus rescan or
+    rewrite; the result is identical to rebuilding the index over
+    corpus ∪ admitted (asserted in tests/test_dedup.py's accretion
+    test), because both tables are plain row unions with no
+    cross-document state."""
+    ch = admitted_docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("cid"))
+    ch.write.mode("append").parquet(f"{path}/digests")
+    shingle_postings(
+        admitted_docs, k, doc_col="cid", n_col="c_n_sh", materialize=False
+    ).write.mode("append").parquet(f"{path}/postings")
 
 
 def incremental_ingest_indexed(

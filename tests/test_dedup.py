@@ -219,3 +219,57 @@ def test_incremental_ingest_indexed_equals_direct(spark, sf_dir, tmp_path_factor
         )
     )
     assert indexed == direct and direct
+
+
+def test_append_ingest_index_accretion(spark, sf_dir, tmp_path_factory):
+    """Shard-over-shard accretion: admit shard 1 against the index,
+    append exactly the admitted documents, then gate shard 2 against
+    the GROWN index — the decisions must equal a from-scratch
+    incremental_ingest over corpus ∪ admitted-shard-1. This pins the
+    docstring claim that accretion is a plain parquet append (no
+    rebuild, no corpus rescan) and that append_ingest_index writes
+    the index's own column names."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(docs["doc_id"] % 3 == 0)
+    shard1 = docs.where(docs["doc_id"] % 3 == 1)
+    shard2 = docs.where(docs["doc_id"] % 3 == 2)
+
+    path = str(tmp_path_factory.mktemp("ingest") / "index")
+    dedup.write_ingest_index(corpus, path, k=3)
+
+    gate1 = dedup.incremental_ingest_indexed(shard1, path, k=3, threshold=0.2, max_df=1000)
+    admitted_ids = [r["doc_id"] for r in gate1.where(gate1["status"] == "novel").collect()]
+    assert admitted_ids  # the fixture must actually admit something
+    admitted = shard1.where(shard1["doc_id"].isin(admitted_ids))
+    dedup.append_ingest_index(admitted, path, k=3)
+
+    grown_corpus = corpus.unionByName(admitted)
+    direct = sorted(
+        map(
+            tuple,
+            dedup.incremental_ingest(shard2, grown_corpus, k=3, threshold=0.2, max_df=1000).collect(),
+        )
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            dedup.incremental_ingest_indexed(shard2, path, k=3, threshold=0.2, max_df=1000).collect(),
+        )
+    )
+    assert indexed == direct and direct
+    # accretion must be able to change a decision: some shard-2 doc
+    # matches an admitted shard-1 doc, not just the original corpus
+    matched_new = [
+        r for r in indexed if r[1] in ("exact", "near") and r[2] in set(admitted_ids)
+    ]
+    stale = sorted(
+        map(
+            tuple,
+            dedup.incremental_ingest(shard2, corpus, k=3, threshold=0.2, max_df=1000).collect(),
+        )
+    )
+    # the grown index and the stale corpus must genuinely differ —
+    # otherwise this test would pass with append_ingest_index a no-op
+    assert matched_new or indexed != stale
