@@ -217,6 +217,28 @@ def similarity_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def similarity_near_dup_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH operating point as a timed end-to-end
+    artifact: threshold 0.9 with 8 planes × 4 tables, where the
+    random-pair collision rate is a MEASURED 1.8%
+    (similarity.lsh_candidate_stats, pinned in
+    tests/test_similarity.py) — so the exact-verify stage scores ~2%
+    of all pairs instead of the 41% the mid-threshold demonstration
+    point (`similarity_cosine_near_dup_lsh`) pays. This is the
+    config a 100 TB near-dup sweep would actually run; benching it
+    makes the scale path a per-round number, not prose. The testdata
+    embeddings are i.i.d. random (pair-cosine max ≈ 0.51), so the
+    result is empty HERE by construction — the timed work is the
+    real pipeline (signature pass, 4-table bucket self-join,
+    exact verify of the 1.8% candidate set), and recall/precision at
+    THIS config are asserted on clustered fixtures in
+    tests/test_similarity.py::test_lsh_near_dup_recall_and_precision.
+    Hash-bucket dependent → rows-only at the driver."""
+    return similarity.cosine_near_dup_lsh(
+        _emb(spark, sf_dir), threshold=0.9, n_planes=8, n_tables=4
+    )
+
+
 COSINE_NEAR_DUP_SQL = f"""
 WITH e AS (
     SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
@@ -1963,6 +1985,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
+        QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, None, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
