@@ -598,23 +598,37 @@ def source_unigram_kl(
     would leave p_s summing below 1 and the score would no longer be
     a true KL divergence (ADVICE r5).
 
-    Scale shape: one token groupBy for the vocabulary (TakeOrdered
-    top-V), one groupBy (source, token) on the vocab-filtered stream
-    (the broadcast vocab join prunes the long tail BEFORE the
-    shuffle), then a |sources|×V grid built by broadcast cross join —
-    tiny, whatever the corpus size. Each grid cell's contribution is
-    rounded to 9 dp and summed through DECIMAL(25,9) (the 6-dp
-    decimal_sum default would flatten the small per-cell terms), so
-    the scores are addition-order-independent and hash-exact in the
-    DuckDB twin.
+    Scale shape: the corpus token stream is scanned and shuffled
+    EXACTLY ONCE — one groupBy (source, token) builds the counter
+    table, which is eagerly materialized (it is ≤ |sources|·|distinct
+    tokens| rows, corpus-size-independent) and everything downstream
+    derives from it: the corpus-wide vocabulary is the top-V of the
+    counters summed over sources (identical counts to a second stream
+    scan, without one), the vocab filter is a broadcast semi-join on
+    the counters, and the |sources|×V grid is built by broadcast
+    cross join — tiny, whatever the corpus size. (The previous shape
+    scanned + shuffled the token stream twice: once for the
+    vocabulary groupBy, once for the vocab-filtered (source, token)
+    groupBy.) Each grid cell's contribution is rounded to 9 dp and
+    summed through DECIMAL(25,9) (the 6-dp decimal_sum default would
+    flatten the small per-cell terms), so the scores are
+    addition-order-independent and hash-exact in the DuckDB twin.
     """
+    from ..functions.ranking import ranked_topk
     from ..operators.dedup import _spread
-    from .vocab import build_vocab
 
     toks = _spread(docs).select("source", F.explode(_words()).alias("tok"))
-    vocab = build_vocab(toks.select(F.col("tok").alias("token")), size=vocab_size)
-    vt = toks.join(F.broadcast(vocab), "tok")  # vocab tokens only
-    per_src = vt.groupBy("source", "tok").agg(F.count("*").alias("cst"))
+    # the counters feed the vocabulary branch AND the filter branch of
+    # one action → eager localCheckpoint (lazy persist races, see
+    # shingle_postings); bounded at |sources|·|distinct tokens| rows
+    per_src_all = (
+        toks.groupBy("source", "tok").agg(F.count("*").alias("cst")).localCheckpoint()
+    )
+    corpus_counts = per_src_all.groupBy("tok").agg(F.sum("cst").alias("c"))
+    vocab = ranked_topk(corpus_counts, [F.desc("c"), F.col("tok")], vocab_size, rn="id").select(
+        "tok"
+    )
+    per_src = per_src_all.join(F.broadcast(vocab), "tok")  # vocab tokens only
     return source_kl_from_counts(per_src, alpha=alpha)
 
 
@@ -627,14 +641,18 @@ def source_kl_from_counts(per_src: DataFrame, alpha: float = 0.5) -> DataFrame:
     batch snapshot and an incrementally-maintained streaming counter
     state (streaming/pipelines.streaming_source_token_counts) produce
     identical scores — asserted in tests/test_streaming.py. Same
-    9-dp/DECIMAL(25,9) float discipline as the one-shot query."""
+    9-dp/DECIMAL(25,9) float discipline as the one-shot query.
+
+    Every input this face ever sees is a vocab-bounded counter table
+    (≤ |sources|·V rows), so the grid join broadcasts it — no
+    sort-merge machinery anywhere in the finisher."""
     corpus = per_src.groupBy("tok").agg(F.sum("cst").alias("ct"))
     # realized V + total in one one-row aggregate (both broadcast)
     tot = corpus.agg(F.sum("ct").alias("n_total"), F.count("*").alias("v_sz"))
     src_tot = per_src.groupBy("source").agg(F.sum("cst").alias("n_s"))
     grid = (
         src_tot.crossJoin(F.broadcast(corpus))
-        .join(per_src, ["source", "tok"], "left")
+        .join(F.broadcast(per_src), ["source", "tok"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
