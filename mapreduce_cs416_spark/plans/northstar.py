@@ -1929,7 +1929,17 @@ QUERIES: dict[str, QuerySpec] = {
         # open slots for the ORACLED r5 families text_bm25_search,
         # graph_triangles, corpus_release_pipeline. Window: 50/50 oracled.
         QuerySpec("sketch_heavy_hitters", sketch_heavy_hitters, CMS_HEAVY_HITTERS_SQL, sketches.cms_heavy_hitters.__doc__, headline=True, tags=("northstar", "sketch", "approx", "topk")),
-        QuerySpec("similarity_quantized_topk", similarity_quantized_topk, QUANTIZED_TOPK_SQL, similarity_quantized_topk.__doc__, tags=("northstar", "similarity", "quantize")),
+        # r7 rotation: similarity_quantized_topk moved to EXTRA (the
+        # quantize family keeps its oracle there + the PQ-ADC twin;
+        # similarity_ivf_topk keeps ANN in-window) — freed slots, with
+        # q17/json_funcs/events_sliding/events_session, carry the five
+        # r6-oracled families the driver had never hashed:
+        # dedup_incremental_ingest, text_phrase_search,
+        # events_anomaly_zscore, events_transition_matrix,
+        # corpus_temperature_mix. Window stays 50/50 oracled.
+        QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, tags=("northstar", "dedup", "pipeline", "join")),
+        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, tags=("northstar", "text", "topk", "join")),
+        QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, headline=True, tags=("northstar", "text", "topk")),
         QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, headline=True, tags=("northstar", "graph", "dedup")),
@@ -1970,7 +1980,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_source_cap", corpus_source_cap, CORPUS_SOURCE_CAP_SQL, sampling.source_cap.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, headline=True, tags=("northstar", "text", "pipeline")),
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
-        QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
+        QuerySpec("similarity_quantized_topk", similarity_quantized_topk, QUANTIZED_TOPK_SQL, similarity_quantized_topk.__doc__, tags=("northstar", "similarity", "quantize")),
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
         QuerySpec("text_source_drift", text_source_drift, TEXT_SOURCE_DRIFT_SQL, textstats.source_unigram_kl.__doc__, tags=("northstar", "text", "pipeline", "drift")),
@@ -1980,8 +1990,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # properties in tests/test_dedup.py / tests/test_similarity.py
         QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
         QuerySpec("dedup_ngram_fraction", dedup_ngram_fraction, DEDUP_NGRAM_FRACTION_SQL, dedup.duplicated_ngram_fraction.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
-        QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, tags=("northstar", "dedup", "pipeline", "join")),
-        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, tags=("northstar", "text", "topk", "join")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
