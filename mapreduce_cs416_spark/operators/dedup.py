@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.2,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
@@ -239,10 +240,16 @@ def minhash_lsh_pairs(
     sf0.1). The checkpointed blocks are |docs| shingle arrays ≈ the
     corpus itself; the bench/driver frees blocks between queries, and
     at 100 TB the storage level spills to disk rather than evicting
-    the working set.
+    the working set. ``materialize=False`` skips the checkpoint for
+    callers that cannot accept eager execution, pinned blocks, or
+    localCheckpoint's lack of fault tolerance (an executor loss
+    kills the truncated lineage); the durable production forms are
+    reliable ``checkpoint()`` or AQE exchange reuse.
     """
     rows = n_hashes // bands
-    sh = shingle_sets(docs, k).localCheckpoint()
+    sh = shingle_sets(docs, k)
+    if materialize:
+        sh = sh.localCheckpoint()
     sigs = minhash_signatures(docs, k, n_hashes, shingles=sh)
     band_cols = F.array(
         *[

@@ -224,7 +224,9 @@ def pagerank(
     return ranks.select(F.col("u").alias("node"), "rank")
 
 
-def triangle_counts(pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b") -> DataFrame:
+def triangle_counts(
+    pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b", materialize: bool = True
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list: (node, n_triangles) for every node in >= 1 triangle. The
     local-clustering signal of the near-dup graph — a node closing
@@ -252,6 +254,9 @@ def triangle_counts(pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b") ->
     # the pair join several times (benched ~7× the one-pass cost at
     # sf0.1); the eager checkpoint runs the upstream exactly once. The
     # edge list itself is small (near-dup pairs, not the corpus).
+    # materialize=False opts out for callers that can't accept eager
+    # execution / pinned blocks / localCheckpoint's missing fault
+    # tolerance (cf. similarity.cosine_near_dup_pairs).
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -259,8 +264,9 @@ def triangle_counts(pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b") ->
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
+    if materialize:
+        e = e.localCheckpoint()
     deg = (
         e.select(F.col("a").alias("n"))
         .union(e.select(F.col("b").alias("n")))

@@ -63,7 +63,9 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
     )
 
 
-def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, materialize: bool = True
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos >= t).
 
     Brute-force O(n²) pair join — correct baseline; the LSH bucketing
@@ -86,10 +88,19 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     both sides of the pair join read it, and a lazy cache lets the
     two concurrent references race past the unfilled cache and run
     the cast+norm prep twice (cf. graph.triangle_counts).
+    ``materialize=False`` skips the checkpoint for callers that
+    cannot accept its costs — building the frame executes the
+    upstream scan eagerly, the pinned blocks outlive the query until
+    freed (graph._unpersist_checkpoint / bench._isolate), and
+    localCheckpoint is NOT fault-tolerant (an executor loss kills
+    the lineage). At production scale the equivalent durable forms
+    are reliable ``checkpoint()`` on HDFS or AQE exchange reuse.
     """
     from .dedup import _spread
 
-    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0)
+    if materialize:
+        p = p.localCheckpoint()
     a = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -500,6 +511,7 @@ def cosine_near_dup_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane LSH —
     the bucketed twin of ``cosine_near_dup_pairs``.
@@ -533,10 +545,14 @@ def cosine_near_dup_lsh(
     # cast+norm prep runs three times (VERDICT r5 item 2; lazy persist
     # still races — benched 3.0s -> 2.2s at sf0.1). Zero-norm guard:
     # cf. cosine_near_dup_pairs — output parity with the exact twin
-    # requires the same NaN-proofing.
+    # requires the same NaN-proofing. materialize=False escape hatch:
+    # see cosine_near_dup_pairs (eager execution, pinned blocks,
+    # no fault tolerance; reliable checkpoint is the durable form).
     from .dedup import _spread
 
-    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0)
+    if materialize:
+        p = p.localCheckpoint()
     cand = _banded_candidates(p, n_planes, n_tables, dim)
     va = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -581,6 +581,7 @@ def source_unigram_kl(
     docs: DataFrame,
     vocab_size: int = 25,
     alpha: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distribution-drift score per source: smoothed KL divergence of
     each source's unigram distribution from the corpus-wide one,
@@ -620,10 +621,12 @@ def source_unigram_kl(
     toks = _spread(docs).select("source", F.explode(_words()).alias("tok"))
     # the counters feed the vocabulary branch AND the filter branch of
     # one action → eager localCheckpoint (lazy persist races, see
-    # shingle_postings); bounded at |sources|·|distinct tokens| rows
-    per_src_all = (
-        toks.groupBy("source", "tok").agg(F.count("*").alias("cst")).localCheckpoint()
-    )
+    # shingle_postings); bounded at |sources|·|distinct tokens| rows.
+    # materialize=False opts out (cf. cosine_near_dup_pairs's note on
+    # eager execution / pinned blocks / fault tolerance).
+    per_src_all = toks.groupBy("source", "tok").agg(F.count("*").alias("cst"))
+    if materialize:
+        per_src_all = per_src_all.localCheckpoint()
     corpus_counts = per_src_all.groupBy("tok").agg(F.sum("cst").alias("c"))
     vocab = ranked_topk(corpus_counts, [F.desc("c"), F.col("tok")], vocab_size, rn="id").select(
         "tok"

@@ -325,12 +325,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal accumulation differs — so the z-scores are bit-equal in
     the DuckDB twin. Shuffle shape: one groupBy(type, day) with
     map-side partials, one tiny groupBy(type), broadcast join of the
-    |types|-row stats back onto the daily counts.
+    |types|-row stats back onto the daily counts. The daily rollup is
+    eagerly materialized (localCheckpoint — bounded at |types|·|days|
+    rows) because the finisher references it twice (per-type stats +
+    the join back); without it the events table is scanned and
+    re-aggregated once per branch (ADVICE r6).
     """
     daily = (
         _ev(spark, sf_dir)
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     return anomaly_from_counts(daily)
 
