@@ -409,6 +409,69 @@ def streaming_daily_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_ingest_gate(
+    docs: DataFrame,
+    index_path: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+):
+    """The incremental-ingest admission service as a streaming loop:
+    each arriving micro-batch (= one crawl shard) is gated against the
+    MATERIALIZED corpus index (dedup.incremental_ingest_indexed — the
+    corpus raw text is never rescanned), its per-document decisions
+    are persisted to ``{index_path}/decisions`` tagged with the batch
+    id, and the admitted ('novel') documents are accreted into the
+    index (dedup.append_ingest_index) — so the NEXT shard is gated
+    against the grown corpus. This is the foreachBatch face of the
+    batch loop proven by tests/test_dedup.py's accretion test;
+    tests/test_streaming.py asserts the streamed decisions equal a
+    hand-run batch loop over the same shard sequence.
+
+    Semantics: a shard is gated AS A UNIT against the prior corpus —
+    documents within one shard are not compared to each other (run
+    a batch self-dedup per shard first if that matters), exactly the
+    contract of the batch faces. Exactly-once caveat: foreachBatch is
+    at-least-once across failures, and the decisions write and the
+    index append are two separate parquet commits — a production
+    deployment puts both tables in a transactional format (Delta/
+    Iceberg) or keys the decision table by (batch_id, doc_id) and
+    dedups on read. The admission logic itself is replay-safe: a
+    replayed shard's documents re-gate as 'exact' against their own
+    earlier index entries and the 'novel'-only policy appends nothing
+    the second time.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what's there, then stops; a production service uses a continuous
+    trigger unchanged).
+    """
+    from ..operators import dedup
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch feeds the gate AND the admitted-docs filter; the
+        # decisions feed the parquet sink AND the admission filter —
+        # checkpoint both so (a) nothing recomputes per reference and
+        # (b) the decision plan's index scan is fully executed BEFORE
+        # append_ingest_index adds new files to the same directories
+        b = batch_df.select("doc_id", "text").localCheckpoint()
+        decisions = (
+            dedup.incremental_ingest_indexed(b, index_path, k, threshold, max_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint()
+        )
+        decisions.write.mode("append").parquet(f"{index_path}/decisions")
+        admitted_ids = decisions.where(F.col("status") == "novel").select("doc_id")
+        admitted = b.join(F.broadcast(admitted_ids), "doc_id")
+        dedup.append_ingest_index(admitted, index_path, k)
+
+    return (
+        docs.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", f"{index_path}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the stream's current input in one run (availableNow) into
     an in-memory table `name`; returns after the query stops. The unit

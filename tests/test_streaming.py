@@ -244,3 +244,91 @@ def test_streaming_anomaly_counters_match_batch_and_finish_to_same_zscores(spark
     z_stream = _canon(ev_plans.anomaly_from_counts(counts))
     z_batch = _canon(ev_plans.events_anomaly_zscore(spark, sf_dir))
     assert z_stream == z_batch
+
+
+def test_streaming_ingest_gate_matches_batch_loop(spark, sf_dir, tmp_path_factory):
+    """The foreachBatch ingest service must produce, shard for shard,
+    the decisions of the hand-run batch loop (gate -> append admitted
+    -> gate next against the grown index), with the index genuinely
+    accreting between micro-batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_cs416_spark.operators import dedup
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(docs["doc_id"] % 3 == 0)
+    shard1 = docs.where(docs["doc_id"] % 3 == 1)
+    shard2 = docs.where(docs["doc_id"] % 3 == 2)
+
+    base = str(tmp_path_factory.mktemp("stream_ingest"))
+    index = f"{base}/index"
+    dedup.write_ingest_index(corpus, index, k=3)
+
+    # two shard files with strictly increasing mtimes so the file
+    # source (oldest-first) delivers them as two ordered micro-batches
+    shard_dir = f"{base}/shards"
+    os.makedirs(shard_dir)
+    for i, shard in enumerate([shard1, shard2]):
+        path = f"{shard_dir}/shard{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(shard.toPandas()), path)
+        os.utime(path, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+    )
+    q = sp.streaming_ingest_gate(stream, index, k=3, threshold=0.2, max_df=1000)
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{index}/decisions")
+    batch_ids = sorted(r["batch_id"] for r in got.select("batch_id").distinct().collect())
+    assert len(batch_ids) == 2, "expected exactly two micro-batches"
+
+    # hand-run the batch loop over the same shard order on a FRESH index
+    index2 = f"{base}/index2"
+    dedup.write_ingest_index(corpus, index2, k=3)
+    shard1_ids = {r["doc_id"] for r in got.where(got["batch_id"] == batch_ids[0]).collect()}
+    ordered = (
+        [shard1, shard2]
+        if shard1_ids == {r["doc_id"] for r in shard1.collect()}
+        else [shard2, shard1]
+    )
+    want_rows = []
+    for bid, shard in zip(batch_ids, ordered):
+        gate = dedup.incremental_ingest_indexed(shard, index2, k=3, threshold=0.2, max_df=1000)
+        rows = gate.collect()
+        want_rows += [tuple(r) + (bid,) for r in rows]
+        admitted_ids = [r["doc_id"] for r in rows if r["status"] == "novel"]
+        dedup.append_ingest_index(shard.where(shard["doc_id"].isin(admitted_ids)), index2, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(want_rows)
+
+    # the accretion must be observable, not just internally consistent:
+    # gating batch 2 against the STALE corpus-only index must differ
+    # from the streamed decisions (else append could be a no-op), or a
+    # batch-2 best_match must point at a document admitted in batch 1
+    index3 = f"{base}/index3"
+    dedup.write_ingest_index(corpus, index3, k=3)
+    stale = sorted(
+        map(
+            tuple,
+            dedup.incremental_ingest_indexed(
+                ordered[1], index3, k=3, threshold=0.2, max_df=1000
+            ).collect(),
+        )
+    )
+    b2 = sorted(
+        tuple(r)[:-1] for r in got.where(got["batch_id"] == batch_ids[1]).collect()
+    )
+    admitted_b1 = {
+        r["doc_id"]
+        for r in got.where(
+            (got["batch_id"] == batch_ids[0]) & (got["status"] == "novel")
+        ).collect()
+    }
+    matched_new = [r for r in b2 if r[2] in admitted_b1]
+    assert matched_new or b2 != stale
