@@ -407,11 +407,12 @@ def make_png(payload: bytes, width: int = BMP_WIDTH) -> bytes:
 
 
 def _decode_png(payload: bytes) -> dict:
-    """Critical-chunk PNG parser: 8-bit truecolor RGB/RGBA, deflate
-    IDAT (stdlib zlib), all five scanline filters, non-interlaced.
-    Ancillary chunks are skipped; palette/grayscale/16-bit/Adam7
-    raise NotImplementedError (honest gaps — adding them is more
-    parsing, not a codec dependency)."""
+    """Critical-chunk PNG parser: 8-bit grayscale (color type 0),
+    truecolor RGB (2), and RGBA (6); deflate IDAT (stdlib zlib), all
+    five scanline filters, non-interlaced. Ancillary chunks are
+    skipped; palette/grayscale-alpha/16-bit/Adam7 raise
+    NotImplementedError (honest gaps — adding them is more parsing,
+    not a codec dependency)."""
     import zlib
 
     if len(payload) < len(PNG_SIG) + 25:
@@ -429,13 +430,15 @@ def _decode_png(payload: bytes) -> dict:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, comp, filt, interlace = data[8:13]
-            if bit_depth != 8 or color_type not in (2, 6):
-                raise NotImplementedError("only 8-bit truecolor RGB/RGBA PNG is supported")
+            if bit_depth != 8 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    "only 8-bit grayscale/truecolor RGB/RGBA PNG is supported"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlaced PNG is not supported")
-            channels = 3 if color_type == 2 else 4
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -487,7 +490,7 @@ def decode_image(payload: bytes) -> dict:
     stdlib can carry without a codec library (the container ships no
     PIL/cv2): 24-bit BI_RGB **BMP** (handles bottom-up AND top-down
     rows, 4-byte row padding, arbitrary pixel-array offset), binary
-    **PPM** (P6, maxval ≤ 255), and 8-bit truecolor **PNG** (RGB and
+    **PPM** (P6, maxval ≤ 255), and 8-bit **PNG** (grayscale, RGB and
     RGBA, zlib-inflated IDAT, all five scanline filters — see
     ``_decode_png``). JPEG still raises: DCT entropy decoding
     genuinely needs libjpeg; ``extract_features`` picks any richer

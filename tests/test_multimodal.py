@@ -256,3 +256,34 @@ def test_decode_png_stats_matches_hand_computation(spark):
     assert out[0]["height"] == 1 and out[0]["n_data_bytes"] == 11
     assert out[0]["mean_r"] == round(sum(data[0::3]) / 16, 6)
     assert out[0]["row0_hex"] == data.hex()
+
+
+def test_decode_png_grayscale():
+    """Color type 0 (grayscale): 1 channel, filters use bpp=1 —
+    exercised here with Sub and Paeth rows."""
+    import zlib
+
+    w, h = 6, 4
+    raw = bytes((i * 97 + 5) % 256 for i in range(w * h))
+    # forward-filter: row 0 None, row 1 Sub, row 2 Up, row 3 Paeth
+    prior = bytes(w)
+    scan = bytearray()
+    for r, ftype in enumerate([0, 1, 2, 4]):
+        row = raw[r * w : (r + 1) * w]
+        scan.append(ftype)
+        for x in range(w):
+            left = row[x - 1] if x >= 1 else 0
+            ul = prior[x - 1] if x >= 1 else 0
+            pred = [0, left, prior[x], (left + prior[x]) >> 1, multimodal._paeth(left, prior[x], ul)][ftype]
+            scan.append((row[x] - pred) & 0xFF)
+        prior = row
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    png = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    img = multimodal.decode_image(png)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
+    assert img["pixels"] == raw
