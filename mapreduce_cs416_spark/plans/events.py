@@ -458,7 +458,7 @@ QUERIES: dict[str, QuerySpec] = {
         # the bench); the freed slots carry the r6-oracled monitoring
         # families events_anomaly_zscore / events_transition_matrix,
         # which the driver had never hashed.
-        QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, tags=("events", "agg", "anomaly", "monitoring")),
+        QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, headline=True, tags=("events", "agg", "anomaly", "monitoring")),
         QuerySpec("events_transition_matrix", events_transition_matrix, EVENTS_TRANSITION_SQL, events_transition_matrix.__doc__, tags=("events", "window", "markov")),
         # events_distinct_rollup rotated to EXTRA in r6 (VERDICT r5
         # item 7): rows-only by construction (DataSketches HLL), its

@@ -1937,8 +1937,8 @@ QUERIES: dict[str, QuerySpec] = {
         # dedup_incremental_ingest, text_phrase_search,
         # events_anomaly_zscore, events_transition_matrix,
         # corpus_temperature_mix. Window stays 50/50 oracled.
-        QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, tags=("northstar", "dedup", "pipeline", "join")),
-        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, tags=("northstar", "text", "topk", "join")),
+        QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, headline=True, tags=("northstar", "dedup", "pipeline", "join")),
+        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, headline=True, tags=("northstar", "text", "topk", "join")),
         QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, headline=True, tags=("northstar", "text", "topk")),
