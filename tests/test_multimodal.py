@@ -287,3 +287,46 @@ def test_decode_png_grayscale():
     img = multimodal.decode_image(png)
     assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
     assert img["pixels"] == raw
+
+
+# --- property tests: codec round-trips on random payloads -------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _payload = st.binary(max_size=600)
+    _width = st.integers(min_value=1, max_value=21)
+
+    @given(payload=_payload, width=_width)
+    @settings(max_examples=120, deadline=None)
+    def test_png_roundtrip_property(payload, width):
+        """make_png → decode_image is byte-exact for ANY payload and
+        width: inflate + all five filter reconstructions (make_png
+        cycles row % 5) must invert the encoder everywhere, including
+        widths whose rows don't divide the payload."""
+        img = multimodal.decode_image(multimodal.make_png(payload, width))
+        row = width * 3
+        h = max(-(-len(payload) // row), 1)
+        assert (img["width"], img["height"], img["channels"]) == (width, h, 3)
+        assert img["pixels"] == payload.ljust(row * h, b"\x00")
+
+    @given(payload=_payload, width=_width)
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_ppm_roundtrip_property(payload, width):
+        """make_bmp / make_ppm → decode_image invariants: PPM pixels
+        equal the padded payload; BMP pixels are the row-reversed,
+        stride-stripped payload (pad bytes drop when stride > 3·width)."""
+        row = width * 3
+        h = max(-(-len(payload) // row), 1)
+        ppm = multimodal.decode_image(multimodal.make_ppm(payload, width))
+        assert ppm["pixels"] == payload.ljust(row * h, b"\x00")
+        stride = (row + 3) & ~3
+        hb = max(-(-len(payload) // stride), 1)
+        data = payload.ljust(stride * hb, b"\x00")
+        bmp = multimodal.decode_image(multimodal.make_bmp(payload, width))
+        assert (bmp["width"], bmp["height"]) == (width, hb)
+        rows = [data[r * stride : r * stride + row] for r in range(hb)]
+        assert bmp["pixels"] == b"".join(reversed(rows))
+
+except ImportError:  # pragma: no cover — hypothesis is baked in, but gate anyway
+    pass
