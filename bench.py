@@ -73,6 +73,43 @@ def _isolate(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def time_queries(
+    spark, sf_dir: str, names: list[str], echo_suffix: str = ""
+) -> tuple[dict[str, float], dict[str, float]]:
+    """The ONE measurement loop (warmup, N_RUNS per-run-isolated cold
+    runs, trimmed mean of the middle 3, 3-dp rounding) shared by the
+    bench and tools/scaling_report.py — so 'bench.py discipline'
+    cannot drift between the two artifacts. Returns (timings,
+    spreads)."""
+    t0 = time.time()
+    _materialize(ALL_QUERIES["file_count"].fn(spark, sf_dir))
+    print(f"warmup {time.time() - t0:.2f}s  sf_dir={sf_dir}", file=sys.stderr)
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in names:
+        runs: list[float] = []
+        for _ in range(N_RUNS):
+            # isolate each RUN, not just each query: operators that
+            # persist() an intermediate (minhash shingles, triangle
+            # edges) would otherwise compute it in run 1 and serve
+            # runs 2..N from cache — bimodal timings (the r5 spread
+            # problem) and a number that measures the warm path
+            _isolate(spark)
+            t0 = time.time()
+            _materialize(ALL_QUERIES[name].fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        runs.sort()
+        kept = runs[N_TRIM : len(runs) - N_TRIM]
+        timings[name] = round(sum(kept) / len(kept), 3)
+        spreads[name] = round(kept[-1] - kept[0], 3)
+        print(
+            f"  {name:32s} trimmed-mean {timings[name]:8.3f}s  "
+            f"spread {spreads[name]:.3f}s{echo_suffix}",
+            file=sys.stderr,
+        )
+    return timings, spreads
+
+
 def main() -> int:
     args = sys.argv[1:]
     # Argv contract: an arg is either an existing sf directory or a
@@ -99,34 +136,7 @@ def main() -> int:
         print(f"bench.py: sf_dir does not exist: {sf_dir!r}", file=sys.stderr)
         return 2
     spark = get_spark("bench")
-
-    # warmup: absorb session/codegen startup so query timings are real
-    t0 = time.time()
-    _materialize(ALL_QUERIES["file_count"].fn(spark, sf_dir))
-    print(f"warmup {time.time() - t0:.2f}s  sf_dir={sf_dir}", file=sys.stderr)
-
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in names:
-        runs: list[float] = []
-        for _ in range(N_RUNS):
-            # isolate each RUN, not just each query: operators that
-            # persist() an intermediate (minhash shingles, triangle
-            # edges) would otherwise compute it in run 1 and serve
-            # runs 2..N from cache — bimodal timings (the r5 spread
-            # problem) and a number that measures the warm path
-            _isolate(spark)
-            t0 = time.time()
-            _materialize(ALL_QUERIES[name].fn(spark, sf_dir))
-            runs.append(time.time() - t0)
-        runs.sort()
-        kept = runs[N_TRIM : len(runs) - N_TRIM]
-        timings[name] = round(sum(kept) / len(kept), 3)
-        spreads[name] = round(kept[-1] - kept[0], 3)
-        print(
-            f"  {name:32s} trimmed-mean {timings[name]:8.3f}s  spread {spreads[name]:.3f}s",
-            file=sys.stderr,
-        )
+    timings, spreads = time_queries(spark, sf_dir, names)
 
     print(
         json.dumps(

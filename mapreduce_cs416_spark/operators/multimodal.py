@@ -618,6 +618,7 @@ def _decode_stats(docs: DataFrame, make_fn, schema: T.StructType, width: int) ->
     power-of-two pixel count hit exact .5 cases constantly."""
     blobs = with_blob(docs).select("doc_id", "blob")
     chans = [f.name.removeprefix("mean_") for f in schema.fields if f.name.startswith("mean_")]
+    bpp = len(chans)  # pixel stride = channel count, read off the schema
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -627,6 +628,11 @@ def _decode_stats(docs: DataFrame, make_fn, schema: T.StructType, width: int) ->
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
                 img = decode_image(make_fn(raw, width))
+                if img["channels"] != bpp:
+                    raise ValueError(
+                        f"decoded {img['channels']} channels but the stats "
+                        f"schema declares {bpp} mean_* fields"
+                    )
                 px = img["pixels"]
                 n_px = img["width"] * img["height"]
                 out["doc_id"].append(doc_id)
@@ -634,8 +640,8 @@ def _decode_stats(docs: DataFrame, make_fn, schema: T.StructType, width: int) ->
                 out["height"].append(img["height"])
                 out["n_data_bytes"].append(len(raw))
                 for i, c in enumerate(chans):
-                    out[f"mean_{c}"].append(sum(px[i::3]) / n_px)
-                out["row0_hex"].append(px[: img["width"] * 3].hex())
+                    out[f"mean_{c}"].append(sum(px[i::bpp]) / n_px)
+                out["row0_hex"].append(px[: img["width"] * bpp].hex())
             yield pd.DataFrame(out)
 
     out = blobs.mapInPandas(_decode, schema)

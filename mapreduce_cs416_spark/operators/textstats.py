@@ -601,9 +601,14 @@ def source_unigram_kl(
 
     Scale shape: the corpus token stream is scanned and shuffled
     EXACTLY ONCE — one groupBy (source, token) builds the counter
-    table, which is eagerly materialized (it is ≤ |sources|·|distinct
-    tokens| rows, corpus-size-independent) and everything downstream
-    derives from it: the corpus-wide vocabulary is the top-V of the
+    table, which is eagerly materialized and everything downstream
+    derives from it. The counter table is ≤ |sources|·|distinct
+    tokens| rows — far below the token stream it summarizes, but NOT
+    corpus-size-independent (distinct tokens grow with the corpus,
+    Heaps' law); at the 100 TB point this intermediate belongs in a
+    parquet artifact or reliable checkpoint rather than pinned
+    executor storage, and ``materialize=False`` lets a caller manage
+    that externally. Downstream: the corpus-wide vocabulary is the top-V of the
     counters summed over sources (identical counts to a second stream
     scan, without one), the vocab filter is a broadcast semi-join on
     the counters, and the |sources|×V grid is built by broadcast

@@ -448,21 +448,30 @@ def streaming_ingest_gate(
     from ..operators import dedup
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.graph import _unpersist_checkpoint
+
         # the batch feeds the gate AND the admitted-docs filter; the
         # decisions feed the parquet sink AND the admission filter —
         # checkpoint both so (a) nothing recomputes per reference and
         # (b) the decision plan's index scan is fully executed BEFORE
-        # append_ingest_index adds new files to the same directories
+        # append_ingest_index adds new files to the same directories.
+        # Both checkpoints are freed before the batch returns: a
+        # continuous-trigger service would otherwise accumulate one
+        # shard's pinned blocks per micro-batch forever.
         b = batch_df.select("doc_id", "text").localCheckpoint()
         decisions = (
             dedup.incremental_ingest_indexed(b, index_path, k, threshold, max_df)
             .withColumn("batch_id", F.lit(batch_id))
             .localCheckpoint()
         )
-        decisions.write.mode("append").parquet(f"{index_path}/decisions")
-        admitted_ids = decisions.where(F.col("status") == "novel").select("doc_id")
-        admitted = b.join(F.broadcast(admitted_ids), "doc_id")
-        dedup.append_ingest_index(admitted, index_path, k)
+        try:
+            decisions.write.mode("append").parquet(f"{index_path}/decisions")
+            admitted_ids = decisions.where(F.col("status") == "novel").select("doc_id")
+            admitted = b.join(F.broadcast(admitted_ids), "doc_id")
+            dedup.append_ingest_index(admitted, index_path, k)
+        finally:
+            _unpersist_checkpoint(decisions)
+            _unpersist_checkpoint(b)
 
     return (
         docs.writeStream.foreachBatch(_gate)
