@@ -24,6 +24,12 @@ signatures — is real and tested:
                        (make_bmp → decode_image → channel means),
                        with PPM and PNG faces over the same shared
                        ``_decode_stats`` mapInPandas body.
+- ``decode_audio``   : the audio counterpart — a genuine RIFF chunk
+                       walker for 16-bit PCM WAVE; compressed codecs
+                       (MP3/AAC/ADPCM) honestly raise. The oracled
+                       ``decode_audio_stats`` query emits per-doc
+                       signal stats (duration, mean/peak amplitude,
+                       zero crossings).
 """
 
 from __future__ import annotations
@@ -679,6 +685,161 @@ def decode_ppm_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     and both row layouts of the decoder against hash-exact oracles
     (plans/northstar.MULTIMODAL_DECODE_PPM_SQL)."""
     return _decode_stats(docs, make_ppm, PPM_DECODE_SCHEMA, width)
+
+
+WAV_SAMPLE_RATE = 8000  # Hz; 1000/8000 = 0.125 ms/sample, exact in binary
+
+
+def make_wav(payload: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Wrap raw bytes into a valid RIFF/WAVE file: 16-bit little-endian
+    PCM, mono, ``payload`` zero-padded to whole samples (min 1). An
+    odd-sized 'JUNK' chunk sits between 'fmt ' and 'data' on purpose —
+    a decoder that assumes data immediately follows fmt, or that skips
+    chunks without RIFF word alignment, breaks on every blob this
+    emits."""
+    n_samples = max(-(-len(payload) // 2), 1)
+    data = payload.ljust(2 * n_samples, b"\x00")
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    junk = b"JUNK" + (3).to_bytes(4, "little") + b"mrc" + b"\x00"  # odd size -> pad byte
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + junk
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real audio decode: a genuine RIFF chunk walker (word-aligned
+    chunk sizes, ancillary chunks skipped) for 16-bit little-endian
+    PCM WAVE, mono or multi-channel. Compressed codecs (MP3/AAC/ADPCM
+    format tags) genuinely need codec libraries and raise — same
+    honesty contract as ``decode_image``'s JPEG guard.
+
+    Returns {"sample_rate", "n_channels", "n_samples", "samples":
+    list[int]} with samples interleaved in file order (n_samples
+    counts per-channel frames x channels = total int16 values).
+    tests/test_multimodal.py pins the parser against hand-built
+    fixtures (chunk skipping, odd-size padding, truncation) and a
+    hypothesis round-trip over make_wav."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("unsupported audio container (16-bit PCM WAVE only)")
+    if len(payload) < 12:
+        raise ValueError("truncated WAV header")
+    pos = 12
+    sample_rate = n_channels = bits = fmt_tag = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        chunk = payload[pos + 8 : pos + 8 + clen]
+        if len(chunk) < clen:
+            raise ValueError("truncated WAV chunk")
+        if ctype == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag = int.from_bytes(chunk[0:2], "little")
+            n_channels = int.from_bytes(chunk[2:4], "little")
+            sample_rate = int.from_bytes(chunk[4:8], "little")
+            bits = int.from_bytes(chunk[14:16], "little")
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if fmt_tag is None:
+        raise ValueError("WAV missing fmt chunk")
+    if fmt_tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is supported (format tag {fmt_tag}, {bits}-bit needs a codec)"
+        )
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    n = len(data) // 2  # trailing odd byte (malformed writer) ignored
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n,
+        "samples": list(struct.unpack(f"<{n}h", data[: 2 * n])),
+    }
+
+
+WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_data_bytes", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("n_zero_cross", T.IntegerType()),
+        T.StructField("head_hex", T.StringType()),
+    ]
+)
+
+
+def decode_audio_stats(docs: DataFrame, sample_rate: int = WAV_SAMPLE_RATE) -> DataFrame:
+    """The AUDIO face of the real-decode path: wrap each blob's bytes
+    into a 16-bit PCM WAV (``make_wav`` — whose LIST chunk forces the
+    parser to genuinely walk RIFF chunks), decode with
+    ``decode_audio``, and emit per-doc signal stats: sample count,
+    duration, mean |amplitude|, peak |amplitude|, zero-crossing count
+    (sign changes between consecutive samples), plus the first 16 PCM
+    bytes' hex to pin int16 little-endian byte order. All integer math
+    plus one IEEE division per mean — hash-exact against a DuckDB twin
+    that reassembles the same int16 stream from payload hex pairs
+    (plans/northstar.MULTIMODAL_DECODE_WAV_SQL). Same 100 TB shape as
+    the image faces: one Arrow-batched mapInPandas, blobs never leave
+    the executor, only reduced stats come back. Raw IEEE values leave
+    Python; 6-dp rounding happens JVM-side (HALF_UP discipline)."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in WAV_DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                au = decode_audio(make_wav(raw, sample_rate))
+                sm = au["samples"]
+                ns = au["n_samples"]
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(au["sample_rate"])
+                out["n_samples"].append(ns)
+                out["n_data_bytes"].append(len(raw))
+                out["duration_ms"].append(ns * 1000.0 / au["sample_rate"])
+                out["mean_abs"].append(sum(abs(x) for x in sm) / ns)
+                out["peak_abs"].append(max(abs(x) for x in sm))
+                out["n_zero_cross"].append(
+                    sum((sm[i - 1] < 0) != (sm[i] < 0) for i in range(1, ns))
+                )
+                out["head_hex"].append(
+                    b"".join(x.to_bytes(2, "little", signed=True) for x in sm[:8]).hex()
+                )
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, WAV_DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "n_data_bytes",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "peak_abs",
+        "n_zero_cross",
+        "head_hex",
+    )
 
 
 def decode_png_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:

@@ -758,6 +758,53 @@ FROM d
 """
 
 
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_audio_stats(_docs(spark, sf_dir))
+
+
+# AUDIO twin of the image-decode oracles: make_wav zero-pads the blob
+# to whole 16-bit little-endian PCM samples (min 1) behind a real RIFF
+# container (odd-sized JUNK chunk between fmt and data, so the Spark
+# side must genuinely walk word-aligned chunks); the oracle reassembles
+# the SAME int16 stream straight from payload hex pairs — sample i =
+# bytes (2i-1, 2i) little-endian, i.e. '0x' || high-hex || low-hex
+# with high = byte 2i — two's-complement via the >= 32768 branch — and
+# recomputes every stat. A byte-order, padding, chunk-walk, or sign
+# bug on the Spark side hash-mismatches. All integer math except
+# duration (ns·0.125 ms, exact in binary) and one IEEE division for
+# mean_abs, rounded 6dp on both sides.
+MULTIMODAL_DECODE_WAV_SQL = f"""
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, n,
+           greatest(CAST(ceil(n / 2.0) AS BIGINT), 1) AS ns,
+           rpad(hx, CAST(4 * greatest(CAST(ceil(n / 2.0) AS BIGINT), 1) AS INT), '0') AS hx4
+    FROM c
+), s AS (
+    SELECT doc_id, n, ns,
+           [CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+            FOR u IN [CAST('0x' || substr(hx4, 4 * i - 1, 2) || substr(hx4, 4 * i - 3, 2) AS INT)
+                      FOR i IN range(1, ns + 1)]] AS sm,
+           substr(hx4, 1, 32) AS head
+    FROM d
+)
+SELECT doc_id,
+       CAST({multimodal.WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+       CAST(ns AS INT) AS n_samples,
+       CAST(n AS INT) AS n_data_bytes,
+       round(ns * 1000.0 / {multimodal.WAV_SAMPLE_RATE}, 6) AS duration_ms,
+       round(list_sum([abs(x) FOR x IN sm]) * 1.0 / ns, 6) AS mean_abs,
+       CAST(list_max([abs(x) FOR x IN sm]) AS INT) AS peak_abs,
+       CAST(len([i FOR i IN range(1, ns) IF (sm[i] < 0) <> (sm[i + 1] < 0)]) AS INT) AS n_zero_cross,
+       head AS head_hex
+FROM s
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blobs(_docs(spark, sf_dir))
 
@@ -2002,5 +2049,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
+        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
     ]
 }

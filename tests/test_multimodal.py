@@ -330,3 +330,97 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis is baked in, but gate anyway
     pass
+
+
+# ------------------------------------------------------------- WAV
+def _wav(samples: list[int], sample_rate: int = 8000, n_channels: int = 1,
+         extra_pre: bytes = b"", extra_post: bytes = b"") -> bytes:
+    """Hand-build a RIFF/WAVE file independent of make_wav — with
+    optional ancillary chunks before fmt and between fmt and data —
+    so the chunk walker is pinned against containers it didn't
+    encode."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * 2 * n_channels, 2 * n_channels, 16)
+    body = (
+        b"WAVE" + extra_pre
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + extra_post
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_audio_hand_built():
+    samples = [0, 1000, -1000, 32767, -32768, 1]
+    au = multimodal.decode_audio(_wav(samples, sample_rate=44100, n_channels=2))
+    assert au["sample_rate"] == 44100
+    assert au["n_channels"] == 2
+    assert au["n_samples"] == 6
+    assert au["samples"] == samples
+
+
+def test_decode_audio_walks_ancillary_chunks_with_word_alignment():
+    """Odd-sized ancillary chunks before fmt AND before data: RIFF
+    pads each to a word boundary, and the pad byte is NOT counted in
+    the chunk size — a walker that forgets the pad misreads the next
+    chunk id."""
+    odd = b"JUNK" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    au = multimodal.decode_audio(_wav([7, -7], extra_pre=odd, extra_post=odd))
+    assert au["samples"] == [7, -7]
+
+
+def test_decode_audio_unsupported_and_truncated():
+    with pytest.raises(NotImplementedError):  # not RIFF/WAVE at all
+        multimodal.decode_audio(b"OggS" + bytes(40))
+    with pytest.raises(NotImplementedError):  # ADPCM format tag needs a codec
+        bad = bytearray(_wav([1, 2]))
+        bad[20:22] = (2).to_bytes(2, "little")
+        multimodal.decode_audio(bytes(bad))
+    with pytest.raises(ValueError):  # truncated data chunk
+        multimodal.decode_audio(_wav([1, 2, 3, 4])[:-3])
+    with pytest.raises(ValueError):  # fmt but no data chunk
+        full = _wav([1])
+        multimodal.decode_audio(full[: full.index(b"data")])
+
+
+def test_decode_audio_stats_matches_hand_computation(spark):
+    import struct
+
+    out = {r["doc_id"]: r for r in multimodal.decode_audio_stats(_docs(spark)).collect()}
+    raw = b"hello world".ljust(12, b"\x00")
+    sm = struct.unpack("<6h", raw)
+    assert out[0]["n_samples"] == 6 and out[0]["n_data_bytes"] == 11
+    assert out[0]["duration_ms"] == round(6 * 1000.0 / 8000, 6)
+    assert out[0]["mean_abs"] == round(sum(abs(x) for x in sm) / 6, 6)
+    assert out[0]["peak_abs"] == max(abs(x) for x in sm)
+    assert out[0]["n_zero_cross"] == sum(
+        (sm[i - 1] < 0) != (sm[i] < 0) for i in range(1, 6)
+    )
+    assert out[0]["head_hex"] == raw.hex()
+    # 1-byte doc: zero-padded to one whole sample
+    assert out[2]["n_samples"] == 1 and out[2]["peak_abs"] == ord("x")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(payload=st.binary(max_size=600))
+    @settings(max_examples=120, deadline=None)
+    def test_wav_roundtrip_property(payload):
+        """make_wav → decode_audio is sample-exact for ANY payload:
+        the decoded int16 stream equals the zero-padded payload
+        reinterpreted little-endian, min one sample."""
+        import struct
+
+        au = multimodal.decode_audio(multimodal.make_wav(payload))
+        ns = max(-(-len(payload) // 2), 1)
+        padded = payload.ljust(2 * ns, b"\x00")
+        assert au["n_samples"] == ns
+        assert au["samples"] == list(struct.unpack(f"<{ns}h", padded))
+
+except ImportError:  # pragma: no cover
+    pass
