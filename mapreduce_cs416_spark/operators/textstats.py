@@ -683,3 +683,54 @@ def source_kl_from_counts(per_src: DataFrame, alpha: float = 0.5) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------------- PII
+# The pattern language is the subset shared by Java regex (Spark) and
+# RE2 (the DuckDB oracle): character classes, bounded repetition, \b
+# and \d (ASCII in both) — no lookaround or backreferences, which RE2
+# rejects. Order matters and is part of the contract: emails first
+# (their local parts can contain digit runs), then dotted IPs, then
+# hyphenated phones, then bare account-number runs — during redaction
+# each later pattern scans text in which earlier matches are already
+# masked, so a phone fragment can never be re-matched as an account
+# number.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"),
+    ("account", r"\b\d{6,}\b"),
+)
+
+
+def pii_scan_redact(
+    df: DataFrame, text_col: str = "note", keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """PII detection + redaction in one pass (the RefinedWeb /
+    CCNet-style pre-release scrub): per-row match counts for each
+    pattern class plus the text with every match replaced by its
+    ``<CLASS>`` tag. Pure JVM regexp built-ins (regexp_extract_all /
+    regexp_replace) — whole-stage codegen, no Python, no shuffle: the
+    op is embarrassingly row-local, so at 100 TB it rides the scan
+    it's fused into and the only cost is the regex automata. Counts
+    are computed on the RAW text (audit semantics: what was present),
+    redaction is sequential in PII_PATTERNS order (scrub semantics:
+    no double-masking). Hash-exact against a DuckDB twin running the
+    identical patterns with RE2 ('g' flag — DuckDB replaces only the
+    first match otherwise; Spark always replaces all)."""
+    count_exprs = {
+        name: F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS
+    }
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    total = None
+    for expr in count_exprs.values():
+        total = expr if total is None else total + expr
+    return df.select(
+        *keep,
+        *[expr.alias(f"n_{name}") for name, expr in count_exprs.items()],
+        total.alias("n_pii"),
+        redacted.alias("redacted"),
+    )

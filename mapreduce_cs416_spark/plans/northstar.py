@@ -582,6 +582,76 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(sym, n_iter=8).select("node", F.round("rank", 6).alias("rank"))
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/textstats.pii_scan_redact) over a CRM-note
+    frame synthesized deterministically from `customer` — the slim
+    fixture carries no free-text column, so the note embeds a phone,
+    an account number, and (keyed on c_custkey) an email for every
+    3rd and an IPv4 for every 5th customer, giving genuinely varying
+    per-class counts. The operator under test is the scan + redact
+    itself: row-local JVM regexp codegen, zero shuffles, counts on
+    the raw text and sequential class-ordered masking — at 100 TB it
+    fuses into whatever scan feeds it."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d", k % 90 + 10, k % 900 + 100, (k * 7) % 900 + 100, (k * 37) % 9000 + 1000
+    )
+    email = F.concat(F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com"))
+    account = (F.lit(1000000) + k * 13).cast("string")
+    ip = F.format_string("%d.%d.%d.%d", k % 90 + 10, k % 256, (k * 3) % 256, (k * 7) % 254 + 1)
+    note = F.concat(
+        F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"), F.lit(") reachable at "), phone,
+        F.when(k % 3 == 0, F.concat(F.lit(" or "), email)).otherwise(F.lit("")),
+        F.lit(" acct "), account,
+        F.when(k % 5 == 0, F.concat(F.lit(" last seen from "), ip)).otherwise(F.lit("")),
+        F.lit(" nation "), F.col("c_nationkey").cast("string"),
+    )
+    notes = cust.select(k.alias("custkey"), note.alias("note"))
+    return textstats.pii_scan_redact(notes, text_col="note", keep=("custkey",))
+
+
+# The oracle rebuilds the identical note (printf twins format_string)
+# and runs the SAME patterns under RE2 — 'g' flag required: DuckDB
+# regexp_replace is first-match-only by default while Spark's always
+# replaces all. Pattern strings are interpolated from
+# textstats.PII_PATTERNS so the two engines can never drift.
+_PII = dict(textstats.PII_PATTERNS)
+TEXT_PII_SQL = f"""
+WITH notes AS (
+    SELECT c_custkey AS custkey,
+           c_name || ' (' || c_mktsegment || ') reachable at '
+           || printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10, c_custkey % 900 + 100,
+                     (c_custkey * 7) % 900 + 100, (c_custkey * 37) % 9000 + 1000)
+           || CASE WHEN c_custkey % 3 = 0
+                   THEN ' or ' || lower(replace(c_name, '#', '')) || '@example.com'
+                   ELSE '' END
+           || ' acct ' || CAST(1000000 + c_custkey * 13 AS VARCHAR)
+           || CASE WHEN c_custkey % 5 = 0
+                   THEN ' last seen from ' || printf('%d.%d.%d.%d', c_custkey % 90 + 10,
+                            c_custkey % 256, (c_custkey * 3) % 256, (c_custkey * 7) % 254 + 1)
+                   ELSE '' END
+           || ' nation ' || CAST(c_nationkey AS VARCHAR) AS note
+    FROM customer
+)
+SELECT custkey,
+       CAST(len(regexp_extract_all(note, '{_PII["email"]}', 0)) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(note, '{_PII["ip"]}', 0)) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(note, '{_PII["phone"]}', 0)) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(note, '{_PII["account"]}', 0)) AS INT) AS n_account,
+       CAST(len(regexp_extract_all(note, '{_PII["email"]}', 0))
+            + len(regexp_extract_all(note, '{_PII["ip"]}', 0))
+            + len(regexp_extract_all(note, '{_PII["phone"]}', 0))
+            + len(regexp_extract_all(note, '{_PII["account"]}', 0)) AS INT) AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(note,
+           '{_PII["email"]}', '<EMAIL>', 'g'),
+           '{_PII["ip"]}', '<IP>', 'g'),
+           '{_PII["phone"]}', '<PHONE>', 'g'),
+           '{_PII["account"]}', '<ACCOUNT>', 'g') AS redacted
+FROM notes
+"""
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(_docs(spark, sf_dir))
@@ -2050,5 +2120,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
+        QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_SQL, textstats.pii_scan_redact.__doc__, tags=("northstar", "text", "pii", "pipeline")),
     ]
 }

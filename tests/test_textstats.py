@@ -229,3 +229,41 @@ def test_phrase_search_adjacency_and_misses(spark):
 
     with _pytest.raises(ValueError):
         textstats.phrase_search(docs, [])
+
+
+def test_pii_scan_redact_counts_and_masks(spark):
+    rows = [
+        (0, "mail bob.smith+x@corp.example.io now"),
+        (1, "call 12-345-678-9012 re acct 1234567"),
+        (2, "host 10.0.255.1 clean text here"),
+        (3, "no pii at all"),
+        (4, "two mails a@b.co and c.d@e.org plus 192.168.1.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, note string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.pii_scan_redact(df, text_col="note", keep=("doc_id",)).collect()
+    }
+    assert (out[0]["n_email"], out[0]["n_pii"]) == (1, 1)
+    assert out[0]["redacted"] == "mail <EMAIL> now"
+    assert (out[1]["n_phone"], out[1]["n_account"], out[1]["n_pii"]) == (1, 1, 2)
+    assert out[1]["redacted"] == "call <PHONE> re acct <ACCOUNT>"
+    assert (out[2]["n_ip"], out[2]["n_pii"]) == (1, 1)
+    assert out[3]["n_pii"] == 0 and out[3]["redacted"] == "no pii at all"
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_pii"]) == (2, 1, 3)
+
+
+def test_pii_redaction_order_prevents_double_masking(spark):
+    """Class ordering is part of the contract: the email's digit-run
+    local part and the IP's dotted octets must be masked as EMAIL/IP,
+    never re-matched by the later account pattern; a digit run inside
+    a word stays untouched (no \\b)."""
+    rows = [
+        (0, "9876543@x.io from 123.45.6.78 ref 00112233 sku A1234567B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, note string")
+    row = textstats.pii_scan_redact(df, text_col="note", keep=("doc_id",)).collect()[0]
+    assert row["redacted"] == "<EMAIL> from <IP> ref <ACCOUNT> sku A1234567B"
+    # audit counts run on the RAW text: the bare run and the email's
+    # local part both \b-qualify as account runs, the IP does not.
+    assert (row["n_email"], row["n_ip"], row["n_account"]) == (1, 1, 2)
