@@ -1454,6 +1454,103 @@ FROM ({APPROX_DISTINCT_SQL})
 """
 
 
+# ------------------------------------------------------------------ CDC
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a deterministic CDC changelog into the orders snapshot
+    (operators/cdc.cdc_merge): base = orders outside the %7 insert
+    slice; changelog = updates (%3 of existing keys: new status,
+    bumped price, seq 1), inserts (the held-out %7 slice, seq 1), and
+    deletes (%5, seq 2 — outranking a same-key update, so a key in
+    both slices resolves to delete: exactly the binlog-position
+    semantics of cdc.latest_changes). The snapshot is touched by ONE
+    left-anti join; conflict resolution is a map-side-combinable
+    max_by over the changelog only."""
+    from ..operators import cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 7 != 0)
+    upd = orders.filter((k % 3 == 0) & (k % 7 != 0)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    ins = orders.filter(k % 7 == 0).select(
+        *orders.columns, F.lit("U").alias("op"), F.lit(1).alias("seq")
+    )
+    dels = orders.filter(k % 5 == 0).select(
+        "o_orderkey",
+        *[
+            F.lit(None).cast(orders.schema[c].dataType).alias(c)
+            for c in orders.columns
+            if c != "o_orderkey"
+        ],
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    return cdc.cdc_merge(base, changes, ["o_orderkey"], op_col="op", seq_col="seq")
+
+
+CDC_MERGE_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+changes AS (
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+           'U' AS op, 1 AS seq
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority, 'U', 1
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, NULL, NULL, NULL, 'D', 2
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+latest AS (
+    SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+)
+SELECT b.* FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+"""
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/cdc.scd2_history):
+    each user's event stream becomes validity intervals — valid_from
+    = the change's own timestamp, valid_to = the key's next change
+    (NULL = current version), with a per-key version ordinal. One
+    per-key window ordered (ts, event_id); state bounded by the
+    busiest key."""
+    from ..operators import cdc
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select("user_id", "event_id", "event_type", "ts")
+    return cdc.scd2_history(changes, ["user_id"], "ts", order_cols=["event_id"]).drop("ts")
+
+
+CDC_SCD2_SQL = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -1523,5 +1620,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_SQL, scalar_string_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("scalar_struct_bit_funcs", scalar_struct_bit_funcs, SCALAR_STRUCT_BIT_SQL, scalar_struct_bit_funcs.__doc__, tags=("relational", "scalar", "struct")),
         QuerySpec("map_funcs", map_funcs, MAP_FUNCS_SQL, map_funcs.__doc__, tags=("relational", "scalar", "map")),
+        QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, tags=("relational", "cdc", "join", "pipeline")),
+        QuerySpec("cdc_scd2_history", cdc_scd2_history, CDC_SCD2_SQL, cdc_scd2_history.__doc__, tags=("relational", "cdc", "window")),
     ]
 }
