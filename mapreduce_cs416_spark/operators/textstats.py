@@ -734,3 +734,60 @@ def pii_scan_redact(
         total.alias("n_pii"),
         redacted.alias("redacted"),
     )
+
+
+# ------------------------------------------------- model-based quality
+# A fasttext-style linear document classifier (the "model-based
+# quality filtering" stage of GPT-3/LLaMA-class data pipelines): the
+# model is a (term, integer weight) table — in production the exported
+# weights of a trained linear classifier; here a fixed vocabulary so
+# the oracle can carry the identical table. Integer weights keep the
+# weighted sum exact; the ONLY float op is one IEEE division per doc.
+QUALITY_MODEL_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("data", 3), ("query", 3), ("spark", 4), ("table", 2), ("join", 2),
+    ("stream", 2), ("window", 2), ("filter", 2), ("merge", 1), ("sort", 1),
+    ("the", -1), ("a", -1), ("of", -1), ("and", -1), ("to", -1),
+    ("slow", -2), ("dup", -3),
+)
+
+
+def model_quality_score(
+    docs: DataFrame, weights: DataFrame | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """Score every document with a linear bag-of-words model and emit
+    the keep/drop decision: score = Σ tf(term)·weight(term) / n_tokens
+    (length-normalized so long documents aren't favored), keep =
+    score ≥ threshold. Emits the audit columns a filtering report
+    needs (token count, matched-term count, exact integer raw score).
+
+    Scale shape: one row-local explode, a BROADCAST left join against
+    the model (a classifier vocabulary is KB-MB — never shuffle the
+    corpus for it), one groupBy(doc_id) with map-side partial
+    aggregation — the corpus shuffles once regardless of model size.
+    Documents with zero tokens vanish with the explode (nothing to
+    score); the release pipeline treats missing as dropped.
+    """
+    from .dedup import _spread
+
+    if weights is None:
+        weights = docs.sparkSession.createDataFrame(
+            list(QUALITY_MODEL_WEIGHTS), "term string, w long"
+        )
+    tok = _spread(docs).select("doc_id", F.explode(_words()).alias("term"))
+    agg = (
+        tok.join(F.broadcast(weights), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("w").cast("int").alias("n_hits"),
+            F.sum(F.coalesce("w", F.lit(0))).alias("raw"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_hits",
+        F.col("raw").cast("long").alias("raw_score"),
+        F.round(F.col("raw") / F.col("n_tokens"), 6).alias("score"),
+        (F.col("raw") / F.col("n_tokens") >= threshold).alias("keep"),
+    )

@@ -652,6 +652,31 @@ FROM notes
 """
 
 
+def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (textstats.model_quality_score)
+    over `documents`: a broadcast linear bag-of-words classifier
+    scores every doc and emits the keep/drop decision. The oracle
+    carries the IDENTICAL weight table (interpolated from the one
+    QUALITY_MODEL_WEIGHTS constant) as a VALUES list."""
+    return textstats.model_quality_score(_docs(spark, sf_dir))
+
+
+_QM_VALUES = ", ".join(f"('{t}', {w})" for t, w in textstats.QUALITY_MODEL_WEIGHTS)
+TEXT_MODEL_QUALITY_SQL = f"""
+WITH w(term, wt) AS (VALUES {_QM_VALUES}),
+tok AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+j AS (SELECT t.doc_id, w.wt FROM tok t LEFT JOIN w ON w.term = t.term)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(count(wt) AS INT) AS n_hits,
+       CAST(coalesce(sum(wt), 0) AS BIGINT) AS raw_score,
+       round(coalesce(sum(wt), 0) * 1.0 / count(*), 6) AS score,
+       (coalesce(sum(wt), 0) * 1.0 / count(*)) >= 0.0 AS keep
+FROM j
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(_docs(spark, sf_dir))
@@ -2072,6 +2097,11 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, headline=True, tags=("northstar", "dedup", "graph", "iterative")),
         QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, headline=True, tags=("northstar", "text", "dedup", "pipeline")),
+        # late-r7: the NEW PII scrub takes the slot freed by
+        # scalar_datetime_funcs (see plans/relational.py rotation
+        # comment); its multimodal sibling multimodal_decode_wav and
+        # cdc_scd2_history stay extras (parity-green in pytest).
+        QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_SQL, textstats.pii_scan_redact.__doc__, headline=True, tags=("northstar", "text", "pii", "pipeline")),
     ]
 }
 
@@ -2120,6 +2150,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
-        QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_SQL, textstats.pii_scan_redact.__doc__, tags=("northstar", "text", "pii", "pipeline")),
+        QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
     ]
 }

@@ -1574,11 +1574,13 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("udtf_tokenize", udtf_tokenize, _WORDCOUNT_ORACLE, udtf_tokenize.__doc__, tags=("relational", "udf", "udtf", "compat")),
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("scalar_part_kernels", scalar_part_kernels, SCALAR_PART_KERNELS_SQL, scalar_part_kernels.__doc__, tags=("relational", "scalar", "struct", "map")),
-        QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),
-        QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
-        # json_funcs rotated to EXTRA in r7 (scalar_part_kernels /
-        # scalar_datetime_funcs / array_funcs keep the scalar families
-        # in-window; the JSON twin stays oracle-checked in pytest)
+        # json_funcs rotated to EXTRA in r7, and late-r7
+        # scalar_datetime_funcs / array_funcs followed it
+        # (scalar_part_kernels keeps the scalar families in-window;
+        # all three twins stay oracle-checked in pytest) — the freed
+        # slots carry the two NEW r7 families so the driver hashes
+        # them: text_pii_redact (northstar) and cdc_merge_orders.
+        QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),
         QuerySpec("exists_subquery", exists_subquery, EXISTS_SUBQUERY_SQL, exists_subquery.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         QuerySpec("pivot_events", pivot_events, PIVOT_EVENTS_SQL, pivot_events.__doc__, tags=("relational", "pivot")),
     ]
@@ -1620,7 +1622,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_SQL, scalar_string_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("scalar_struct_bit_funcs", scalar_struct_bit_funcs, SCALAR_STRUCT_BIT_SQL, scalar_struct_bit_funcs.__doc__, tags=("relational", "scalar", "struct")),
         QuerySpec("map_funcs", map_funcs, MAP_FUNCS_SQL, map_funcs.__doc__, tags=("relational", "scalar", "map")),
-        QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, tags=("relational", "cdc", "join", "pipeline")),
+        QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),
+        QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
         QuerySpec("cdc_scd2_history", cdc_scd2_history, CDC_SCD2_SQL, cdc_scd2_history.__doc__, tags=("relational", "cdc", "window")),
     ]
 }

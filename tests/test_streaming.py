@@ -332,3 +332,51 @@ def test_streaming_ingest_gate_matches_batch_loop(spark, sf_dir, tmp_path_factor
     }
     matched_new = [r for r in b2 if r[2] in admitted_b1]
     assert matched_new or b2 != stale
+
+
+def test_streaming_cdc_merge_matches_batch_loop(spark, tmp_path_factory):
+    """The foreachBatch CDC service must leave the snapshot exactly
+    where the hand-run batch loop does: two ordered changelog
+    micro-batches with a within-batch seq conflict (update then
+    delete of k=4) AND a cross-batch conflict (batch 1 updates k=2,
+    batch 2 deletes it)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_cs416_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    batch1 = [(2, "b2", "U", 1), (4, "d2", "U", 1), (4, None, "D", 2), (9, "i9", "U", 1)]
+    batch2 = [(2, None, "D", 1), (9, "i9b", "U", 1), (10, "j", "U", 1)]
+
+    root = str(tmp_path_factory.mktemp("stream_cdc"))
+    snap = f"{root}/snapshot"
+    base.coalesce(1).write.parquet(snap)
+
+    log_dir = f"{root}/changelog"
+    os.makedirs(log_dir)
+    schema = "k long, v string, op string, seq long"
+    for i, rows in enumerate([batch1, batch2]):
+        path = f"{log_dir}/batch{i}.parquet"
+        pdf = spark.createDataFrame(rows, schema).toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(log_dir)
+    )
+    q = sp.streaming_cdc_merge(stream, snap, ["k"], op_col="op", seq_col="seq")
+    q.awaitTermination()
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    want_df = base
+    for rows in [batch1, batch2]:
+        want_df = cdc.cdc_merge(
+            want_df, spark.createDataFrame(rows, schema), ["k"], op_col="op", seq_col="seq"
+        )
+    want = {r["k"]: r["v"] for r in want_df.collect()}
+    assert got == want == {1: "a", 3: "c", 9: "i9b", 10: "j"}

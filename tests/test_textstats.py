@@ -267,3 +267,22 @@ def test_pii_redaction_order_prevents_double_masking(spark):
     # audit counts run on the RAW text: the bare run and the email's
     # local part both \b-qualify as account runs, the IP does not.
     assert (row["n_email"], row["n_ip"], row["n_account"]) == (1, 1, 2)
+
+
+def test_model_quality_score_hand_weights(spark):
+    weights = spark.createDataFrame(
+        [("good", 2), ("bad", -3)], "term string, w long"
+    )
+    docs = _docs(
+        spark,
+        [
+            (0, "good good stuff"),     # raw 4, 3 tokens
+            (1, "bad news"),            # raw -3, 2 tokens -> drop
+            (2, "totally unknown words"),  # raw 0 -> keep (>= 0)
+        ],
+    )
+    out = {r["doc_id"]: r for r in textstats.model_quality_score(docs, weights).collect()}
+    assert (out[0]["raw_score"], out[0]["n_hits"], out[0]["n_tokens"]) == (4, 2, 3)
+    assert out[0]["score"] == round(4 / 3, 6) and out[0]["keep"]
+    assert out[1]["raw_score"] == -3 and not out[1]["keep"]
+    assert out[2]["raw_score"] == 0 and out[2]["n_hits"] == 0 and out[2]["keep"]
