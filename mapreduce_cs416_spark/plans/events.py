@@ -447,6 +447,88 @@ FROM counts c JOIN totals t ON c.event_type = t.event_type
 """
 
 
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-series downsampling in ONE aggregation —
+    the hypertable "continuous aggregate" shape: hour, day, AND week
+    rollups per event type from a single scan + single shuffle. Each
+    row explodes into its three (resolution, bucket) assignments (the
+    same Expand encoding Catalyst lowers GROUPING SETS to, expressed
+    directly so the DataFrame plan is one hash aggregate); computing
+    the three resolutions as separate jobs would scan and shuffle the
+    events table three times. The DuckDB twin is the literal GROUPING
+    SETS query."""
+    ev = _ev(spark, sf_dir)
+    r = F.explode(
+        F.array(
+            F.struct(F.lit("hour").alias("resolution"), F.date_trunc("hour", "ts").alias("bucket")),
+            F.struct(F.lit("day").alias("resolution"), F.date_trunc("day", "ts").alias("bucket")),
+            F.struct(F.lit("week").alias("resolution"), F.date_trunc("week", "ts").alias("bucket")),
+        )
+    ).alias("r")
+    return (
+        ev.select("event_type", "value", r)
+        .groupBy("event_type", "r.resolution", "r.bucket")
+        .agg(F.count("*").alias("n_events"), decimal_sum(F.col("value"), "sum_value"))
+    )
+
+
+EVENTS_MULTIRES_SQL = f"""
+WITH b AS (
+    SELECT event_type, value,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+    FROM events
+)
+SELECT event_type,
+       CASE WHEN grouping(h) = 0 THEN 'hour'
+            WHEN grouping(d) = 0 THEN 'day'
+            ELSE 'week' END AS resolution,
+       coalesce(h, d, wk) AS bucket,
+       count(*) AS n_events,
+       {sql_decimal_sum('value')} AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type, wk))
+"""
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series per event type (the
+    time_bucket_gapfill shape): every (type, day) cell between the
+    corpus' first and last active day, zero-filled where no events
+    landed. The events table shuffles ONCE into the daily rollup;
+    everything after is calendar-sized — bounds are a one-row
+    aggregate of the rollup, the calendar is one sequence() explode,
+    and the grid joins back broadcast. At 100 TB the gap-fill cost is
+    |days|·|types|, independent of event volume."""
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+FROM cal c
+CROSS JOIN types t
+LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -480,5 +562,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
         QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),
         QuerySpec("events_value_histogram", events_value_histogram, EVENTS_HISTOGRAM_SQL, events_value_histogram.__doc__, tags=("events", "agg", "histogram")),
+        QuerySpec("events_multires_rollup", events_multires_rollup, EVENTS_MULTIRES_SQL, events_multires_rollup.__doc__, tags=("events", "window", "agg", "rollup")),
+        QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, events_gapfill.__doc__, tags=("events", "window", "timeseries")),
     ]
 }
