@@ -139,3 +139,59 @@ def zorder_key(c1, c2, bits: int = 16):
         b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
         key = key.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(F.shiftleft(b2, 2 * i + 1))
     return key
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the lakehouse OPTIMIZE maintenance op.
+    Streaming sinks, per-batch CDC rewrites, and fine-grained hive
+    partitions all fragment a table into files far below the scan
+    sweet spot; every downstream query then pays one task + one footer
+    read per fragment. This rewrites the table at ``path`` into
+    ``ceil(current_bytes / target_bytes)`` files (optionally re-sorted
+    on ``cluster_by`` so row-group stats stay tight — compaction is
+    the natural moment to restore clustering), staging into a sibling
+    directory and atomically renaming over the original, so a reader
+    never observes a half-written table and a failed compaction leaves
+    the source untouched. Returns the new file count.
+
+    Scale notes: sizing uses file-system metadata only (no data
+    scan); the rewrite itself is one repartition shuffle of the
+    table — which is the point: pay it once in maintenance, not a
+    fragment-tax on every query. Partitioned (hive-layout) tables
+    should compact per partition directory (call this per directory);
+    a transactional table format replaces the rename with a metadata
+    commit, the dataflow is identical.
+    """
+    import math
+    import os
+    import shutil
+
+    sizes = [
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not sizes:
+        raise ValueError(f"no parquet files under {path}")
+    n_files = max(1, math.ceil(sum(sizes) / target_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    staging = f"{path}__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__precompact"
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # restore the original on any failure
+        raise
+    shutil.rmtree(backup)
+    return n_files

@@ -69,3 +69,16 @@ def test_scd2_history_chains_validity_intervals(spark):
     assert all(not r["is_current"] for r in k1[:-1])
     (k2,) = [r for r in rows if r["k"] == 2]
     assert k2["version"] == 1 and k2["is_current"]
+
+
+def test_cdc_merge_composite_key(spark):
+    base = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "b"), (2, "x", "c")], "k1 long, k2 string, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "x", "a2", "U", 1), (2, "x", None, "D", 1), (3, "z", "new", "U", 1)],
+        "k1 long, k2 string, v string, op string, seq long",
+    )
+    out = cdc.cdc_merge(base, changes, ["k1", "k2"], op_col="op", seq_col="seq")
+    got = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
+    assert got == {(1, "x"): "a2", (1, "y"): "b", (3, "z"): "new"}

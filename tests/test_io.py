@@ -70,3 +70,38 @@ def test_unknown_format_rejected(spark, sf_dir, tmp_path):
         write_table(src, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unknown format"):
         read_table(spark, str(tmp_path / "x"), "orc2")
+
+
+def test_compact_table_shrinks_fragments_and_preserves_data(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.sources.io import compact_table
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet"))
+    # target sized so the data fits in exactly 2 files
+    n = compact_table(spark, path, target_bytes=(total // 2) + 1, cluster_by=["id"])
+    assert n == 2
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+    # no staging/backup residue
+    assert not glob.glob(f"{path}__*")
+
+
+def test_compact_table_refuses_empty_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from mapreduce_cs416_spark.sources.io import compact_table
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError):
+        compact_table(spark, str(empty))

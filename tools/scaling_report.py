@@ -60,10 +60,17 @@ _EMBEDDING_QUERIES = {
     "embedding_centroid_scores",
 }
 
-# relational-tagged queries whose actual scan set is NOT the TPC-H
-# fact tables (checked against plans/relational.py): asof_join_events
-# reads only the events table.
-_TABLE_OVERRIDES = {"asof_join_events": "events"}
+# queries whose actual scan set is NOT what their tags imply (checked
+# against plans/*.py): asof_join_events reads only the events table,
+# cdc_merge_orders builds its changelog from orders, text_pii_redact
+# synthesizes its notes from customer. All three alternatives grow 10×
+# like the tag defaults, so these overrides fix the printed table
+# name, not the exponent.
+_TABLE_OVERRIDES = {
+    "asof_join_events": "events",
+    "cdc_merge_orders": "orders",
+    "text_pii_redact": "customer",
+}
 
 
 def _dominant_table(name: str) -> str:
