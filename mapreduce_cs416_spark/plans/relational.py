@@ -1551,6 +1551,113 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ----------------------------------------------------------- data quality
+def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish expectation audit over orders (operators/dq): four
+    row-level rules AND the key-uniqueness check folded into ONE
+    aggregate scan, plus referential integrity against customer (one
+    broadcast left-anti join) — the whole audit touches orders twice
+    regardless of rule count. The 'o_orderstatus_finalized'
+    expectation deliberately FAILS on the fixture ('P' orders exist)
+    so non-zero violation counting is exercised, not just all-green
+    rows."""
+    from ..operators import dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = {
+        "o_custkey_not_null": F.col("o_custkey").isNull(),
+        "o_totalprice_positive": F.col("o_totalprice") <= 0,
+        "o_orderstatus_known": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "o_orderstatus_finalized": F.col("o_orderstatus") == "P",
+    }
+    return dq.audit(
+        dq.expectation_counts(
+            orders, rules, unique_rules={"o_orderkey_unique": ["o_orderkey"]}
+        ),
+        dq.fk_violations(orders, customer, {"o_custkey": "c_custkey"}, "fk_orders_customer"),
+    )
+
+
+DQ_ORDERS_SQL = """
+WITH r AS (
+    SELECT 'o_custkey_not_null' AS rule,
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_known',
+           CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_finalized',
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+)
+SELECT rule, n_violations, n_violations = 0 AS pass FROM r
+"""
+
+
+def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders (operators/dq
+    .column_profile): null count, exact distinct count, and typed
+    min/max for every profiled column, ALL from one aggregate scan
+    unpivoted with stack — never one job per column."""
+    from ..operators import dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    return dq.column_profile(
+        orders,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+ORDERS_COLUMN_STATS_SQL = """
+SELECT 'o_orderkey' AS col,
+       CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
@@ -1625,5 +1732,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
         QuerySpec("cdc_scd2_history", cdc_scd2_history, CDC_SCD2_SQL, cdc_scd2_history.__doc__, tags=("relational", "cdc", "window")),
+        QuerySpec("dq_orders_audit", dq_orders_audit, DQ_ORDERS_SQL, dq_orders_audit.__doc__, tags=("relational", "dq", "audit", "pipeline")),
+        QuerySpec("orders_column_stats", orders_column_stats, ORDERS_COLUMN_STATS_SQL, orders_column_stats.__doc__, tags=("relational", "dq", "stats")),
     ]
 }
