@@ -30,6 +30,12 @@ signatures — is real and tested:
                        ``decode_audio_stats`` query emits per-doc
                        signal stats (duration, mean/peak amplitude,
                        zero crossings).
+- ``decode_video``   : the video counterpart — a recursive RIFF/AVI
+                       tree parser (hdrl/avih/strl validation, movi
+                       frame chunks, bottom-up DIB row reversal);
+                       codec fourccs (MJPG/H.264) honestly raise.
+                       ``decode_video_stats`` is its oracled per-doc
+                       frame/channel-stats query.
 """
 
 from __future__ import annotations
@@ -839,6 +845,191 @@ def decode_audio_stats(docs: DataFrame, sample_rate: int = WAV_SAMPLE_RATE) -> D
         "peak_abs",
         "n_zero_cross",
         "head_hex",
+    )
+
+
+AVI_FRAME_H = 4  # rows per frame; 16 px × 3 B = 48 B rows → 192 B frames
+
+
+def make_avi(payload: bytes, width: int = BMP_WIDTH, height: int = AVI_FRAME_H) -> bytes:
+    """Wrap raw bytes into a valid uncompressed RGB24 AVI: payload
+    zero-padded to whole frames (min 1) of bottom-up BGR DIB bitmaps
+    (stride 4-aligned, like BMP pixel arrays), stored as '00db' chunks
+    inside the movi LIST, behind a real hdrl (avih + strl/strh/strf)
+    header tree. The video counterpart of make_bmp/make_wav — every
+    payload byte is addressable as a pixel channel of some frame."""
+    stride = (width * 3 + 3) & ~3
+    frame_len = stride * height
+    n_frames = max(-(-len(payload) // frame_len), 1)
+    data = payload.ljust(frame_len * n_frames, b"\x00")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = (
+        (40_000).to_bytes(4, "little")  # µs/frame (25 fps)
+        + (0).to_bytes(4, "little") * 3  # max bytes/s, padding, flags
+        + n_frames.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # initial frames
+        + (1).to_bytes(4, "little")  # streams
+        + frame_len.to_bytes(4, "little")  # suggested buffer
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4  # reserved
+    )
+    strh = (
+        b"vids" + b"DIB "  # fccType / fccHandler
+        + (0).to_bytes(4, "little") * 3  # flags, prio+lang, initial
+        + (1).to_bytes(4, "little")  # scale
+        + (25).to_bytes(4, "little")  # rate
+        + (0).to_bytes(4, "little")  # start
+        + n_frames.to_bytes(4, "little")
+        + frame_len.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality
+        + (0).to_bytes(4, "little")  # sample size
+        + (0).to_bytes(8, "little")  # rcFrame
+    )
+    strf = (  # BITMAPINFOHEADER, same layout decode_image parses
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + frame_len.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00db", data[i * frame_len : (i + 1) * frame_len]) for i in range(n_frames)),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_video(payload: bytes) -> dict:
+    """Real video decode: a genuine RIFF/AVI parser — walks the
+    word-aligned chunk tree, reads dimensions from avih, validates
+    the stream format is uncompressed 24-bit BI_RGB (any real codec
+    fourcc honestly raises — MJPG/H.264 need codec libraries), and
+    extracts every '00db'/'00dc' movi chunk as one frame, row-reversed
+    from the DIB's bottom-up storage to top-down BGR with stride
+    padding stripped — frame pixels follow exactly the decode_image
+    BMP contract.
+
+    Returns {"width", "height", "n_frames", "frames": list[bytes]}.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("unsupported video container (uncompressed AVI only)")
+    width = height = None
+    declared_frames = None
+    compression = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, declared_frames, compression
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body[4:])  # skip the list-type fourcc, recurse
+            elif tag == b"avih":
+                declared_frames = int.from_bytes(body[16:20], "little")
+                width = int.from_bytes(body[32:36], "little")
+                height = int.from_bytes(body[36:40], "little")
+            elif tag == b"strf" and len(body) >= 34:
+                compression = int.from_bytes(body[16:20], "little")
+                bpp = int.from_bytes(body[14:16], "little")
+                if compression != 0 or bpp != 24:
+                    raise NotImplementedError(
+                        "only uncompressed 24-bit AVI is supported (codec frames need a codec library)"
+                    )
+            elif tag[2:4] in (b"db", b"dc"):
+                frames.append(body)
+            pos += 8 + clen + (clen & 1)  # RIFF word alignment
+
+    walk(payload[12:])
+    if width is None or compression is None:
+        raise ValueError("AVI missing avih/strf headers")
+    if declared_frames != len(frames):
+        raise ValueError(f"AVI declares {declared_frames} frames but carries {len(frames)}")
+    stride = (width * 3 + 3) & ~3
+    out = []
+    for f in frames:
+        if len(f) < stride * height:
+            raise ValueError("truncated AVI frame")
+        rows = [f[r * stride : r * stride + width * 3] for r in range(height)]
+        out.append(b"".join(reversed(rows)))  # bottom-up DIB → top-down
+    return {"width": width, "height": height, "n_frames": len(out), "frames": out}
+
+
+VIDEO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_data_bytes", T.IntegerType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("frame0_row0_hex", T.StringType()),
+    ]
+)
+
+
+def decode_video_stats(
+    docs: DataFrame, width: int = BMP_WIDTH, height: int = AVI_FRAME_H
+) -> DataFrame:
+    """The VIDEO face of the real-decode path: wrap each blob's bytes
+    into an uncompressed AVI (``make_avi``), run the genuine RIFF
+    tree parser (``decode_video``), and emit per-doc stats — frame
+    count, per-channel means over ALL frames' pixels, and the TOP row
+    of frame 0 (the LAST stored row of its bottom-up DIB, so ignoring
+    row order fails the oracle). Same engine-parity discipline as the
+    image/audio faces: integer byte math, one IEEE division per mean,
+    6-dp rounding JVM-side, hash-exact against
+    plans/northstar.MULTIMODAL_DECODE_AVI_SQL which recomputes
+    everything from payload hex pairs."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+    n_px_per_frame = width * height
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                vid = decode_video(make_avi(raw, width, height))
+                px = b"".join(vid["frames"])
+                n_px = n_px_per_frame * vid["n_frames"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(vid["width"])
+                out["height"].append(vid["height"])
+                out["n_frames"].append(vid["n_frames"])
+                out["n_data_bytes"].append(len(raw))
+                for i, c in enumerate("bgr"):
+                    out[f"mean_{c}"].append(sum(px[i::3]) / n_px)
+                out["frame0_row0_hex"].append(vid["frames"][0][: width * 3].hex())
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, VIDEO_DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "n_data_bytes",
+        *[F.round(f"mean_{c}", 6).alias(f"mean_{c}") for c in "bgr"],
+        "frame0_row0_hex",
     )
 
 

@@ -900,6 +900,43 @@ FROM s
 """
 
 
+def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_video_stats(_docs(spark, sf_dir))
+
+
+# VIDEO twin of MULTIMODAL_DECODE_SQL: make_avi zero-pads the blob to
+# whole 192-byte frames (16×4 px bottom-up BGR DIBs) behind a real
+# RIFF tree (hdrl/avih/strl + movi '00db' chunks); the oracle
+# recomputes the channel means straight from payload byte positions —
+# identical to the BMP recipe since frame stride 48 is divisible by 3
+# and padding contributes zeros — and pins frame 0's TOP image row,
+# which is the LAST stored row of its bottom-up DIB (bytes 144..192),
+# so a decoder ignoring per-frame row order hash-mismatches.
+MULTIMODAL_DECODE_AVI_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, hx, n,
+           greatest(CAST(ceil(n / 192.0) AS BIGINT), 1) AS nf,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(n AS INT) AS n_data_bytes,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 0]), 0) / (64 * nf), 6) AS mean_b,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 1]), 0) / (64 * nf), 6) AS mean_g,
+       round(coalesce(list_sum([codes[i] FOR i IN range(1, len(codes) + 1) IF (i - 1) % 3 = 2]), 0) / (64 * nf), 6) AS mean_r,
+       rpad(substr(hx, 289, 96), 96, '0') AS frame0_row0_hex
+FROM d
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blobs(_docs(spark, sf_dir))
 
@@ -2150,6 +2187,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
+        QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
     ]
 }

@@ -424,3 +424,81 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# ------------------------------------------------------------- AVI
+def _avi(frames: list[bytes], width: int, height: int,
+         declared: int | None = None, compression: int = 0, bpp: int = 24) -> bytes:
+    """Hand-build a RIFF/AVI independent of make_avi so the parser is
+    pinned against containers it didn't encode."""
+    def chunk(tag, body):
+        return tag + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag, body):
+        return chunk(b"LIST", tag + body)
+
+    nf = len(frames) if declared is None else declared
+    avih = bytes(16) + nf.to_bytes(4, "little") + bytes(12) \
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little") + bytes(16)
+    strf = (40).to_bytes(4, "little") + width.to_bytes(4, "little", signed=True) \
+        + height.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little") \
+        + bpp.to_bytes(2, "little") + compression.to_bytes(4, "little") + bytes(20)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", bytes(56)) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_decode_video_hand_built_reverses_dib_rows():
+    # 2x2 frame, stride 8 (2 px * 3 B = 6, padded to 8)
+    row_bot, row_top = b"\x01\x02\x03\x04\x05\x06", b"\x11\x12\x13\x14\x15\x16"
+    frame = row_bot + b"\x00\x00" + row_top + b"\x00\x00"  # stored bottom-up
+    vid = multimodal.decode_video(_avi([frame, frame], 2, 2))
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (2, 2, 2)
+    # decoded frames are top-down with stride padding stripped
+    assert vid["frames"][0] == row_top + row_bot
+
+
+def test_decode_video_validations():
+    frame = bytes(8)
+    with pytest.raises(NotImplementedError):  # not an AVI
+        multimodal.decode_video(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    with pytest.raises(NotImplementedError):  # compressed fourcc needs a codec
+        multimodal.decode_video(_avi([frame], 2, 1, compression=0x47504A4D))
+    with pytest.raises(ValueError):  # header/frame count mismatch
+        multimodal.decode_video(_avi([frame, frame], 2, 1, declared=3))
+    with pytest.raises(ValueError):  # frame shorter than one DIB
+        multimodal.decode_video(_avi([b"\x00"], 2, 1))
+
+
+def test_decode_video_stats_matches_hand_computation(spark):
+    out = {r["doc_id"]: r for r in multimodal.decode_video_stats(_docs(spark)).collect()}
+    raw = ("abcdefgh" * 4).encode()  # 32 bytes -> 1 frame of 192
+    padded = raw.ljust(192, b"\x00")
+    r = out[1]
+    assert (r["width"], r["height"], r["n_frames"], r["n_data_bytes"]) == (16, 4, 1, 32)
+    assert r["mean_b"] == round(sum(padded[0::3]) / 64, 6)
+    # top row of frame 0 = LAST stored row = bytes 144..192 (all padding here)
+    assert r["frame0_row0_hex"] == padded[144:192].hex()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(payload=st.binary(max_size=600))
+    @settings(max_examples=60, deadline=None)
+    def test_avi_roundtrip_property(payload):
+        """make_avi → decode_video is byte-exact for ANY payload: the
+        concatenated top-down frames equal the zero-padded payload
+        with each frame's rows reversed."""
+        vid = multimodal.decode_video(multimodal.make_avi(payload))
+        nf = max(-(-len(payload) // 192), 1)
+        data = payload.ljust(192 * nf, b"\x00")
+        assert vid["n_frames"] == nf
+        for i, f in enumerate(vid["frames"]):
+            frame = data[i * 192 : (i + 1) * 192]
+            rows = [frame[r * 48 : (r + 1) * 48] for r in range(4)]
+            assert f == b"".join(reversed(rows))
+
+except ImportError:  # pragma: no cover
+    pass
