@@ -1033,6 +1033,59 @@ def decode_video_stats(
     )
 
 
+N_VIDEO_SAMPLES = 4
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("top_row_hex", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    docs: DataFrame,
+    n_samples: int = N_VIDEO_SAMPLES,
+    width: int = BMP_WIDTH,
+    height: int = AVI_FRAME_H,
+) -> DataFrame:
+    """REAL video frame sampling — the decoded-frames counterpart of
+    the byte-offset ``sample_frames``: wrap each blob into an AVI
+    (``make_avi``), genuinely parse it (``decode_video``), and emit
+    up to ``n_samples`` evenly strided frames as (sample_idx,
+    frame_idx, top-row hex) rows — a 1→k fan-out mapInPandas, the
+    keyframe-thumbnail stage of a video ingest pipeline (a codec
+    decoder slots into decode_video unchanged). Emitting the TOP row
+    of each sampled frame pins per-frame row reversal at every
+    sampled position, not just frame 0. Hash-exact against
+    plans/northstar.MULTIMODAL_FRAME_SAMPLE_SQL."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+    row_len = width * 3
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                vid = decode_video(make_avi(bytes(blob), width, height))
+                nf = vid["n_frames"]
+                step = max(nf // n_samples, 1)
+                for i in range(n_samples):
+                    idx = i * step
+                    if idx >= nf:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["sample_idx"].append(i)
+                    out["frame_idx"].append(idx)
+                    out["top_row_hex"].append(vid["frames"][idx][:row_len].hex())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_sample, VIDEO_FRAME_SCHEMA)
+
+
 def decode_png_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     """The PNG face of the decode path — the only COMPRESSED
     container in the family: ``make_png`` deflate-compresses the

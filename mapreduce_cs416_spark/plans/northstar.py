@@ -937,6 +937,35 @@ FROM d
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_video_frames(_docs(spark, sf_dir))
+
+
+# The REAL-decode twin of MULTIMODAL_FRAMES_SQL: sampled frames come
+# from genuinely parsed AVI movi chunks, and each sampled frame's TOP
+# row is the LAST stored row of its bottom-up DIB — payload bytes
+# [192·idx+144, 192·idx+192) — so per-frame row reversal is pinned at
+# every sampled position. Same evenly-strided selection arithmetic as
+# the byte-offset query.
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH c AS (
+    SELECT doc_id, lower(hex(encode(text))) AS hx, octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, hx, greatest(CAST(ceil(n / 192.0) AS BIGINT), 1) AS nf FROM c
+), f AS (
+    SELECT doc_id, hx, nf, greatest(nf // {multimodal.N_VIDEO_SAMPLES}, 1) AS step, r.i AS k
+    FROM d CROSS JOIN range(0, {multimodal.N_VIDEO_SAMPLES}) AS r(i)
+    WHERE r.i * greatest(nf // {multimodal.N_VIDEO_SAMPLES}, 1) < nf
+)
+SELECT doc_id,
+       CAST(k AS INT) AS sample_idx,
+       CAST(k * step AS INT) AS frame_idx,
+       rpad(substr(hx, 2 * (192 * k * step + 144) + 1, 96), 96, '0') AS top_row_hex
+FROM f
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blobs(_docs(spark, sf_dir))
 
@@ -2188,6 +2217,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
         QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
+        QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
     ]
 }

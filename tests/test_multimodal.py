@@ -502,3 +502,19 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_sample_video_frames_strided_real_frames(spark):
+    out = multimodal.sample_video_frames(_docs(spark)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 32 bytes -> 1 frame -> only sample 0
+    (f0,) = by_doc[1]
+    assert (f0["sample_idx"], f0["frame_idx"]) == (0, 0)
+    raw = ("abcdefgh" * 4).encode().ljust(192, b"\x00")
+    assert f0["top_row_hex"] == raw[144:192].hex()  # top = LAST stored row
+    # every doc's sampled frame indices are strictly increasing multiples of its stride
+    for rows in by_doc.values():
+        idxs = [r["frame_idx"] for r in sorted(rows, key=lambda r: r["sample_idx"])]
+        assert idxs == sorted(set(idxs))
