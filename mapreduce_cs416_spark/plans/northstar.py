@@ -2153,7 +2153,13 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, headline=True, tags=("northstar", "graph", "dedup")),
         QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, headline=True, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
         QuerySpec("text_doc_profile", text_doc_profile, TEXT_DOC_PROFILE_SQL, text_doc_profile.__doc__, tags=("northstar", "text")),
-        QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
+        # late-r7 rotation: text_tfidf to EXTRA (doc_profile, bm25,
+        # phrase search, decontaminate keep the text family richly
+        # in-window; the tfidf oracle stays in pytest) — its slot
+        # carries the REAL video decode so the driver hashes all
+        # three media parsers' family (BMP in-window, WAV/PPM/PNG
+        # parity in extras, AVI now in-window).
+        QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
         # r6: multimodal_frames (granular, parity-covered in extras)
         # swapped for the REAL-decode query — the window row that shows
@@ -2216,7 +2222,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
-        QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
+        QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
     ]
