@@ -66,3 +66,38 @@ def vocab_encode(docs: DataFrame, size: int = 25) -> DataFrame:
     """build_vocab + encode_documents over the documents table."""
     tokens = docs.select(F.explode(words_col("text")).alias("token"))
     return encode_documents(docs, build_vocab(tokens, size=size))
+
+
+def bpe_merge_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """ONE training iteration of a BPE tokenizer: count every adjacent
+    symbol pair across the corpus, weighted by word frequency, and
+    rank the merge candidates — the inner loop of Sennrich et al.'s
+    byte-pair encoding (arXiv:1508.07909), where the top pair becomes
+    the next merge rule.
+
+    Scale shape: the corpus collapses to its DISTINCT word counts
+    first (one groupBy — the working set is the vocabulary, not the
+    corpus), then each distinct word explodes into its length−1
+    adjacent pairs via substring over a sequence (pure codegen HOF,
+    no Python), weighted by the word's corpus count, and one more
+    groupBy sums per pair. Later iterations rewrite words by the
+    learned merges and re-count — the per-iteration dataflow is
+    identical, always vocabulary-sized after the first aggregate."""
+    wc = (
+        docs.select(F.explode(words_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("term") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    from ..functions.ranking import ranked_topk
+
+    counts = pairs.groupBy("pair").agg(F.sum("c").alias("n"))
+    return ranked_topk(counts, [F.desc("n"), F.col("pair")], top_k, rn="rank").select(
+        "pair", "n", "rank"
+    )

@@ -652,6 +652,31 @@ FROM notes
 """
 
 
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates (operators/vocab.bpe_merge_counts):
+    one tokenizer-training iteration over the corpus — adjacent
+    symbol pairs weighted by word frequency, vocabulary-sized after
+    the first aggregate."""
+    return vocab.bpe_merge_counts(_docs(spark, sf_dir))
+
+
+CORPUS_BPE_SQL = f"""
+WITH wc AS (
+    SELECT term, count(*) AS c
+    FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents)
+    GROUP BY term
+), p AS (
+    SELECT substring(term, i, 2) AS pair, c
+    FROM wc, unnest(range(1, length(term))) AS r(i)
+    WHERE length(term) >= 2
+), g AS (
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY pair
+)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+FROM g ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (textstats.model_quality_score)
     over `documents`: a broadcast linear bag-of-words classifier
@@ -2225,5 +2250,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
+        QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
     ]
 }

@@ -69,3 +69,21 @@ def test_vocab_encode_is_partition_invariant(spark, sf_dir):
         for r in vocab.vocab_encode(docs.repartition(13)).collect()
     }
     assert base == again and base
+
+
+def test_bpe_merge_counts_hand_corpus(spark):
+    """Adjacent pairs are counted per distinct word and weighted by
+    the word's corpus frequency; single-char words contribute none."""
+    from mapreduce_cs416_spark.operators.vocab import bpe_merge_counts
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab ab"), (1, "ab cd x")], "doc_id long, text string"
+    )
+    out = {r["pair"]: (r["n"], r["rank"]) for r in bpe_merge_counts(docs).collect()}
+    # 'abab' (count 2) contributes pairs ab,ba,ab -> ab x2, ba x1 per occurrence
+    # 'ab' (count 2) contributes ab; 'cd' (1) -> cd; 'x' too short
+    assert out["ab"][0] == 2 * 2 + 2  # 6
+    assert out["ba"][0] == 2
+    assert out["cd"][0] == 1
+    assert "x" not in out
+    assert out["ab"][1] == 1  # the winning merge rule
