@@ -216,3 +216,40 @@ def pq_adc_topk(
         .where(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "score", "rn")
     )
+
+
+def dim_stats(emb: DataFrame, dim: int = 64, scale: int = 10_000_000) -> DataFrame:
+    """Per-dimension corpus statistics — the calibration pass every
+    embedding quantizer/whitener runs first (int8 ranges, PQ codebook
+    seeding, mean-centering): n, mean, min, max, variance for each of
+    the ``dim`` dimensions. Elements are quantized to round(x·1e7)
+    longs FIRST (the centroid recipe) so the sums and sums-of-squares
+    are INTEGER partial aggregates that commute exactly on any
+    partitioning; floats appear only in the fixed-order finishing
+    expressions, 9-dp rounded — which is what makes a distributed
+    moment computation hash-oracle-able. One posexplode + one
+    groupBy(dim): dim·n rows enter map-side partial aggregation, 64
+    rows leave."""
+    q = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.round(F.col("x").cast("double") * scale).cast("long").alias("q")
+    )
+    agg = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    s_d = F.col("s").cast("double")
+    mean = s_d / (F.col("n") * F.lit(float(scale)))
+    var = (F.col("ss").cast("double") - s_d * s_d / F.col("n")) / (
+        F.col("n") * F.lit(float(scale) * scale)
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("int").alias("n"),
+        F.round(mean, 9).alias("mean"),
+        F.round(F.col("mn").cast("double") / scale, 9).alias("min_val"),
+        F.round(F.col("mx").cast("double") / scale, 9).alias("max_val"),
+        F.round(var, 9).alias("variance"),
+    )

@@ -652,6 +652,37 @@ FROM notes
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-calibration statistics (operators/quantize.dim_stats)
+    over the embeddings table: per-dimension n/mean/min/max/variance
+    from integer-quantized partial sums — exact on any partitioning,
+    floats only in fixed-order finishing expressions."""
+    from ..operators import quantize
+
+    return quantize.dim_stats(_emb(spark, sf_dir))
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH q AS (
+    SELECT r.i AS dim,
+           CAST(round(embedding[r.i + 1]::DOUBLE * 10000000) AS BIGINT) AS q
+    FROM embeddings CROSS JOIN range(0, 64) AS r(i)
+), a AS (
+    SELECT dim, count(*) AS n, sum(q) AS s, sum(q * q) AS ss,
+           min(q) AS mn, max(q) AS mx
+    FROM q GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(n AS INT) AS n,
+       round(CAST(s AS DOUBLE) / (n * 10000000.0), 9) AS mean,
+       round(CAST(mn AS DOUBLE) / 10000000, 9) AS min_val,
+       round(CAST(mx AS DOUBLE) / 10000000, 9) AS max_val,
+       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (n * 100000000000000.0), 9) AS variance
+FROM a
+"""
+
+
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top BPE merge candidates (operators/vocab.bpe_merge_counts):
     one tokenizer-training iteration over the corpus — adjacent
@@ -2251,5 +2282,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
         QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
+        QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
     ]
 }

@@ -154,3 +154,35 @@ def test_pq_adc_recall_on_clustered_vectors(spark):
         hits += labels[r["neighbor_id"]] == labels[r["q_id"]]
     assert total == 50
     assert hits / total >= 0.8, f"same-cluster fraction {hits}/{total}"
+
+
+def test_dim_stats_matches_numpy_moments(spark):
+    import numpy as np
+
+    rows = [(i, [float(i), -1.0 + i, 0.5]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from mapreduce_cs416_spark.operators.quantize import dim_stats
+
+    out = {r["dim"]: r for r in dim_stats(emb, dim=3).collect()}
+    a = np.array([r[1] for r in rows])
+    for d in range(3):
+        col = a[:, d]
+        assert out[d]["n"] == 5
+        assert abs(out[d]["mean"] - col.mean()) < 1e-6
+        assert abs(out[d]["variance"] - col.var()) < 1e-6  # population variance
+        assert out[d]["min_val"] == round(float(col.min()), 9)
+        assert out[d]["max_val"] == round(float(col.max()), 9)
+    # constant dimension: exactly zero variance, no negative drift
+    assert out[2]["variance"] == 0.0
+
+
+def test_dim_stats_partitioning_invariant(spark):
+    """Integer partials commute: 1 partition and 16 partitions must
+    produce IDENTICAL rounded moments (the hash-oracle property)."""
+    from mapreduce_cs416_spark.operators.quantize import dim_stats
+
+    rows = [(i, [((i * 37) % 11) / 7.0, -((i * 13) % 5) / 3.0]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = sorted(map(tuple, dim_stats(emb.coalesce(1), dim=2).collect()))
+    many = sorted(map(tuple, dim_stats(emb.repartition(16), dim=2).collect()))
+    assert one == many
