@@ -253,3 +253,35 @@ def dim_stats(emb: DataFrame, dim: int = 64, scale: int = 10_000_000) -> DataFra
         F.round(F.col("mx").cast("double") / scale, 9).alias("max_val"),
         F.round(var, 9).alias("variance"),
     )
+
+
+def standardize(emb: DataFrame, stats: DataFrame | None = None, dim: int = 64) -> DataFrame:
+    """Apply the ``dim_stats`` calibration to the corpus: per-element
+    z = (x − mean)/std (population std; a zero-variance dimension
+    passes through centered). The 64-row stats table collapses to two
+    broadcast arrays (ordered by dimension) and the transform is one
+    row-local zip_with chain — the corpus NEVER shuffles for the
+    model, exactly the broadcast-calibration shape of a production
+    whitening/int8-scaling stage. Uses the stats' ROUNDED mean and
+    9-dp variance so the applied model is the same artifact the
+    calibration query publishes (and the DuckDB twin recomputes),
+    keeping the output hash-exact; elements round to 6 dp."""
+    st = stats if stats is not None else dim_stats(emb, dim=dim)
+    arrs = st.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))), lambda s: s["mean"]
+        ).alias("means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "variance"))),
+            lambda s: F.sqrt(s["variance"]),
+        ).alias("stds"),
+    )
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), F.col("means"), lambda x, m: x - m
+    )
+    z = F.zip_with(
+        centered, F.col("stds"), lambda d, s: F.when(s == 0.0, d).otherwise(d / s)
+    )
+    return emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", F.transform(z, lambda x: F.round(x, 6)).alias("z")
+    )

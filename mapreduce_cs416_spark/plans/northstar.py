@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, sketches, textstats, vocab
+from ..operators import dedup, multimodal, quantize, sampling, similarity, sketches, textstats, vocab
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -680,6 +680,33 @@ SELECT CAST(dim AS INT) AS dim,
        round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
              / (n * 100000000000000.0), 9) AS variance
 FROM a
+"""
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrate-then-apply (operators/quantize.standardize): the
+    dim_stats model broadcast back over the corpus as per-element
+    z-scores — the corpus never shuffles for the model. The oracle
+    recomputes the identical ROUNDED stats and applies the same
+    fixed-order (x − mean)/sqrt(variance) per element."""
+    from ..operators import quantize
+
+    return quantize.standardize(_emb(spark, sf_dir))
+
+
+EMBEDDING_STANDARDIZE_SQL = f"""
+WITH stats AS ({EMBEDDING_DIM_STATS_SQL}),
+model AS (
+    SELECT list(mean ORDER BY dim) AS means,
+           list(sqrt(variance) ORDER BY dim) AS stds
+    FROM stats
+)
+SELECT e.vec_id,
+       [round(CASE WHEN stds[i] = 0.0
+                   THEN embedding[i]::DOUBLE - means[i]
+                   ELSE (embedding[i]::DOUBLE - means[i]) / stds[i] END, 6)
+        FOR i IN range(1, 65)] AS z
+FROM embeddings e CROSS JOIN model
 """
 
 
@@ -2283,5 +2310,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
         QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
         QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
+        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, quantize.standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
     ]
 }

@@ -186,3 +186,27 @@ def test_dim_stats_partitioning_invariant(spark):
     one = sorted(map(tuple, dim_stats(emb.coalesce(1), dim=2).collect()))
     many = sorted(map(tuple, dim_stats(emb.repartition(16), dim=2).collect()))
     assert one == many
+
+
+def test_standardize_zscores_and_zero_variance_passthrough(spark):
+    from mapreduce_cs416_spark.operators.quantize import standardize
+
+    rows = [(0, [1.0, 5.0]), (1, [3.0, 5.0])]  # dim1 is constant
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["z"] for r in standardize(emb, dim=2).collect()}
+    # dim0: mean 2, std 1 -> z = [-1, 1]; dim1: zero variance -> centered only
+    assert out[0] == [-1.0, 0.0] and out[1] == [1.0, 0.0]
+
+
+def test_standardize_output_is_actually_standard(spark):
+    """Applying the calibration must yield per-dim mean ~0 and
+    variance ~1 on the corpus it was fit on."""
+    import numpy as np
+
+    from mapreduce_cs416_spark.operators.quantize import standardize
+
+    rows = [(i, [((i * 37) % 11) / 7.0, -((i * 13) % 5) / 3.0, (i % 7) * 1.5]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    z = np.array([r["z"] for r in standardize(emb, dim=3).collect()])
+    assert np.allclose(z.mean(axis=0), 0, atol=1e-5)
+    assert np.allclose(z.var(axis=0), 1, atol=1e-4)
