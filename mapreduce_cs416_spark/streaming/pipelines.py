@@ -481,6 +481,23 @@ def streaming_ingest_gate(
     )
 
 
+def streaming_expectation_counts(df: DataFrame, rules: dict) -> DataFrame:
+    """Continuous data-quality monitoring — the streaming face of
+    operators/dq.expectation_counts: the same conditional-sum
+    violation counters maintained incrementally over the stream
+    (complete mode). State is ONE row of counters regardless of
+    volume — the audit that runs forever on the ingest feed instead
+    of once before publish. Emits the wide counter row (a streaming
+    aggregate can't feed the stack() generator); readers unpivot on
+    the sink side, and tests/test_streaming.py asserts the drained
+    counters equal the batch audit's."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ]
+    return df.groupBy().agg(*aggs)
+
+
 def streaming_cdc_merge(
     changes: DataFrame,
     snapshot_path: str,

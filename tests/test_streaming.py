@@ -380,3 +380,31 @@ def test_streaming_cdc_merge_matches_batch_loop(spark, tmp_path_factory):
         )
     want = {r["k"]: r["v"] for r in want_df.collect()}
     assert got == want == {1: "a", 3: "c", 9: "i9b", 10: "j"}
+
+
+def test_streaming_expectation_counts_match_batch_audit(spark, sf_dir, ev_stream):
+    """The continuous DQ monitor's drained counters must equal the
+    batch expectation audit over the same events."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.operators import dq
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    rules = {
+        "value_nonnegative": F.col("value") < 0,
+        "type_known": ~F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "value_under_cap": F.col("value") > 250,
+    }
+    sp.run_available_now(
+        sp.streaming_expectation_counts(ev_stream, rules), "t_dq_counters"
+    )
+    wide = spark.table("t_dq_counters").collect()[0]
+    got = {name: wide[name] for name in rules}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["rule"]: r["n_violations"] for r in dq.expectation_counts(ev, rules).collect()
+    }
+    assert got == want
+    assert sum(got.values()) > 0  # the cap rule genuinely fires on the fixture
