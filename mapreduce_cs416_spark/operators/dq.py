@@ -31,8 +31,11 @@ def expectation_counts(
     key columns) folds uniqueness checks (rows − distinct keys) into
     the SAME aggregate — adding any rule adds an expression, never a
     scan."""
+    # coalesce: F.sum over ZERO rows is NULL, but an empty relation
+    # violates nothing — batch, streaming counters, and the DuckDB
+    # twin (which coalesces) must all report 0 on empty input.
     aggs = [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long").alias(name)
         for name, cond in rules.items()
     ]
     for name, cols in (unique_rules or {}).items():

@@ -795,12 +795,17 @@ WAV_DECODE_SCHEMA = T.StructType(
 
 def decode_audio_stats(docs: DataFrame, sample_rate: int = WAV_SAMPLE_RATE) -> DataFrame:
     """The AUDIO face of the real-decode path: wrap each blob's bytes
-    into a 16-bit PCM WAV (``make_wav`` — whose LIST chunk forces the
-    parser to genuinely walk RIFF chunks), decode with
-    ``decode_audio``, and emit per-doc signal stats: sample count,
-    duration, mean |amplitude|, peak |amplitude|, zero-crossing count
-    (sign changes between consecutive samples), plus the first 16 PCM
-    bytes' hex to pin int16 little-endian byte order. All integer math
+    into a 16-bit PCM WAV (``make_wav`` — whose odd-sized JUNK chunk
+    forces the parser to genuinely walk RIFF chunks with word
+    alignment), decode with ``decode_audio``, and emit per-doc signal
+    stats: sample count, duration, mean |amplitude|, peak |amplitude|,
+    zero-crossing count (sign changes between consecutive samples),
+    plus the first 16 PCM bytes' hex to pin int16 little-endian byte
+    order. The stats face is MONO-only (zero crossings and sample
+    order are per-channel concepts; interleaved multi-channel streams
+    would count sign flips across channel boundaries) — multi-channel
+    input raises rather than silently mis-measuring; duration divides
+    frame count (samples/channel), not interleaved sample count. All integer math
     plus one IEEE division per mean — hash-exact against a DuckDB twin
     that reassembles the same int16 stream from payload hex pairs
     (plans/northstar.MULTIMODAL_DECODE_WAV_SQL). Same 100 TB shape as
@@ -817,13 +822,19 @@ def decode_audio_stats(docs: DataFrame, sample_rate: int = WAV_SAMPLE_RATE) -> D
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
                 au = decode_audio(make_wav(raw, sample_rate))
+                if au["n_channels"] != 1:
+                    raise ValueError(
+                        "decode_audio_stats is mono-only: zero-cross/mean stats "
+                        f"are per-channel, got {au['n_channels']} channels"
+                    )
                 sm = au["samples"]
                 ns = au["n_samples"]
+                n_frames = ns // au["n_channels"]
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(au["sample_rate"])
                 out["n_samples"].append(ns)
                 out["n_data_bytes"].append(len(raw))
-                out["duration_ms"].append(ns * 1000.0 / au["sample_rate"])
+                out["duration_ms"].append(n_frames * 1000.0 / au["sample_rate"])
                 out["mean_abs"].append(sum(abs(x) for x in sm) / ns)
                 out["peak_abs"].append(max(abs(x) for x in sm))
                 out["n_zero_cross"].append(

@@ -502,12 +502,20 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the grid joins back broadcast. At 100 TB the gap-fill cost is
     |days|·|types|, independent of event volume."""
     ev = _ev(spark, sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count("*").alias("n"))
+    # Eagerly materialize the rollup: bounds, types, and the grid join
+    # all branch from it, and without the checkpoint each branch would
+    # replay the events scan+shuffle (bounded at |types|·|days| rows).
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     cal = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
-    types = ev.select("event_type").distinct()
+    # types come from the ROLLUP, not a second events scan — every
+    # event lands in daily, so the distinct set is identical and this
+    # branch is genuinely rollup-sized.
+    types = daily.select("event_type").distinct()
     grid = cal.crossJoin(F.broadcast(types))
     return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")

@@ -155,21 +155,39 @@ def compact_table(
     ``ceil(current_bytes / target_bytes)`` files (optionally re-sorted
     on ``cluster_by`` so row-group stats stay tight — compaction is
     the natural moment to restore clustering), staging into a sibling
-    directory and atomically renaming over the original, so a reader
-    never observes a half-written table and a failed compaction leaves
-    the source untouched. Returns the new file count.
+    directory and swapping it over the original via two directory
+    renames. A reader never observes a TORN table (each rename is
+    atomic), but there is a brief unavailability window between the
+    two renames during which the path does not exist; a crash inside
+    that window leaves the original intact at ``{path}__precompact``,
+    and the next call restores it before compacting (leftover
+    ``__compacting`` / ``__precompact`` directories from an earlier
+    crash are detected and cleaned up front). A transactional table
+    format (Delta/Iceberg) replaces the swap with a metadata commit
+    and closes the window; the dataflow is identical. Returns the new
+    file count.
 
     Scale notes: sizing uses file-system metadata only (no data
     scan); the rewrite itself is one repartition shuffle of the
     table — which is the point: pay it once in maintenance, not a
     fragment-tax on every query. Partitioned (hive-layout) tables
-    should compact per partition directory (call this per directory);
-    a transactional table format replaces the rename with a metadata
-    commit, the dataflow is identical.
+    should compact per partition directory (call this per directory).
     """
     import math
     import os
     import shutil
+
+    staging = f"{path}__compacting"
+    backup = f"{path}__precompact"
+    # Crash recovery from a previous run: a leftover backup with no
+    # live table means the earlier compaction died between its two
+    # renames — restore the original. Stale staging/backup dirs beside
+    # a live table are incomplete rewrites — discard them.
+    if os.path.exists(backup) and not os.path.exists(path):
+        os.rename(backup, path)
+    for leftover in (staging, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
     sizes = [
         os.path.getsize(os.path.join(dirpath, f))
@@ -184,9 +202,7 @@ def compact_table(
     out = df.repartition(n_files)
     if cluster_by:
         out = out.sortWithinPartitions(*cluster_by)
-    staging = f"{path}__compacting"
     out.write.mode("overwrite").parquet(staging)
-    backup = f"{path}__precompact"
     os.rename(path, backup)
     try:
         os.rename(staging, path)

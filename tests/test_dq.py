@@ -77,3 +77,21 @@ def test_expectation_counts_folds_uniqueness_into_same_scan(spark):
     # the fold really is one scan: a single Aggregate pair, no union
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # partial+final agg over ONE relation
+
+
+def test_expectation_counts_empty_input_is_zero_not_null(spark):
+    """F.sum over zero rows is NULL, but an empty relation violates
+    nothing — counters (and the audit pass flag) must read 0/True,
+    matching the coalescing DuckDB twin and the pre-data streaming
+    state."""
+    df = spark.createDataFrame([], "k long, price double")
+    out = dq.audit(
+        dq.expectation_counts(
+            df,
+            {"k_not_null": F.col("k").isNull(), "price_positive": F.col("price") <= 0},
+            unique_rules={"k_unique": ["k"]},
+        )
+    ).collect()
+    assert len(out) == 3
+    assert all(r["n_violations"] == 0 for r in out)
+    assert all(r["pass"] for r in out)

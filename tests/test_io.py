@@ -105,3 +105,31 @@ def test_compact_table_refuses_empty_dir(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError):
         compact_table(spark, str(empty))
+
+
+def test_compact_table_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table only at
+    __precompact; the next compaction must restore it first, and stale
+    staging dirs must be cleaned rather than trip the rewrite."""
+    import glob
+    import os
+    import shutil
+
+    from mapreduce_cs416_spark.sources.io import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    # simulate the crash window: table renamed away, staging half-done
+    os.rename(path, f"{path}__precompact")
+    os.makedirs(f"{path}__compacting")
+    with open(f"{path}__compacting/part-garbage.parquet", "w") as f:
+        f.write("torn")
+    n = compact_table(spark, path, target_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not glob.glob(f"{path}__*")
+    # stale dirs beside a LIVE table are discarded too
+    shutil.copytree(path, f"{path}__precompact")
+    compact_table(spark, path, target_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 1000
+    assert not glob.glob(f"{path}__*")

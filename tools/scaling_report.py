@@ -43,6 +43,11 @@ from bench import N_RUNS, N_TRIM, _sf_of, time_queries  # noqa: E402
 from mapreduce_cs416_spark.plans.registry import ALL_QUERIES, headline_queries  # noqa: E402
 from mapreduce_cs416_spark.session import get_spark  # noqa: E402
 
+# Minimum floor-cleared residual (s) for an adjusted exponent to be
+# printed — ONE constant drives both the computation and the report
+# prose so they cannot drift.
+FLOOR_MARGIN_S = 0.1
+
 # Which table's row count actually drives each query's work. Derived
 # from the query's scan set (plans/*.py); tag-based default: tpch +
 # relational + reference + events queries scan the 10×-growing fact
@@ -148,11 +153,12 @@ def main() -> int:
         # floor-adjusted exponent: subtract the measured trivial-query
         # floor from both timings so the data-dependent term shows.
         # Only meaningful when both adjusted times clear the floor by
-        # a margin noise can't produce (100 ms) — a smaller residual
-        # puts run-to-run jitter in the numerator of a log ratio.
+        # a margin noise can't produce (FLOOR_MARGIN_S) — a smaller
+        # residual puts run-to-run jitter in the numerator of a log
+        # ratio.
         adj_s = t_small[name] - floor_small
         adj_b = t_big[name] - floor_big
-        if adj_s > 0.1 and adj_b > 0.1:
+        if adj_s > FLOOR_MARGIN_S and adj_b > FLOOR_MARGIN_S:
             adj_exponent = round(math.log(adj_b / adj_s) / math.log(growth), 2)
         else:
             adj_exponent = None
@@ -190,7 +196,7 @@ def main() -> int:
         f"`adj exp` subtracts the MEASURED per-query floor (trivial-query trimmed",
         f"mean: {floor_small:.3f} s at the small scale, {floor_big:.3f} s at the big one) from both",
         "timings before taking the exponent, exposing the data term for sub-second",
-        "queries; '—' means a timing is within 50 ms of the floor, too close to",
+        f"queries; '—' means a timing is within {int(FLOOR_MARGIN_S * 1000)} ms of the floor, too close to",
         "separate from noise. The verdict column uses the adjusted exponent when",
         "available.",
         "",
