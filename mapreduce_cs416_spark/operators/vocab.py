@@ -101,3 +101,146 @@ def bpe_merge_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
     return ranked_topk(counts, [F.desc("n"), F.col("pair")], top_k, rn="rank").select(
         "pair", "n", "rank"
     )
+
+
+# ------------------------------------------------------- iterated BPE
+# Each symbol is bracketed as \x01sym\x02 and a word is the
+# concatenation of its bracketed symbols. Under that encoding the BPE
+# merge step — replace every leftmost non-overlapping occurrence of
+# the winning pair — is EXACTLY one engine-built-in string replace()
+# (leftmost, non-overlapping, resumes after the replacement), the same
+# mechanism as Sennrich's reference re.sub. The delimiters cannot
+# occur inside symbols (words_col tokens are \p{L}-only), so a match
+# always aligns to symbol boundaries, and adjacent matches share no
+# characters, so a==b runs pair up left-to-right exactly like the
+# sequential scan. This is what makes the trainer engine-portable: the
+# DuckDB oracle (plans/northstar.CORPUS_BPE_TRAIN_SQL) unrolls the
+# same rounds over the same encoding with DuckDB's replace().
+SYM_OPEN = "\x01"
+SYM_CLOSE = "\x02"
+
+# rounds for the registered train/encode queries — also drives the
+# unrolled CTE chain in the oracle SQL, ONE constant for both engines
+BPE_TRAIN_MERGES = 8
+
+
+def _bracket(sym: str) -> str:
+    return SYM_OPEN + sym + SYM_CLOSE
+
+
+def _syms(symstr: str = "symstr"):
+    """Symbol array from a bracketed symbol string (pure codegen)."""
+    inner = F.expr(f"substring({symstr}, 2, length({symstr}) - 2)")
+    return F.split(inner, SYM_CLOSE + SYM_OPEN)
+
+
+def bpe_word_table(docs: DataFrame) -> DataFrame:
+    """(symstr, c): the corpus collapsed to its DISTINCT words (one
+    wordcount shuffle — the working set is the vocabulary, not the
+    corpus), each word encoded as bracketed per-character symbols."""
+    wc = (
+        docs.select(F.explode(words_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    sym = F.concat_ws(
+        "",
+        F.transform(
+            F.split("term", ""),
+            lambda ch: F.concat(F.lit(SYM_OPEN), ch, F.lit(SYM_CLOSE)),
+        ),
+    )
+    return wc.select(sym.alias("symstr"), "c")
+
+
+def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
+    """Most frequent adjacent symbol pair, weighted by word count;
+    ties broken (count desc, left, right) so the winner is a pure
+    function of the corpus. ONE vocabulary-sized shuffle + a ONE-row
+    collect (the bounded-driver-state discipline of
+    graph.connected_components' fixpoint probe)."""
+    pr = words.select(_syms().alias("s"), "c").where(F.size("s") >= 2)
+    pairs = pr.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS lft, s[i] AS rgt))")
+        ).alias("p"),
+        "c",
+    ).select("p.lft", "p.rgt", "c")
+    top = (
+        pairs.groupBy("lft", "rgt")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "lft", "rgt")
+        .limit(1)
+        .collect()
+    )
+    return (top[0]["lft"], top[0]["rgt"], top[0]["n"]) if top else None
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The full iterated BPE training loop (Sennrich et al.,
+    arXiv:1508.07909): repeat n_merges times — count adjacent symbol
+    pairs over the distinct-word table, pick the most frequent,
+    rewrite every word by that merge — returning the learned merge
+    rules [(rank, lft, rgt, merged, weight)] and the final rewritten
+    word table.
+
+    Scale shape: after the initial wordcount shuffle the working set
+    is vocabulary-sized forever; each round is ONE pair-count shuffle
+    over it, a 1-row collect, and a map-side string rewrite. Driver
+    state is the k-row merge table. Per-round word tables are eagerly
+    materialized (localCheckpoint) and the superseded round's blocks
+    freed immediately — the connected_components round discipline."""
+    from .graph import _unpersist_checkpoint
+
+    words = bpe_word_table(docs).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = _top_pair(words)
+        if top is None:
+            break
+        lft, rgt, n = top
+        merges.append((rank, lft, rgt, lft + rgt, n))
+        nxt = words.withColumn(
+            "symstr",
+            F.replace(
+                "symstr",
+                F.lit(_bracket(lft) + _bracket(rgt)),
+                F.lit(_bracket(lft + rgt)),
+            ),
+        ).localCheckpoint()
+        _unpersist_checkpoint(words)
+        words = nxt
+    return merges, words
+
+
+def bpe_train_table(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """The learned merge table as a DataFrame — (rank, lft, rgt,
+    merged, weight), the artifact a tokenizer build publishes."""
+    from .graph import _unpersist_checkpoint
+
+    merges, words = bpe_train(docs, n_merges)
+    _unpersist_checkpoint(words)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, lft string, rgt string, merged string, weight long"
+    )
+
+
+def bpe_encode_pieces(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, top_k: int = 30
+) -> DataFrame:
+    """Train-then-encode: run the merge loop, then count the resulting
+    subword pieces across the corpus (piece frequency weighted by word
+    count) — the post-BPE vocabulary, top_k by (count desc, piece).
+    The encode step reads the ALREADY-REWRITTEN word table the loop
+    ends with: applying k merges to the corpus costs nothing beyond
+    training itself."""
+    from ..functions.ranking import ranked_topk
+
+    _, words = bpe_train(docs, n_merges)
+    pieces = words.select(F.explode(_syms()).alias("piece"), "c")
+    counts = pieces.groupBy("piece").agg(F.sum("c").cast("long").alias("n"))
+    return ranked_topk(counts, [F.desc("n"), F.col("piece")], top_k, rn="rank").select(
+        "piece", "n", "rank"
+    )

@@ -735,6 +735,72 @@ FROM g ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training (operators/vocab.bpe_train):
+    k rounds of count-pairs → pick-winner → rewrite over the
+    distinct-word table, returning the learned merge table."""
+    return vocab.bpe_train_table(_docs(spark, sf_dir), n_merges=vocab.BPE_TRAIN_MERGES)
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded by the learned BPE merges
+    (operators/vocab.bpe_encode_pieces): the post-merge subword
+    vocabulary with corpus frequencies."""
+    return vocab.bpe_encode_pieces(
+        _docs(spark, sf_dir), n_merges=vocab.BPE_TRAIN_MERGES, top_k=30
+    )
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Unrolled CTE chain computing k BPE merge rounds in DuckDB over
+    the SAME bracketed-symbol encoding as operators/vocab (chr(1)/
+    chr(2) delimiters, plain greedy replace) — w{r} is the word table
+    after r merges, t{r} the round-r winning pair."""
+    parts = [
+        f"""w0 AS (
+    SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS symstr, c
+    FROM (SELECT term, count(*) AS c
+          FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents) GROUP BY term)
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""s{r} AS (
+    SELECT string_split(substring(symstr, 2, length(symstr) - 2), chr(2) || chr(1)) AS s, c
+    FROM w{r - 1}
+), t{r} AS (
+    SELECT s[i] AS lft, s[i + 1] AS rgt, CAST(sum(c) AS BIGINT) AS n
+    FROM s{r}, unnest(range(1, len(s))) AS u(i)
+    GROUP BY lft, rgt ORDER BY n DESC, lft, rgt LIMIT 1
+), w{r} AS (
+    SELECT replace(w.symstr,
+                   chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
+                   chr(1) || t.lft || t.rgt || chr(2)) AS symstr, w.c
+    FROM w{r - 1} w CROSS JOIN t{r} t
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_BPE_K = vocab.BPE_TRAIN_MERGES
+CORPUS_BPE_TRAIN_SQL = f"""
+WITH {_bpe_rounds_sql(_BPE_K)}
+SELECT CAST(rank AS INT) AS rank, lft, rgt, lft || rgt AS merged, n AS weight
+FROM ({" UNION ALL ".join(f"SELECT {r} AS rank, * FROM t{r}" for r in range(1, _BPE_K + 1))})
+ORDER BY rank
+"""
+
+CORPUS_BPE_ENCODE_SQL = f"""
+WITH {_bpe_rounds_sql(_BPE_K)},
+pieces AS (
+    SELECT unnest(string_split(substring(symstr, 2, length(symstr) - 2), chr(2) || chr(1))) AS piece, c
+    FROM w{_BPE_K}
+), pc AS (SELECT piece, CAST(sum(c) AS BIGINT) AS n FROM pieces GROUP BY piece)
+SELECT piece, n, CAST(row_number() OVER (ORDER BY n DESC, piece) AS INT) AS rank
+FROM pc ORDER BY n DESC, piece LIMIT 30
+"""
+
+
 def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (textstats.model_quality_score)
     over `documents`: a broadcast linear bag-of-words classifier
@@ -2311,5 +2377,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
         QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
         QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, quantize.standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
+        QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
+        QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
     ]
 }

@@ -87,3 +87,73 @@ def test_bpe_merge_counts_hand_corpus(spark):
     assert out["cd"][0] == 1
     assert "x" not in out
     assert out["ab"][1] == 1  # the winning merge rule
+
+
+def _ref_bpe(word_counts: dict[str, int], k: int):
+    """Independent pure-Python BPE trainer (Sennrich alg. 1, tuple-of-
+    symbols representation, NO shared code with the operator): returns
+    (merges, final word symbol tuples)."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (lft, rgt), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lft, rgt, lft + rgt, n))
+        out = {}
+        for syms, c in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    res.append(lft + rgt)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + c
+        words = out
+    return merges, words
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """The distributed trainer reproduces the sequential reference
+    algorithm merge-for-merge on the classic Sennrich fixture
+    (low/lower/newest/widest), including an a==b run-merge round."""
+    from mapreduce_cs416_spark.operators.vocab import bpe_train_table
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "zzz": 4}
+    docs = spark.createDataFrame(
+        [(0, " ".join([w for w, c in wc.items() for _ in range(c)]))],
+        "doc_id long, text string",
+    )
+    expected, _ = _ref_bpe(wc, 6)
+    got = [
+        (r["rank"], r["lft"], r["rgt"], r["merged"], r["weight"])
+        for r in bpe_train_table(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == expected
+    # the zzz words exercise the a==b case: a run of 3 'z' must pair
+    # left-to-right into ('zz','z'), never double-count the middle
+    assert ("z", "z") in {(l, r) for _, l, r, _, _ in expected}
+
+
+def test_bpe_encode_pieces_match_reference_vocab(spark):
+    from mapreduce_cs416_spark.operators.vocab import bpe_encode_pieces
+
+    wc = {"hugging": 3, "hugs": 5, "huge": 2, "bug": 4, "bugs": 1}
+    docs = spark.createDataFrame(
+        [(0, " ".join([w for w, c in wc.items() for _ in range(c)]))],
+        "doc_id long, text string",
+    )
+    _, ref_words = _ref_bpe(wc, 5)
+    ref_counts: dict[str, int] = {}
+    for syms, c in ref_words.items():
+        for s in syms:
+            ref_counts[s] = ref_counts.get(s, 0) + c
+    got = {r["piece"]: r["n"] for r in bpe_encode_pieces(docs, n_merges=5, top_k=100).collect()}
+    assert got == ref_counts
