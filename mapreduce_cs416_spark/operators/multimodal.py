@@ -1110,3 +1110,134 @@ def decode_png_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     (plans/northstar.MULTIMODAL_DECODE_PNG_SQL) — a filter or
     inflate bug anywhere would hash-mismatch."""
     return _decode_stats(docs, make_png, PNG_DECODE_SCHEMA, width)
+
+
+# --------------------------------------------------- perceptual hash
+# Pixel-space near-duplicate detection — the image leg of the dedup
+# story (text shingles and embedding LSH live in operators/dedup and
+# operators/similarity; this covers the modality where neither
+# applies). dHash variant: the decoded image is reduced to an 8x8
+# grid of grayscale block sums and each bit records the horizontal
+# gradient between neighbouring blocks (cyclic within a grid row),
+# giving a 64-bit signature that is invariant to brightness scaling
+# and robust to small pixel edits. Entirely integer math over the
+# REAL decoder's pixel output, so the signature is engine-exact and
+# the registered query carries a DuckDB oracle
+# (plans/northstar.MULTIMODAL_NEAR_DUP_PHASH_SQL).
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"b{c}", T.IntegerType()) for c in range(4)]
+)
+
+
+def _dhash_chunks(px: list[int], width: int, height: int, channels: int) -> list[int]:
+    """Four 16-bit chunks of the 64-bit gradient hash. Grid cell
+    (i, j) collects rows r with (8r)//height == i and cols c with
+    (8c)//width == j (empty bands when height < 8 contribute zero
+    sums, hence zero bits — mirrored exactly by the SQL twin)."""
+    sums = [[0] * 8 for _ in range(8)]
+    for r in range(height):
+        i = (8 * r) // height
+        base = r * width * channels
+        for c in range(width):
+            j = (8 * c) // width
+            o = base + c * channels
+            sums[i][j] += px[o] + px[o + 1] + px[o + 2]
+    chunks = []
+    for b in range(4):
+        v = 0
+        for i in (2 * b, 2 * b + 1):
+            for j in range(8):
+                v = (v << 1) | (1 if sums[i][j] > sums[i][(j + 1) % 8] else 0)
+        chunks.append(v)
+    return chunks
+
+
+def image_phash(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
+    """(doc_id, b0..b3): the 64-bit dHash of each document's image as
+    four 16-bit chunk values, computed from the REAL decode path
+    (make_bmp → decode_image). One Arrow-batched mapInPandas; pixels
+    never leave the executor, only the 4-int signature comes back —
+    the 100 TB shape for a fleet-wide image fingerprint pass. Channel
+    order is irrelevant (a gray block sums all three channels), so
+    BGR/RGB sources hash identically."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PHASH_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_image(make_bmp(bytes(blob), width))
+                chunks = _dhash_chunks(
+                    img["pixels"], img["width"], img["height"], img["channels"]
+                )
+                out["doc_id"].append(doc_id)
+                for c in range(4):
+                    out[f"b{c}"].append(chunks[c])
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def phash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    width: int = BMP_WIDTH,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): image near-duplicate pairs by dHash
+    Hamming distance <= max_hamming — the pixel-space twin of
+    dedup.simhash_near_dups, reusing its pigeonhole banding: any pair
+    within Hamming 3 of a 64-bit hash must agree on at least one of
+    the four 16-bit chunks, so candidates come from four equi-joins
+    on 16-bit keys, NEVER an all-pairs comparison, then the exact
+    bit_count(xor) filter verifies.
+
+    ``max_bucket`` drops degenerate chunk buckets (e.g. the all-zero
+    chunks every sub-8-row image shares) before the self-join — the
+    max_df discipline of ngram_jaccard_pairs: a bucket with B docs
+    would emit O(B²) candidates at scale. The oracle applies the
+    identical cap."""
+    ph = image_phash(docs, width).localCheckpoint()
+    chunk_arr = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk"), F.col(f"b{c}").alias("key"))
+            for c in range(4)
+        ]
+    )
+    keyed = ph.select("doc_id", "b0", "b1", "b2", "b3", F.explode(chunk_arr).alias("ck")).select(
+        "doc_id", "b0", "b1", "b2", "b3", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    hot = (
+        keyed.groupBy("chunk", "key")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_bucket)
+        .select("chunk", "key")
+    )
+    keyed = keyed.join(F.broadcast(hot), ["chunk", "key"], "left_anti")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.b{c}").alias(f"ab{c}") for c in range(4)],
+            *[F.col(f"b.b{c}").alias(f"bb{c}") for c in range(4)],
+        )
+        .distinct()
+    )
+    hamming = F.expr(" + ".join(f"bit_count(ab{c} ^ bb{c})" for c in range(4)))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

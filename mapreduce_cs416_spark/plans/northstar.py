@@ -934,6 +934,79 @@ FROM d
 """
 
 
+def multimodal_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-space near-dup pairs (multimodal.phash_near_dups): 64-bit
+    gradient dHash over the REAL decoded images, pigeonhole 16-bit
+    chunk banding for candidates (never all-pairs), exact Hamming
+    verify. The oracle recomputes the identical integer hash straight
+    from payload byte positions."""
+    return multimodal.phash_near_dups(_docs(spark, sf_dir))
+
+
+# dHash twin in DuckDB, byte-exact: the same grid/band/packing math as
+# multimodal._dhash_chunks, computed from the payload byte positions
+# (stored row s = p // 48, image row r = h-1-s — the bottom-up BMP
+# flip — grid band i = (8r)//h, col block j = col//2), then the same
+# pigeonhole chunk join with the same max_bucket cap and Hamming
+# filter. Integer-only, so hash-exact across engines.
+MULTIMODAL_NEAR_DUP_PHASH_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, n,
+           greatest(CAST(ceil(n / 48.0) AS BIGINT), 1) AS h,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+), pos AS (
+    SELECT doc_id,
+           (8 * (h - 1 - p // 48)) // h AS band,
+           ((p % 48) // 3) // 2 AS blk,
+           CASE WHEN p < n THEN codes[p + 1] ELSE 0 END AS val
+    FROM d, unnest(range(0, 48 * h)) AS u(p)
+), blocks AS (
+    SELECT doc_id, band, blk, sum(val) AS s FROM pos GROUP BY 1, 2, 3
+), bits AS (
+    SELECT x.doc_id, x.band, x.blk,
+           CASE WHEN x.s > y.s THEN 1 ELSE 0 END AS bit
+    FROM blocks x
+    JOIN blocks y ON y.doc_id = x.doc_id AND y.band = x.band AND y.blk = (x.blk + 1) % 8
+), hb AS (
+    SELECT doc_id, band // 2 AS chunk,
+           CAST(sum(bit * (1::BIGINT << (15 - ((band % 2) * 8 + blk)))) AS INT) AS v
+    FROM bits GROUP BY 1, 2
+), h4 AS (
+    SELECT d.doc_id,
+           coalesce(max(CASE WHEN chunk = 0 THEN v END), 0) AS b0,
+           coalesce(max(CASE WHEN chunk = 1 THEN v END), 0) AS b1,
+           coalesce(max(CASE WHEN chunk = 2 THEN v END), 0) AS b2,
+           coalesce(max(CASE WHEN chunk = 3 THEN v END), 0) AS b3
+    FROM d LEFT JOIN hb ON hb.doc_id = d.doc_id
+    GROUP BY d.doc_id
+), keyed AS (
+    SELECT doc_id, u.ch AS chunk, [b0, b1, b2, b3][u.ch + 1] AS key
+    FROM h4, unnest(range(0, 4)) AS u(ch)
+), capped AS (
+    SELECT * FROM keyed
+    QUALIFY count(*) OVER (PARTITION BY chunk, key) <= 1000
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+FROM cand c
+JOIN h4 x ON x.doc_id = c.doc_a
+JOIN h4 y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+"""
+
+
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_ppm_stats(_docs(spark, sf_dir))
 
@@ -2379,5 +2452,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, quantize.standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
         QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
+        QuerySpec("multimodal_near_dup_phash", multimodal_near_dup_phash, MULTIMODAL_NEAR_DUP_PHASH_SQL, multimodal.phash_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode")),
     ]
 }

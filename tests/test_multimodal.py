@@ -518,3 +518,55 @@ def test_sample_video_frames_strided_real_frames(spark):
     for rows in by_doc.values():
         idxs = [r["frame_idx"] for r in sorted(rows, key=lambda r: r["sample_idx"])]
         assert idxs == sorted(set(idxs))
+
+
+def test_phash_recall_on_perturbed_images(spark):
+    """dHash near-dup: an exact copy is Hamming 0, a lightly perturbed
+    image (a few byte edits in a 3 KB payload) stays within the
+    threshold, and a structurally different image does not pair."""
+    from mapreduce_cs416_spark.operators.multimodal import phash_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog " * 70)[:3000]
+    perturbed = base[:500] + "XYZ" + base[503:]  # same length, 3 bytes changed
+    different = "".join(chr(ord("a") + (i * 7) % 26) * 1 for i in range(3000))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, perturbed), (3, different)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact copy
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3  # perturbed copy found
+    assert all(3 not in p for p in pairs)  # different image never pairs
+
+
+def test_phash_bucket_cap_drops_degenerate_keys(spark):
+    """Sub-48-byte docs share all-zero upper chunks; with max_bucket
+    below the group size those buckets are dropped and contribute no
+    candidate pairs (the max_df discipline), while exact dups in a
+    small bucket still pair."""
+    from mapreduce_cs416_spark.operators.multimodal import phash_near_dups
+
+    rows = [(i, f"tiny doc {i:04d}") for i in range(20)]
+    rows += [(100, "a genuinely longer document body " * 30)] * 1  # singleton
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny docs: 20 docs share the zero chunks -> bucket df 20 > cap 10
+    out = phash_near_dups(docs, max_hamming=3, max_bucket=10).collect()
+    tiny_pairs = [r for r in out if r["doc_a"] < 100 and r["doc_b"] < 100]
+    # pairs may still form via the non-degenerate low chunk; assert the
+    # degenerate all-zero buckets alone didn't explode into all-pairs
+    assert len(tiny_pairs) < 20 * 19 / 2
+
+
+def test_image_phash_partition_invariant(spark):
+    from mapreduce_cs416_spark.operators.multimodal import image_phash
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some repeated body " * (i % 5 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    one = {tuple(r) for r in image_phash(docs.coalesce(1)).collect()}
+    many = {tuple(r) for r in image_phash(docs.repartition(16)).collect()}
+    assert one == many and len(one) == 30
