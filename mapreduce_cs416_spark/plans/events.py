@@ -540,14 +540,13 @@ LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
-        QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
-        # events_sliding / events_session rotated to EXTRA in r7:
-        # events_tumbling keeps the time-window family in the driver
-        # window while both granular twins stay oracle-checked by
-        # tests/test_parity.py (and events_session stays headline in
-        # the bench); the freed slots carry the r6-oracled monitoring
-        # families events_anomaly_zscore / events_transition_matrix,
-        # which the driver had never hashed.
+        # events_tumbling followed events_sliding / events_session to
+        # EXTRA in r8 (all three time-window twins stay oracle-checked
+        # by tests/test_parity.py; tumbling keeps its headline bench
+        # slot) — the driver window carries the r7-oracled
+        # multi-resolution rollup instead, plus the monitoring
+        # families rotated in during r7.
+        QuerySpec("events_multires_rollup", events_multires_rollup, EVENTS_MULTIRES_SQL, events_multires_rollup.__doc__, tags=("events", "window", "agg", "rollup")),
         QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, headline=True, tags=("events", "agg", "anomaly", "monitoring")),
         QuerySpec("events_transition_matrix", events_transition_matrix, EVENTS_TRANSITION_SQL, events_transition_matrix.__doc__, tags=("events", "window", "markov")),
         # events_distinct_rollup rotated to EXTRA in r6 (VERDICT r5
@@ -563,6 +562,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
         QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
         QuerySpec("events_distinct_rollup", events_distinct_rollup, None, events_distinct_rollup.__doc__, tags=("events", "agg", "approx", "sketch")),
@@ -570,7 +570,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
         QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),
         QuerySpec("events_value_histogram", events_value_histogram, EVENTS_HISTOGRAM_SQL, events_value_histogram.__doc__, tags=("events", "agg", "histogram")),
-        QuerySpec("events_multires_rollup", events_multires_rollup, EVENTS_MULTIRES_SQL, events_multires_rollup.__doc__, tags=("events", "window", "agg", "rollup")),
         QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, events_gapfill.__doc__, tags=("events", "window", "timeseries")),
     ]
 }

@@ -2334,7 +2334,15 @@ FROM enc GROUP BY doc_id
 QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
-        QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),
+        # r8 rotation: dedup_exact, similarity_cosine_near_dup (the
+        # documented O(n²) baseline — still headline in the bench and
+        # SCALING.md's super-linear anchor), and multimodal_decode_image
+        # to EXTRA with oracles kept; their slots plus the relational/
+        # corpus/events rotations let the driver hash the r7-oracled
+        # families (PNG/WAV decode, BPE merge counts, dim-stats,
+        # standardize, model quality) and the NEW r8 queries (iterated
+        # BPE train/encode, perceptual-hash near-dup). Window stays
+        # 50/50 oracled.
         QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, dedup.ngram_jaccard_pairs.__doc__, headline=True, tags=("northstar", "dedup")),
         # DEDUP_PAIRS_EXACT_SQL is the exact uncapped pair set at the
         # registered 0.5 threshold; the 32×2 banding keeps per-pair miss
@@ -2350,7 +2358,6 @@ QUERIES: dict[str, QuerySpec] = {
         # families below — the window's oracled count rises 45 → 47.
         QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, headline=True, tags=("northstar", "dedup", "similarity", "pipeline")),
         QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
-        QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup")),
         # r6 rotation (VERDICT r5 item 7): the three rows-only window
         # entries (similarity_cosine_near_dup_lsh,
         # similarity_ivf_fitted_topk, events_distinct_rollup) moved to
@@ -2383,10 +2390,13 @@ QUERIES: dict[str, QuerySpec] = {
         # parity in extras, AVI now in-window).
         QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
-        # r6: multimodal_frames (granular, parity-covered in extras)
-        # swapped for the REAL-decode query — the window row that shows
-        # decode is an implemented capability, not a stub (VERDICT item 9)
-        QuerySpec("multimodal_decode_image", multimodal_decode_image, MULTIMODAL_DECODE_SQL, multimodal.decode_image_stats.__doc__, tags=("northstar", "multimodal", "decode")),
+        # r8: the BMP face (multimodal_decode_image) joined the extras
+        # (parity-green every run); the window now hashes the HARDER
+        # two image parsers — PNG (zlib + scanline filters) and WAV —
+        # plus the AVI row above and the phash near-dup below.
+        QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
+        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
+        QuerySpec("multimodal_near_dup_phash", multimodal_near_dup_phash, MULTIMODAL_NEAR_DUP_PHASH_SQL, multimodal.phash_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode")),
         QuerySpec("corpus_pack_sequences", corpus_pack_sequences, CORPUS_PACK_SQL, corpus_pack_sequences.__doc__, headline=True, tags=("northstar", "packing", "pipeline")),
         QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, headline=True, tags=("northstar", "dedup", "graph", "iterative")),
         QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
@@ -2396,6 +2406,14 @@ QUERIES: dict[str, QuerySpec] = {
         # comment); its multimodal sibling multimodal_decode_wav and
         # cdc_scd2_history stay extras (parity-green in pytest).
         QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_SQL, textstats.pii_scan_redact.__doc__, headline=True, tags=("northstar", "text", "pii", "pipeline")),
+        # r8 rotation IN — the remaining r7-oracled families the
+        # driver had never hashed, plus the new iterated-BPE pair.
+        QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
+        QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
+        QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
+        QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
+        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, quantize.standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
+        QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
     ]
 }
 
@@ -2446,12 +2464,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
-        QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
-        QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
-        QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
-        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, quantize.standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
-        QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
-        QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
-        QuerySpec("multimodal_near_dup_phash", multimodal_near_dup_phash, MULTIMODAL_NEAR_DUP_PHASH_SQL, multimodal.phash_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode")),
+        # r8 rotation OUT (oracles kept; see the QUERIES comment):
+        QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),
+        QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup")),
+        QuerySpec("multimodal_decode_image", multimodal_decode_image, MULTIMODAL_DECODE_SQL, multimodal.decode_image_stats.__doc__, tags=("northstar", "multimodal", "decode")),
     ]
 }

@@ -1664,12 +1664,16 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL, q1_pricing_summary.__doc__, headline=True, tags=("relational", "agg")),
         QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL, q3_shipping_priority.__doc__, headline=True, tags=("relational", "join", "topk")),
         QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
-        QuerySpec("top_customers_revenue", top_customers_revenue, TOP_CUSTOMERS_SQL, top_customers_revenue.__doc__, tags=("relational", "join", "topk")),
-        QuerySpec("join_semi_anti", join_semi_anti, JOIN_SEMI_ANTI_SQL, join_semi_anti.__doc__, tags=("relational", "join")),
-        QuerySpec("join_outer_agg", join_outer_agg, JOIN_OUTER_SQL, join_outer_agg.__doc__, tags=("relational", "join")),
-        QuerySpec("range_band_join", range_band_join, RANGE_BAND_SQL, range_band_join.__doc__, tags=("relational", "join", "range")),
+        # r8 rotation: top_customers_revenue / join_semi_anti /
+        # join_outer_agg / range_band_join / window_rank /
+        # udtf_tokenize / exists_subquery to EXTRA (oracles kept,
+        # parity-checked every pytest run; the join family stays
+        # in-window via q3/q5/asof/cdc_merge, topk via q3, windows via
+        # events_transition_matrix, the UDF surface via
+        # holistic_pandas_agg) — the freed slots let the driver hash
+        # the r7-oracled warehouse families (SCD2 history, column
+        # profiling) and the new r8 queries.
         QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
-        QuerySpec("window_rank", window_rank, WINDOW_RANK_SQL, window_rank.__doc__, tags=("relational", "window")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
         # q17_small_quantity rotated to EXTRA in r7 (q1/q3/q5 +
         # top_customers keep TPC-H in the window; all 22 TPC-H shapes
@@ -1678,7 +1682,6 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("distinct_suite", distinct_suite, DISTINCT_SUITE_SQL, distinct_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("holistic_pandas_agg", holistic_pandas_agg, HOLISTIC_PANDAS_SQL, holistic_pandas_agg.__doc__, tags=("relational", "agg", "udf", "pandas")),
-        QuerySpec("udtf_tokenize", udtf_tokenize, _WORDCOUNT_ORACLE, udtf_tokenize.__doc__, tags=("relational", "udf", "udtf", "compat")),
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("scalar_part_kernels", scalar_part_kernels, SCALAR_PART_KERNELS_SQL, scalar_part_kernels.__doc__, tags=("relational", "scalar", "struct", "map")),
         # json_funcs rotated to EXTRA in r7, and late-r7
@@ -1688,12 +1691,15 @@ QUERIES: dict[str, QuerySpec] = {
         # slots carry the two NEW r7 families so the driver hashes
         # them: text_pii_redact (northstar) and cdc_merge_orders.
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),
-        QuerySpec("exists_subquery", exists_subquery, EXISTS_SUBQUERY_SQL, exists_subquery.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         # late-r7 rotation: pivot_events to EXTRA (its unpivot twin
         # was already there; both keep oracles in pytest) — the slot
         # carries the data-quality audit so the driver hashes the
         # expectation/uniqueness/FK counters.
         QuerySpec("dq_orders_audit", dq_orders_audit, DQ_ORDERS_SQL, dq_orders_audit.__doc__, tags=("relational", "dq", "audit", "pipeline")),
+        # r8 rotation IN: the r7-oracled warehouse families the driver
+        # had never hashed (VERDICT r7 item 1).
+        QuerySpec("cdc_scd2_history", cdc_scd2_history, CDC_SCD2_SQL, cdc_scd2_history.__doc__, tags=("relational", "cdc", "window")),
+        QuerySpec("orders_column_stats", orders_column_stats, ORDERS_COLUMN_STATS_SQL, orders_column_stats.__doc__, tags=("relational", "dq", "stats")),
     ]
 }
 
@@ -1735,8 +1741,14 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("map_funcs", map_funcs, MAP_FUNCS_SQL, map_funcs.__doc__, tags=("relational", "scalar", "map")),
         QuerySpec("scalar_datetime_funcs", scalar_datetime_funcs, SCALAR_DATETIME_SQL, scalar_datetime_funcs.__doc__, tags=("relational", "scalar")),
         QuerySpec("array_funcs", array_funcs, ARRAY_FUNCS_SQL, array_funcs.__doc__, tags=("relational", "scalar", "array")),
-        QuerySpec("cdc_scd2_history", cdc_scd2_history, CDC_SCD2_SQL, cdc_scd2_history.__doc__, tags=("relational", "cdc", "window")),
-        QuerySpec("orders_column_stats", orders_column_stats, ORDERS_COLUMN_STATS_SQL, orders_column_stats.__doc__, tags=("relational", "dq", "stats")),
         QuerySpec("pivot_events", pivot_events, PIVOT_EVENTS_SQL, pivot_events.__doc__, tags=("relational", "pivot")),
+        # r8 rotation OUT (oracles kept; see the QUERIES comment):
+        QuerySpec("top_customers_revenue", top_customers_revenue, TOP_CUSTOMERS_SQL, top_customers_revenue.__doc__, tags=("relational", "join", "topk")),
+        QuerySpec("join_semi_anti", join_semi_anti, JOIN_SEMI_ANTI_SQL, join_semi_anti.__doc__, tags=("relational", "join")),
+        QuerySpec("join_outer_agg", join_outer_agg, JOIN_OUTER_SQL, join_outer_agg.__doc__, tags=("relational", "join")),
+        QuerySpec("range_band_join", range_band_join, RANGE_BAND_SQL, range_band_join.__doc__, tags=("relational", "join", "range")),
+        QuerySpec("window_rank", window_rank, WINDOW_RANK_SQL, window_rank.__doc__, tags=("relational", "window")),
+        QuerySpec("udtf_tokenize", udtf_tokenize, _WORDCOUNT_ORACLE, udtf_tokenize.__doc__, tags=("relational", "udf", "udtf", "compat")),
+        QuerySpec("exists_subquery", exists_subquery, EXISTS_SUBQUERY_SQL, exists_subquery.__doc__, tags=("relational", "join", "subquery", "sql-api")),
     ]
 }
