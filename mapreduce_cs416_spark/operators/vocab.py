@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import words_col
+from ..functions.text import bind_once, words_col
 
 # id 0 is reserved for out-of-vocabulary tokens; real ids are 1..size
 OOV_ID = 0
@@ -63,9 +63,37 @@ def encode_documents(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def vocab_encode(docs: DataFrame, size: int = 25) -> DataFrame:
-    """build_vocab + encode_documents over the documents table."""
+    """build_vocab + encode over the documents table.
+
+    The vocabulary is driver-bounded by construction (``size`` rows),
+    so the encode phase inlines it as a LITERAL map and encodes each
+    document with a pure transform() over its token array — identical
+    output to ``encode_documents``' join/regroup path (property-
+    checked by tests/test_vocab.py) with ZERO shuffles after the
+    vocab build: no token explosion, no 600k-row regroup, no
+    per-document array_sort. The bounded collect is the centroid
+    discipline (similarity.py) — ``size`` rows, never corpus-sized;
+    ``encode_documents`` remains the scale path for vocabularies too
+    large to inline."""
     tokens = docs.select(F.explode(words_col("text")).alias("token"))
-    return encode_documents(docs, build_vocab(tokens, size=size))
+    vocab_rows = build_vocab(tokens, size=size).collect()
+    mapping = F.create_map(
+        *[F.lit(v) for row in vocab_rows for v in (row["tok"], row["id"])]
+    )
+    ws = words_col("text")
+    encoded = bind_once(
+        ws,
+        lambda w: F.transform(
+            w, lambda tok: F.coalesce(F.element_at(mapping, tok), F.lit(OOV_ID))
+        ),
+    )
+    out = docs.select("doc_id", encoded.alias("ids")).where(F.size("ids") > 0)
+    return out.select(
+        "doc_id",
+        "ids",
+        F.size("ids").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i == F.lit(OOV_ID))).cast("int").alias("n_oov"),
+    )
 
 
 def bpe_merge_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:

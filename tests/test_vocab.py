@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mapreduce_cs416_spark.functions.text import py_letter_tokens
+from mapreduce_cs416_spark.functions.text import py_letter_tokens, words_col
 from mapreduce_cs416_spark.operators import vocab
 from mapreduce_cs416_spark.sources.tables import load_table
 
@@ -157,3 +157,20 @@ def test_bpe_encode_pieces_match_reference_vocab(spark):
             ref_counts[s] = ref_counts.get(s, 0) + c
     got = {r["piece"]: r["n"] for r in bpe_encode_pieces(docs, n_merges=5, top_k=100).collect()}
     assert got == ref_counts
+
+
+def test_vocab_encode_literal_map_matches_join_path(spark, sf_dir):
+    """The inlined-literal-map encode (vocab_encode) and the
+    join/regroup scale path (encode_documents) are the same function
+    of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(words_col("text")).alias("token"))
+    via_join = {
+        (r["doc_id"], tuple(r["ids"]), r["n_tokens"], r["n_oov"])
+        for r in vocab.encode_documents(docs, vocab.build_vocab(tokens, size=25)).collect()
+    }
+    via_map = {
+        (r["doc_id"], tuple(r["ids"]), r["n_tokens"], r["n_oov"])
+        for r in vocab.vocab_encode(docs, size=25).collect()
+    }
+    assert via_map == via_join and via_map
