@@ -375,3 +375,35 @@ def test_checkpoint_hidden_segments_keep_plan_quality(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full
     # the phrase-term filter sits below the adjacency joins
     assert re.search(r"tok#\d+ IN \(hash,table\)|tok#\d+ IN \(table,hash\)", full), full[:1200]
+
+
+def test_single_partition_classifier_scalar_vs_bulk(spark):
+    """The PLANS.md SinglePartition column is driven by the executed
+    plan's shuffleRecordsWritten metric: a one-row global aggregate
+    classifies scalar-ok, a repartition(1) of real data classifies as
+    the BULK flag with the measured row count."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from plan_report import _single_partition_rows, classify_single_partition
+
+    from pyspark.sql import functions as F
+
+    scalar = spark.range(0, 50_000).agg(F.sum("id").alias("s"))
+    scalar.collect()
+    rows = _single_partition_rows(scalar)
+    assert rows is not None and rows and max(rows) <= 32  # one partial row per task
+    label = classify_single_partition("", rows)
+    assert label and "scalar-ok" in label
+
+    bulk = spark.range(0, 50_000).repartition(1).withColumn("v", F.col("id") * 2)
+    bulk.collect()
+    rows = _single_partition_rows(bulk)
+    assert rows is not None and max(rows) == 50_000
+    label = classify_single_partition("", rows)
+    assert label == "SinglePartition BULK (50000 rows)"
+
+    none_df = spark.range(0, 100).withColumn("v", F.col("id") + 1)
+    none_df.collect()
+    assert classify_single_partition("no such node", _single_partition_rows(none_df)) is None

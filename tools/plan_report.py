@@ -27,6 +27,65 @@ from mapreduce_cs416_spark.session import get_spark
 # an unexpected occurrence is still visible.
 ANTI = ("CartesianProduct", "Exchange SinglePartition")
 
+# A SinglePartition shuffle moving at most this many rows is a scalar
+# branch (a one-row global aggregate, a k-row top-k finisher) — the
+# legitimate pattern. More is bulk data through one partition: the
+# real anti-pattern this report exists to flag.
+SCALAR_ROWS_MAX = 100
+
+
+def _single_partition_rows(df) -> list[int] | None:
+    """Rows written through each SinglePartition shuffle of the
+    EXECUTED (AQE-final) plan, read from the exchanges' own runtime
+    ``shuffleRecordsWritten`` metrics — ground truth, not an estimate,
+    which is what lets the report distinguish a one-row scalar branch
+    from a data-sized single-partition shuffle (the one anti-pattern
+    class the r7 audit could not falsify). Returns None if the JVM
+    traversal fails (the caller falls back to the unclassified
+    label)."""
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+        if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            root = root.finalPhysicalPlan()
+        out: list[int] = []
+
+        def walk(node) -> None:
+            name = node.getClass().getSimpleName()
+            if (
+                name == "ShuffleExchangeExec"
+                and "SinglePartition" in node.outputPartitioning().toString()
+            ):
+                out.append(int(node.metrics().apply("shuffleRecordsWritten").value()))
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            if "QueryStage" in name:
+                walk(node.plan())
+            elif name == "ReusedExchangeExec":
+                walk(node.child())
+
+        walk(root)
+        return out
+    except Exception:  # noqa: BLE001 — best-effort JVM introspection
+        return None
+
+
+def classify_single_partition(plan: str, sp_rows: list[int] | None) -> str | None:
+    """The anti-column entry for SinglePartition exchanges: None when
+    the plan has none, 'scalar-ok (≤N rows)' when every one moved at
+    most SCALAR_ROWS_MAX rows, a hard flag with the measured row count
+    otherwise."""
+    if sp_rows:
+        worst = max(sp_rows)
+        if worst <= SCALAR_ROWS_MAX:
+            return f"SinglePartition scalar-ok (≤{worst} rows)"
+        return f"SinglePartition BULK ({worst} rows)"
+    if "SinglePartition" in plan.split("== Initial Plan ==")[0]:
+        # text shows one but the traversal measured nothing — never
+        # silently drop the flag
+        return "SinglePartition (unmeasured)"
+    return None
+
 
 def _plan(df) -> str:
     # materialize THIS DataFrame's own queryExecution (a noop write
@@ -48,7 +107,7 @@ def _count(plan: str, op: str) -> int:
     return len(re.findall(rf"\(\d+\) {op}\b", plan))
 
 
-def summarize(plan: str) -> dict[str, object]:
+def summarize(plan: str, sp_rows: list[int] | None = None) -> dict[str, object]:
     # Executed AQE explain prints the final AND the initial plan with a
     # shared node numbering; restrict every count to node ids that
     # appear in the final-plan tree segment or each operator would be
@@ -86,15 +145,17 @@ def summarize(plan: str) -> dict[str, object]:
         + count("MapInPandas") + count("FlatMapGroupsInPandas"),
         "pushdown": "yes" if pushed else "—",
         "scan_cols": max((len(s.split(",")) for s in schemas), default=0),
-        # SinglePartition is annotated, not condemned: a one-row
-        # global-scalar branch (e.g. tfidf's corpus-size N broadcast)
-        # legitimately passes one row through one partition; the
-        # anti-pattern is bulk DATA through one partition, which the
-        # pack_sequences plan guard rules out where it could occur.
+        # SinglePartition exchanges are CLASSIFIED, not merely
+        # annotated: the executed plan's shuffleRecordsWritten metric
+        # says how many rows actually moved, so a one-row scalar
+        # branch prints scalar-ok and bulk data through one partition
+        # prints a hard flag with the measured count (VERDICT r7
+        # wrong-item 2 — the old "(scalar branch?)" ambiguity).
         "anti": [
             a
-            for a in ("CartesianProduct", "SinglePartition (scalar branch?)")
-            if a.split(" ")[0] in plan
+            for a in ("CartesianProduct" if "CartesianProduct" in plan else None,
+                      classify_single_partition(plan, sp_rows))
+            if a
         ]
         or "—",
     }
@@ -117,7 +178,11 @@ def main() -> int:
         "PushedFilters present; cols = widest ReadSchema column count;",
         "anti-patterns = cartesian product / single-partition exchange (a",
         "broadcast nested-loop join is the designed band/theta strategy and",
-        "shows in the joins column).",
+        "shows in the joins column). SinglePartition exchanges are classified",
+        "from the EXECUTED plan's shuffleRecordsWritten metric: 'scalar-ok'",
+        f"means every such exchange moved ≤{SCALAR_ROWS_MAX} rows (a one-row global",
+        "aggregate or k-row top-k finisher — the legitimate pattern); 'BULK'",
+        "with the measured row count is a real flag.",
         "",
         "| query | shuffles | joins | aggs | wsc | py | pushdown | cols | anti-patterns |",
         "|---|---|---|---|---|---|---|---|---|",
@@ -128,7 +193,9 @@ def main() -> int:
         for name, spec in qs.items():
             try:
                 spec.fn(spark, sf_dir).collect()  # warm run (see _plan)
-                s = summarize(_plan(spec.fn(spark, sf_dir)))
+                df = spec.fn(spark, sf_dir)
+                plan = _plan(df)
+                s = summarize(plan, _single_partition_rows(df))
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
                 print(f"✗ {name}: {e}", file=sys.stderr)
