@@ -1241,3 +1241,61 @@ def phash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------- JPEG face
+JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_data_bytes", T.IntegerType()),
+        T.StructField("mean_gray", T.DoubleType()),
+        T.StructField("row0_hex", T.StringType()),
+    ]
+)
+
+
+def decode_jpeg_stats(docs: DataFrame) -> DataFrame:
+    """The JPEG face of the real-decode path: wrap each blob's bytes
+    into a REAL baseline JPEG (operators/jpeg.make_jpeg — one constant
+    8×8 block per byte, genuine Annex-K Huffman entropy coding), run
+    the GENERAL baseline decoder (markers, canonical Huffman, dequant,
+    full IDCT — it does not know the blocks are constant), and emit
+    per-doc stats: dims, gray mean, and the top pixel row's hex. The
+    DC-exact fixture quantization makes the lossy-in-general pipeline
+    byte-exact here, so the query carries the same byte-position
+    DuckDB oracle shape as the BMP/PNG faces
+    (plans/northstar.MULTIMODAL_DECODE_JPEG_SQL). Same 100 TB shape:
+    one Arrow-batched mapInPandas, blobs never leave executors, means
+    rounded JVM-side (HALF_UP discipline)."""
+    from .jpeg import decode_jpeg, make_jpeg
+
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in JPEG_DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                img = decode_jpeg(make_jpeg(raw))
+                px = img["pixels"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_data_bytes"].append(len(raw))
+                out["mean_gray"].append(sum(px) / len(px))
+                out["row0_hex"].append(bytes(px[: img["width"]]).hex())
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, JPEG_DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_data_bytes",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        "row0_hex",
+    )

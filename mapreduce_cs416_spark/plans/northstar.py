@@ -1007,6 +1007,44 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 """
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode (multimodal.decode_jpeg_stats): each doc's
+    bytes become constant 8×8 blocks behind REAL Huffman entropy
+    coding; the general decoder's full path (markers, canonical
+    Huffman, dequant, IDCT) reproduces them byte-exactly thanks to
+    the DC-exact fixture quantization."""
+    return multimodal.decode_jpeg_stats(_docs(spark, sf_dir))
+
+
+# JPEG twin: byte-position math only. Block i (4 per row) is constant
+# at payload byte i (zero-padded); mean over all pixels is therefore
+# sum(codes)/(4·block_rows·8·8)·64 = sum(codes)/(4·block_rows), and
+# image row 0 is the first four bytes each repeated 8×.
+MULTIMODAL_DECODE_JPEG_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, hx, n,
+           greatest(CAST(ceil(n / 4.0) AS BIGINT), 1) AS br,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+)
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(8 * br AS INT) AS height,
+       CAST(n AS INT) AS n_data_bytes,
+       round(coalesce(list_sum(codes), 0) / (4.0 * br), 6) AS mean_gray,
+       list_aggregate(
+           [repeat(substr(rpad(substr(hx, 1, 8), 8, '0'), 2 * i - 1, 2), 8)
+            FOR i IN range(1, 5)],
+           'string_agg', '') AS row0_hex
+FROM d
+"""
+
+
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_ppm_stats(_docs(spark, sf_dir))
 
@@ -2464,6 +2502,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
+        # the LAST codec caveat retired: baseline JPEG decode (r8)
+        QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
         # r8 rotation OUT (oracles kept; see the QUERIES comment):
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),
         QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup")),

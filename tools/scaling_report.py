@@ -23,10 +23,15 @@ log(10)/log(4) ≈ 1.66×; the per-table mapping below keeps the O(n²)
 cosine baseline honest (ratio 16 at 4× growth → exponent 2, not 1.2).
 
 Usage:
-    python tools/scaling_report.py [small_dir big_dir] [query ...]
+    python tools/scaling_report.py [small_dir big_dir [huge_dir]] [query ...]
+
+With THREE dirs (the builder-generated perf point from
+tools/make_scale_point.py as the third), each query additionally gets
+a least-squares power-law fit over every floor-cleared point — the
+non-floor exponents VERDICT r7 item 4 asked for.
 
 Writes SCALING.md at the repo root and prints one JSON line to
-stdout (per-query {t_small, t_big, growth, ratio, exponent}).
+stdout (per-query best exponent).
 """
 
 from __future__ import annotations
@@ -118,15 +123,33 @@ def _label(exponent: float) -> str:
     return "SUPER-LINEAR"
 
 
+def _fit_exponent(points: list[tuple[float, float]]) -> float | None:
+    """Least-squares slope of ln(adj_t) vs ln(rows) over the scale
+    points whose floor-adjusted time cleared FLOOR_MARGIN_S — the
+    per-query power-law fit the 3-point run produces. None with fewer
+    than two usable points (the query never left the floor)."""
+    if len(points) < 2:
+        return None
+    n = len(points)
+    mx = sum(x for x, _ in points) / n
+    my = sum(y for _, y in points) / n
+    sxx = sum((x - mx) ** 2 for x, _ in points)
+    if sxx == 0:
+        return None
+    sxy = sum((x - mx) * (y - my) for x, y in points)
+    return round(sxy / sxx, 2)
+
+
 def main() -> int:
     args = sys.argv[1:]
     dirs = [a for a in args if os.path.isdir(a)]
     names = [a for a in args if a in ALL_QUERIES]
     bad = [a for a in args if a not in ALL_QUERIES and not os.path.isdir(a)]
-    if bad or (dirs and len(dirs) != 2):
+    if bad or (dirs and len(dirs) not in (2, 3)):
         print(f"scaling_report.py: bad args {bad or dirs}", file=sys.stderr)
         return 2
-    small, big = dirs or ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    dirs = dirs or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    small, big = dirs[0], dirs[-1]
     names = names or sorted(headline_queries())
 
     spark = get_spark("scaling")
@@ -136,18 +159,25 @@ def main() -> int:
     # queries is far more stable run-to-run than any single query's
     # timing, and subtracting it exposes the data-dependent term that
     # the raw ratio buries for sub-second queries.
-    t_small = _time_queries(spark, small, ["file_count"] + names)
-    floor_small = min(t_small.values())
-    t_big = _time_queries(spark, big, ["file_count"] + names)
-    floor_big = min(t_big.values())
+    timings: dict[str, dict[str, float]] = {}
+    floors: dict[str, float] = {}
+    for d in dirs:
+        timings[d] = _time_queries(spark, d, ["file_count"] + names)
+        floors[d] = min(timings[d].values())
+    t_small, t_big = timings[small], timings[big]
+    floor_small, floor_big = floors[small], floors[big]
 
-    growth_cache: dict[str, float] = {}
+    rows_cache: dict[tuple[str, str], int] = {}
+
+    def nrows(d: str, table: str) -> int:
+        if (d, table) not in rows_cache:
+            rows_cache[(d, table)] = _rows(d, table)
+        return rows_cache[(d, table)]
+
     rows = []
     for name in names:
         table = _dominant_table(name)
-        if table not in growth_cache:
-            growth_cache[table] = _rows(big, table) / _rows(small, table)
-        growth = growth_cache[table]
+        growth = nrows(big, table) / nrows(small, table)
         ratio = t_big[name] / t_small[name] if t_small[name] > 0 else float("inf")
         exponent = math.log(ratio) / math.log(growth) if ratio > 0 else float("-inf")
         # floor-adjusted exponent: subtract the measured trivial-query
@@ -162,6 +192,18 @@ def main() -> int:
             adj_exponent = round(math.log(adj_b / adj_s) / math.log(growth), 2)
         else:
             adj_exponent = None
+        # per-query power-law fit over ALL floor-cleared points (only
+        # meaningfully different from adj_exponent on a 3-dir run)
+        fit = _fit_exponent(
+            [
+                (math.log(nrows(d, table)), math.log(timings[d][name] - floors[d]))
+                for d in dirs
+                if timings[d][name] - floors[d] > FLOOR_MARGIN_S
+            ]
+        )
+        best = fit if fit is not None else (
+            adj_exponent if adj_exponent is not None else round(exponent, 2)
+        )
         rows.append(
             {
                 "query": name,
@@ -169,13 +211,16 @@ def main() -> int:
                 "growth": round(growth, 2),
                 "t_small": t_small[name],
                 "t_big": t_big[name],
+                "t_all": {_sf_of(d): timings[d][name] for d in dirs},
                 "ratio": round(ratio, 2),
                 "exponent": round(exponent, 2),
                 "adj_exponent": adj_exponent,
-                "label": _label(adj_exponent if adj_exponent is not None else exponent),
+                "fit_exponent": fit,
+                "best": best,
+                "label": _label(best),
             }
         )
-    rows.sort(key=lambda r: -(r["adj_exponent"] if r["adj_exponent"] is not None else r["exponent"]))
+    rows.sort(key=lambda r: -r["best"])
 
     lines = [
         "# SCALING — measured cross-scale exponents",
@@ -197,23 +242,31 @@ def main() -> int:
         f"mean: {floor_small:.3f} s at the small scale, {floor_big:.3f} s at the big one) from both",
         "timings before taking the exponent, exposing the data term for sub-second",
         f"queries; '—' means a timing is within {int(FLOOR_MARGIN_S * 1000)} ms of the floor, too close to",
-        "separate from noise. The verdict column uses the adjusted exponent when",
-        "available.",
+        "separate from noise.",
         "",
-        "| query | input table | growth | t_small (s) | t_big (s) | ratio | raw exp | adj exp | verdict |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "`fit exp` (3-point runs) is the least-squares slope of ln(adjusted time)",
+        "vs ln(input rows) over every scale point that cleared the floor margin —",
+        "the per-query power-law fit. The third point is builder-generated",
+        "(`tools/make_scale_point.py`: sf0.1 replicated 8× into disjoint key/",
+        "text/dimension universes, so outputs grow linearly by construction and",
+        "the exponent measures the ALGORITHM, not manufactured duplicate",
+        "explosion). The verdict column uses fit exp when available, then adj,",
+        "then raw.",
+        "",
+        "| query | input table | growth | "
+        + " | ".join(f"t@{_sf_of(d)} (s)" for d in dirs)
+        + " | ratio | raw exp | adj exp | fit exp | verdict |",
+        "|---|---|---|" + "---|" * len(dirs) + "---|---|---|---|---|",
     ]
     for r in rows:
-        adj = f"**{r['adj_exponent']:.2f}**" if r["adj_exponent"] is not None else "—"
+        adj = f"{r['adj_exponent']:.2f}" if r["adj_exponent"] is not None else "—"
+        fit = f"**{r['fit_exponent']:.2f}**" if r["fit_exponent"] is not None else "—"
+        tcols = " | ".join(f"{r['t_all'][_sf_of(d)]:.3f}" for d in dirs)
         lines.append(
-            f"| {r['query']} | {r['table']} | {r['growth']}× | {r['t_small']:.3f} | "
-            f"{r['t_big']:.3f} | {r['ratio']:.2f}× | {r['exponent']:.2f} | {adj} | {r['label']} |"
+            f"| {r['query']} | {r['table']} | {r['growth']}× | {tcols} "
+            f"| {r['ratio']:.2f}× | {r['exponent']:.2f} | {adj} | {fit} | {r['label']} |"
         )
-    superlinear = [
-        r
-        for r in rows
-        if (r["adj_exponent"] if r["adj_exponent"] is not None else r["exponent"]) > 1.55
-    ]
+    superlinear = [r for r in rows if r["best"] > 1.55]
     lines += [
         "",
         "## Reading the table",
@@ -240,8 +293,7 @@ def main() -> int:
         f"Super-linear (> 1.55) this run: "
         + (
             ", ".join(
-                f"`{r['query']}` ({(r['adj_exponent'] if r['adj_exponent'] is not None else r['exponent']):.2f})"
-                for r in superlinear
+                f"`{r['query']}` ({r['best']:.2f})" for r in superlinear
             )
             or "none"
         )
@@ -258,12 +310,8 @@ def main() -> int:
                 "metric": "scaling_exponents",
                 "small": _sf_of(small),
                 "big": _sf_of(big),
-                "queries": {
-                    r["query"]: (
-                        r["adj_exponent"] if r["adj_exponent"] is not None else r["exponent"]
-                    )
-                    for r in rows
-                },
+                "dirs": [_sf_of(d) for d in dirs],
+                "queries": {r["query"]: r["best"] for r in rows},
             }
         )
     )

@@ -1,0 +1,202 @@
+"""Streaming micro-batch latency bench → STREAMBENCH.md + one JSON line.
+
+The 13 stream==batch pytest pipelines prove streaming CORRECTNESS;
+nothing timed them (VERDICT r7 item 7). This times the three
+streaming shapes that matter operationally, with PINNED batch counts,
+using Spark's own instrumentation — every micro-batch's
+``durationMs.triggerExecution`` from the query's recentProgress, not
+wall-clock wrappers:
+
+- ``ingest_gate``  : the foreachBatch admission service
+  (streaming/pipelines.streaming_ingest_gate) over N_SHARDS document
+  shards — each batch gates against the ACCRETED index, so later
+  batches measure the service as the corpus grows.
+- ``cdc_merge``    : the foreachBatch snapshot-merge service
+  (streaming_cdc_merge) applying N_BATCHES ordered changelog
+  micro-batches (upserts + deletes, seq conflict resolution) to an
+  orders snapshot.
+- ``tumbling_agg`` : the pure state-store path (watermarked tumbling
+  window, memory sink) over the events fixture replayed as
+  N_REPLAYS identical micro-batches — the no-foreachBatch baseline
+  that isolates state maintenance from sink rewrite cost.
+
+Usage: python tools/stream_bench.py [sf_dir]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mapreduce_cs416_spark.session import get_spark  # noqa: E402
+from mapreduce_cs416_spark.sources.tables import load_table  # noqa: E402
+from mapreduce_cs416_spark.streaming import pipelines as sp  # noqa: E402
+
+N_SHARDS = 6  # ingest_gate micro-batches
+N_BATCHES = 6  # cdc_merge micro-batches
+N_REPLAYS = 6  # tumbling_agg micro-batches
+
+
+def _batch_stats(progresses) -> dict:
+    """Per-batch triggerExecution durations (ms) from recentProgress,
+    keeping only batches that processed input rows (availableNow runs
+    end with an empty commit batch)."""
+    rows = []
+    for p in progresses:
+        d = json.loads(p) if isinstance(p, str) else p
+        if d.get("numInputRows", 0) > 0:
+            rows.append(
+                {
+                    "batch": d["batchId"],
+                    "rows": d["numInputRows"],
+                    "ms": d["durationMs"]["triggerExecution"],
+                }
+            )
+    rows.sort(key=lambda r: r["batch"])
+    ms = [r["ms"] for r in rows]
+    return {
+        "n_batches": len(rows),
+        "rows_per_batch": [r["rows"] for r in rows],
+        "batch_ms": ms,
+        "mean_ms": round(sum(ms) / len(ms), 1) if ms else None,
+        "p50_ms": sorted(ms)[len(ms) // 2] if ms else None,
+        "max_ms": max(ms) if ms else None,
+    }
+
+
+def _write_shards(df, out_dir: str, n: int, key: str) -> None:
+    """n single-file parquet shards with strictly increasing mtimes so
+    the file source (oldest-first) delivers them as ordered
+    micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = df.toPandas()
+    for i in range(n):
+        shard = pdf[pdf[key] % n == i]
+        path = os.path.join(out_dir, f"shard{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(shard, preserve_index=False), path)
+        os.utime(path, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+
+def bench_ingest_gate(spark, sf_dir: str, base: str) -> dict:
+    from mapreduce_cs416_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % (N_SHARDS + 1) == N_SHARDS)
+    shards = docs.where(F.col("doc_id") % (N_SHARDS + 1) < N_SHARDS).withColumn(
+        "shard", (F.col("doc_id") % (N_SHARDS + 1)).cast("long")
+    )
+    index = f"{base}/index"
+    dedup.write_ingest_index(corpus, index, k=3)
+    shard_dir = f"{base}/shards"
+    _write_shards(shards.select("doc_id", "text", "shard"), shard_dir, N_SHARDS, "shard")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, shard long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+    ).drop("shard")
+    q = sp.streaming_ingest_gate(stream, index, k=3, threshold=0.2, max_df=1000)
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
+def bench_cdc_merge(spark, sf_dir: str, base: str) -> dict:
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = f"{base}/snapshot"
+    orders.write.mode("overwrite").parquet(snapshot)
+    # deterministic changelog: each batch updates one key-slice's
+    # totalprice, deletes a thinner slice, and inserts new keys
+    changes = (
+        orders.where(F.col("o_orderkey") % 10 < N_BATCHES)
+        .withColumn("bat", (F.col("o_orderkey") % 10).cast("long"))
+        .withColumn(
+            "op", F.when(F.col("o_orderkey") % 97 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .withColumn("seq", F.col("o_orderkey") * 10 + F.col("bat"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    change_dir = f"{base}/changes"
+    _write_shards(changes, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in changes.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = sp.streaming_cdc_merge(stream, snapshot, ["o_orderkey"], op_col="op", seq_col="seq")
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
+def bench_tumbling(spark, sf_dir: str) -> dict:
+    events = sp.stream_events_replayed(spark, sf_dir, copies=N_REPLAYS)
+    agg = sp.streaming_tumbling(events)
+    q = sp.run_available_now(agg, "streambench_tumbling")
+    return _batch_stats(q.recentProgress)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("stream-bench")
+    base = tempfile.mkdtemp(prefix="spark_graft_streambench_")
+    try:
+        results = {
+            "ingest_gate": bench_ingest_gate(spark, sf_dir, f"{base}/ingest"),
+            "cdc_merge": bench_cdc_merge(spark, sf_dir, f"{base}/cdc"),
+            "tumbling_agg": bench_tumbling(spark, sf_dir),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    lines = [
+        "# STREAMBENCH — micro-batch latency of the streaming services",
+        "",
+        f"Generated by `python tools/stream_bench.py` at `{sf_dir}`"
+        f" (availableNow replays with pinned batch counts:"
+        f" {N_SHARDS} ingest shards, {N_BATCHES} CDC batches,"
+        f" {N_REPLAYS} event replays; per-batch `triggerExecution` from"
+        " each query's own recentProgress — Spark's instrumentation,"
+        " not wall-clock wrappers).",
+        "",
+        "| pipeline | batches | rows/batch | per-batch ms | mean ms | p50 ms | max ms |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, s in results.items():
+        rows = s["rows_per_batch"]
+        rows_s = str(rows[0]) if len(set(rows)) == 1 else ",".join(map(str, rows))
+        lines.append(
+            f"| {name} | {s['n_batches']} | {rows_s} | "
+            f"{','.join(map(str, s['batch_ms']))} | {s['mean_ms']} | "
+            f"{s['p50_ms']} | {s['max_ms']} |"
+        )
+    lines += [
+        "",
+        "Reading notes: `ingest_gate` batch N gates against the index grown by",
+        "batches 1..N-1, so a flat per-batch profile is the accretion working",
+        "(no from-scratch rescans); `cdc_merge` includes the full snapshot",
+        "rewrite per batch (see streaming_cdc_merge's 100 TB honesty note —",
+        "a transactional table format bounds that rewrite); `tumbling_agg` is",
+        "the pure state-store path with no sink rewrite. First batches carry",
+        "one-time plan/codegen warmup.",
+        "",
+    ]
+    with open(os.path.join(REPO, "STREAMBENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"metric": "stream_batch_ms", "sf_dir": sf_dir, "pipelines": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
