@@ -84,7 +84,14 @@ def _write_shards(df, out_dir: str, n: int, key: str) -> None:
     for i in range(n):
         shard = pdf[pdf[key] % n == i]
         path = os.path.join(out_dir, f"shard{i}.parquet")
-        pq.write_table(pa.Table.from_pandas(shard, preserve_index=False), path)
+        # pandas datetimes arrive as ns; Spark's vectorized reader
+        # rejects TIMESTAMP(NANOS) — write µs like the driver testdata
+        pq.write_table(
+            pa.Table.from_pandas(shard, preserve_index=False),
+            path,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
         os.utime(path, (1_000_000 + i * 100, 1_000_000 + i * 100))
 
 
