@@ -420,9 +420,10 @@ def make_png(payload: bytes, width: int = BMP_WIDTH) -> bytes:
 
 def _decode_png(payload: bytes) -> dict:
     """Critical-chunk PNG parser: 8-bit grayscale (color type 0),
-    truecolor RGB (2), and RGBA (6); deflate IDAT (stdlib zlib), all
-    five scanline filters, non-interlaced. Ancillary chunks are
-    skipped; palette/grayscale-alpha/16-bit/Adam7 raise
+    truecolor RGB (2), palette-indexed (3, expanded through PLTE to
+    RGB), and RGBA (6); deflate IDAT (stdlib zlib), all five scanline
+    filters, non-interlaced. Ancillary chunks are skipped;
+    grayscale-alpha/16-bit/Adam7/tRNS-transparency raise
     NotImplementedError (honest gaps — adding them is more parsing,
     not a codec dependency)."""
     import zlib
@@ -431,6 +432,8 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("truncated PNG")
     pos = len(PNG_SIG)
     width = height = channels = None
+    indexed = False
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         clen = int.from_bytes(payload[pos : pos + 4], "big")
@@ -442,15 +445,24 @@ def _decode_png(payload: bytes) -> dict:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, comp, filt, interlace = data[8:13]
-            if bit_depth != 8 or color_type not in (0, 2, 6):
+            if bit_depth != 8 or color_type not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/truecolor RGB/RGBA PNG is supported"
+                    "only 8-bit grayscale/truecolor RGB/palette/RGBA PNG is supported"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlaced PNG is not supported")
-            channels = {0: 1, 2: 3, 6: 4}[color_type]
+            indexed = color_type == 3
+            # filtering operates on the STORED pixel width: 1 byte per
+            # pixel for indexed images; palette expansion happens after
+            channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+        elif ctype == b"PLTE":
+            if clen % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = bytes(data)
+        elif ctype == b"tRNS":
+            raise NotImplementedError("tRNS transparency is not supported")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -494,6 +506,16 @@ def _decode_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out += line
         prior = line
+    if indexed:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        n = len(palette) // 3
+        if any(i >= n for i in out):
+            raise ValueError("palette index out of range")
+        rgb = bytearray()
+        for i in out:
+            rgb += palette[3 * i : 3 * i + 3]
+        return {"width": width, "height": height, "channels": 3, "pixels": bytes(rgb)}
     return {"width": width, "height": height, "channels": channels, "pixels": bytes(out)}
 
 

@@ -204,3 +204,38 @@ def test_decode_jpeg_stats_query_shape(spark):
     # mean over padded blocks: (97+98)/4 blocks-row = 48.75
     assert out[0]["mean_gray"] == round((97 + 98) / 4.0, 6)
     assert out[1]["n_data_bytes"] == 27 and out[1]["height"] == 8 * 7
+
+
+def test_422_color_mcu_decodes_to_rgb():
+    """4:2:2 (2x1 luma sampling): 2 Y + 1 Cb + 1 Cr blocks per 16×8
+    MCU — the third chroma layout the general decoder supports."""
+    dc_codes, ac_codes = _std_tables()
+    w = J._BitWriter()
+    _write_block(w, dc_codes, ac_codes, 50)  # Y = 178
+    _write_block(w, dc_codes, ac_codes, 0)
+    _write_block(w, dc_codes, ac_codes, 10)  # Cb = 138
+    _write_block(w, dc_codes, ac_codes, -40)  # Cr = 88
+    f = (
+        b"\xff\xd8"
+        + J._seg(0xDB, bytes([0x00]) + bytes(J.FIXTURE_QUANT))
+        + J._seg(
+            0xC0,
+            bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + bytes([3, 1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + J._seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS))
+        + J._seg(0xC4, bytes([0x10]) + bytes(J.AC_LUMA_BITS) + bytes(J.AC_LUMA_VALS))
+        + J._seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(f)
+    assert (img["width"], img["height"], img["channels"]) == (16, 8, 3)
+    yy, cb, cr = 178, 138 - 128, 88 - 128
+    exp = (
+        J._clamp8(yy + 1.402 * cr),
+        J._clamp8(yy - 0.344136 * cb - 0.714136 * cr),
+        J._clamp8(yy + 1.772 * cb),
+    )
+    px = img["pixels"]
+    assert all(tuple(px[3 * i : 3 * i + 3]) == exp for i in range(16 * 8))

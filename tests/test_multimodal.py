@@ -209,13 +209,13 @@ def test_decode_png_rgba():
 
 
 def test_decode_png_unsupported_variants_raise():
-    """Palette, 16-bit, and interlaced PNGs are honest gaps: refuse,
-    never misparse."""
+    """Grayscale-alpha, 16-bit, and interlaced PNGs are honest gaps
+    (palette gained real support in r8): refuse, never misparse."""
     import zlib
 
     raw = bytes(4 * 3 * 3)
     scan = b"".join(b"\x00" + raw[r * 12 : (r + 1) * 12] for r in range(3))
-    for depth_color_interlace in ([8, 3, 0, 0, 0], [16, 2, 0, 0, 0], [8, 2, 0, 0, 1]):
+    for depth_color_interlace in ([8, 4, 0, 0, 0], [16, 2, 0, 0, 0], [8, 2, 0, 0, 1]):
         ihdr = (4).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes(depth_color_interlace)
         png = (
             multimodal.PNG_SIG
@@ -570,3 +570,40 @@ def test_image_phash_partition_invariant(spark):
     one = {tuple(r) for r in image_phash(docs.coalesce(1)).collect()}
     many = {tuple(r) for r in image_phash(docs.repartition(16)).collect()}
     assert one == many and len(one) == 30
+
+
+def test_palette_png_decodes_through_plte():
+    """Color-type-3 PNG: indices unfilter at 1 byte/px (Sub/Up
+    distances operate on the stored width), then expand through PLTE
+    to RGB; out-of-range indices and tRNS raise."""
+    import zlib
+
+    import pytest as _pytest
+
+    from mapreduce_cs416_spark.operators.multimodal import PNG_SIG, _decode_png, _png_chunk
+
+    W, H = 4, 3
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]]
+    lines = [bytes(r) for r in idx]
+    raw = bytearray(b"\x00" + lines[0])
+    sub = bytearray(lines[1])
+    for x in range(W - 1, 0, -1):
+        sub[x] = (sub[x] - sub[x - 1]) & 0xFF
+    raw += b"\x01" + bytes(sub)
+    raw += b"\x02" + bytes((lines[2][x] - lines[1][x]) & 0xFF for x in range(W))
+    ihdr = W.to_bytes(4, "big") + H.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+
+    def png(plte, extra=b""):
+        return (
+            PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte) + extra
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+        )
+
+    img = _decode_png(png(pal))
+    assert (img["width"], img["height"], img["channels"]) == (4, 3, 3)
+    assert img["pixels"] == b"".join(pal[3 * i : 3 * i + 3] for row in idx for i in row)
+    with _pytest.raises(ValueError, match="palette index"):
+        _decode_png(png(pal[:9]))
+    with _pytest.raises(NotImplementedError, match="tRNS"):
+        _decode_png(png(pal, extra=_png_chunk(b"tRNS", b"\x00")))
