@@ -163,9 +163,12 @@ def _syms(symstr: str = "symstr"):
 
 
 def bpe_word_table(docs: DataFrame) -> DataFrame:
-    """(symstr, c): the corpus collapsed to its DISTINCT words (one
-    wordcount shuffle — the working set is the vocabulary, not the
-    corpus), each word encoded as bracketed per-character symbols."""
+    """(term, symstr, c): the corpus collapsed to its DISTINCT words
+    (one wordcount shuffle — the working set is the vocabulary, not
+    the corpus), each word encoded as bracketed per-character symbols.
+    ``term`` rides along untouched through the merge rounds so the
+    trained table doubles as the word→segmentation dictionary
+    (bpe_encode_docs)."""
     wc = (
         docs.select(F.explode(words_col("text")).alias("term"))
         .groupBy("term")
@@ -178,7 +181,7 @@ def bpe_word_table(docs: DataFrame) -> DataFrame:
             lambda ch: F.concat(F.lit(SYM_OPEN), ch, F.lit(SYM_CLOSE)),
         ),
     )
-    return wc.select(sym.alias("symstr"), "c")
+    return wc.select("term", sym.alias("symstr"), "c")
 
 
 def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
@@ -271,4 +274,62 @@ def bpe_encode_pieces(
     counts = pieces.groupBy("piece").agg(F.sum("c").cast("long").alias("n"))
     return ranked_topk(counts, [F.desc("n"), F.col("piece")], top_k, rn="rank").select(
         "piece", "n", "rank"
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """Train-then-TOKENIZE: run the merge loop, derive the piece
+    vocabulary (ids 1..V by count desc, piece — same tie-break as
+    build_vocab), and encode EVERY document as its token-id sequence:
+    (doc_id, n_words, n_pieces, ids) with ids in word order then
+    piece order within each word. No OOV arises by construction —
+    every corpus word is in the trained table.
+
+    Scale shape: the trained word table IS the segmentation
+    dictionary (term → pieces), vocabulary-sized, so it broadcasts;
+    per-word piece-id arrays are precomputed on that table (two
+    vocabulary-sized joins), and the corpus itself is touched by ONE
+    posexplode + broadcast join + one groupBy(doc_id) reassembly —
+    the encode_documents shuffle shape, independent of k."""
+    from .graph import _unpersist_checkpoint
+
+    _, words = bpe_train(docs, n_merges)
+    # piece vocabulary: (piece, id) with id 1..V — bounded, rank via
+    # a window-free sort over the vocabulary-sized aggregate
+    pieces = words.select(F.explode(_syms()).alias("piece"), "c")
+    counts = pieces.groupBy("piece").agg(F.sum("c").cast("long").alias("n"))
+    from ..functions.ranking import ranked_topk
+
+    vocab_ids = ranked_topk(
+        counts, [F.desc("n"), F.col("piece")], (1 << 31) - 1, rn="id"
+    ).select("piece", "id")
+    # term → ordered piece-id array, all vocabulary-sized work
+    seg = words.select(
+        "term", F.posexplode(_syms()).alias("idx", "piece")
+    ).join(F.broadcast(vocab_ids), "piece")
+    term_ids = seg.groupBy("term").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "id"))), lambda s: s["id"]
+        ).alias("word_ids")
+    ).localCheckpoint()
+    _unpersist_checkpoint(words)
+
+    occ = docs.select("doc_id", F.posexplode(words_col("text")).alias("pos", "term"))
+    enc = occ.join(F.broadcast(term_ids), "term")
+    out = enc.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word_ids"))),
+                lambda s: s["word_ids"],
+            )
+        ).alias("ids"),
+        F.count("*").cast("int").alias("n_words"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.size("ids").alias("n_pieces"),
+        "ids",
     )

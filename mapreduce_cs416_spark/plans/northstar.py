@@ -758,7 +758,7 @@ def _bpe_rounds_sql(k: int) -> str:
     after r merges, t{r} the round-r winning pair."""
     parts = [
         f"""w0 AS (
-    SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS symstr, c
+    SELECT term, regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS symstr, c
     FROM (SELECT term, count(*) AS c
           FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents) GROUP BY term)
 )"""
@@ -773,7 +773,8 @@ def _bpe_rounds_sql(k: int) -> str:
     FROM s{r}, unnest(range(1, len(s))) AS u(i)
     GROUP BY lft, rgt ORDER BY n DESC, lft, rgt LIMIT 1
 ), w{r} AS (
-    SELECT replace(w.symstr,
+    SELECT w.term,
+           replace(w.symstr,
                    chr(1) || t.lft || chr(2) || chr(1) || t.rgt || chr(2),
                    chr(1) || t.lft || t.rgt || chr(2)) AS symstr, w.c
     FROM w{r - 1} w CROSS JOIN t{r} t
@@ -798,6 +799,50 @@ pieces AS (
 ), pc AS (SELECT piece, CAST(sum(c) AS BIGINT) AS n FROM pieces GROUP BY piece)
 SELECT piece, n, CAST(row_number() OVER (ORDER BY n DESC, piece) AS INT) AS rank
 FROM pc ORDER BY n DESC, piece LIMIT 30
+"""
+
+
+def corpus_bpe_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-TOKENIZE (vocab.bpe_encode_docs): every document as
+    its BPE token-id sequence — the trained word table doubles as the
+    broadcastable segmentation dictionary, the corpus is touched by
+    one posexplode + broadcast join + one doc_id regroup."""
+    return vocab.bpe_encode_docs(_docs(spark, sf_dir), n_merges=vocab.BPE_TRAIN_MERGES)
+
+
+CORPUS_BPE_DOC_ENCODE_SQL = f"""
+WITH {_bpe_rounds_sql(_BPE_K)},
+seg AS (
+    SELECT term,
+           string_split(substring(symstr, 2, length(symstr) - 2), chr(2) || chr(1)) AS ps
+    FROM w{_BPE_K}
+), pc AS (
+    SELECT piece, CAST(sum(c) AS BIGINT) AS n
+    FROM (SELECT unnest(ps) AS piece, c FROM w{_BPE_K}
+          JOIN seg USING (term))
+    GROUP BY piece
+), vid AS (
+    SELECT piece, CAST(row_number() OVER (ORDER BY n DESC, piece) AS INT) AS id FROM pc
+), term_ids AS (
+    SELECT term, list(v.id ORDER BY u.i) AS word_ids
+    FROM seg, unnest(range(1, len(ps) + 1)) AS u(i)
+    JOIN vid v ON v.piece = ps[u.i]
+    GROUP BY term
+), docw AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+occ AS (
+    SELECT doc_id,
+           unnest(range(1, len(ws) + 1)) AS pos,
+           unnest(list_transform(range(1, len(ws) + 1), i -> ws[i])) AS term
+    FROM docw
+), je AS (
+    SELECT o.doc_id, o.pos, t.word_ids FROM occ o JOIN term_ids t USING (term)
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(coalesce(sum(len(word_ids)), 0) AS INT) AS n_pieces,
+       flatten(list(word_ids ORDER BY pos)) AS ids
+FROM je
+GROUP BY doc_id
 """
 
 
@@ -2504,6 +2549,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         # the LAST codec caveat retired: baseline JPEG decode (r8)
         QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
+        QuerySpec("corpus_bpe_doc_encode", corpus_bpe_doc_encode, CORPUS_BPE_DOC_ENCODE_SQL, vocab.bpe_encode_docs.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         # r8 rotation OUT (oracles kept; see the QUERIES comment):
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),
         QuerySpec("similarity_cosine_near_dup", similarity_cosine_near_dup, COSINE_NEAR_DUP_SQL, similarity_cosine_near_dup.__doc__, headline=True, tags=("northstar", "similarity", "dedup")),

@@ -174,3 +174,36 @@ def test_vocab_encode_literal_map_matches_join_path(spark, sf_dir):
         for r in vocab.vocab_encode(docs, size=25).collect()
     }
     assert via_map == via_join and via_map
+
+
+def test_bpe_doc_encode_matches_reference_segmentation(spark):
+    """bpe_encode_docs must tokenize each document exactly as the
+    sequential reference: same piece segmentation per word, same
+    frequency-ranked piece ids, ids in word order then piece order."""
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join([w for w, c in wc.items() for _ in range(c)])
+    docs = spark.createDataFrame(
+        [(0, text), (1, "lower low"), (2, "newest widest newest")],
+        "doc_id long, text string",
+    )
+    # full corpus counts drive training (all three docs)
+    full = {}
+    for t in [text, "lower low", "newest widest newest"]:
+        for w in t.split():
+            full[w] = full.get(w, 0) + 1
+    _, ref_words = _ref_bpe(full, 5)
+    seg = {"".join(syms): list(syms) for syms in ref_words}
+    counts: dict[str, int] = {}
+    for syms, c in ref_words.items():
+        for s in syms:
+            counts[s] = counts.get(s, 0) + c
+    ranked = sorted(counts, key=lambda p: (-counts[p], p))
+    pid = {p: i + 1 for i, p in enumerate(ranked)}
+
+    got = {r["doc_id"]: r for r in vocab.bpe_encode_docs(docs, n_merges=5).collect()}
+    for doc_id, t in [(0, text), (1, "lower low"), (2, "newest widest newest")]:
+        words = t.split()
+        want = [pid[p] for w in words for p in seg[w]]
+        assert list(got[doc_id]["ids"]) == want, doc_id
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_pieces"] == len(want)
