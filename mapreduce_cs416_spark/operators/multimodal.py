@@ -1204,26 +1204,28 @@ def image_phash(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
     return blobs.mapInPandas(_hash, PHASH_SCHEMA)
 
 
-def phash_near_dups(
-    docs: DataFrame,
+def banded_hamming_pairs(
+    sig: DataFrame,
     max_hamming: int = 3,
-    width: int = BMP_WIDTH,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): image near-duplicate pairs by dHash
-    Hamming distance <= max_hamming — the pixel-space twin of
-    dedup.simhash_near_dups, reusing its pigeonhole banding: any pair
-    within Hamming 3 of a 64-bit hash must agree on at least one of
-    the four 16-bit chunks, so candidates come from four equi-joins
-    on 16-bit keys, NEVER an all-pairs comparison, then the exact
+    """(doc_a, doc_b, hamming) pairs within Hamming <= max_hamming of
+    a 64-bit signature held as four 16-bit chunks (doc_id, b0..b3) —
+    the shared candidate engine behind the image (``phash_near_dups``)
+    and audio (``audio_near_dups``) fingerprint dedups. Pigeonhole
+    banding: any pair within Hamming 3 must agree on at least one of
+    the four chunks, so candidates come from four equi-joins on
+    16-bit keys, NEVER an all-pairs comparison, then the exact
     bit_count(xor) filter verifies.
 
     ``max_bucket`` drops degenerate chunk buckets (e.g. the all-zero
-    chunks every sub-8-row image shares) before the self-join — the
-    max_df discipline of ngram_jaccard_pairs: a bucket with B docs
-    would emit O(B²) candidates at scale. The oracle applies the
-    identical cap."""
-    ph = image_phash(docs, width).localCheckpoint()
+    chunks every tiny blob shares) before the self-join — the max_df
+    discipline of ngram_jaccard_pairs: a bucket with B docs would
+    emit O(B²) candidates at scale. The oracles apply the identical
+    cap. The signature frame is localCheckpoint-ed because it fans
+    into three branches (keyed twice + the hot-bucket scan) and the
+    mapInPandas decode behind it must run exactly once."""
+    ph = sig.localCheckpoint()
     chunk_arr = F.array(
         *[
             F.struct(F.lit(c).alias("chunk"), F.col(f"b{c}").alias("key"))
@@ -1262,6 +1264,113 @@ def phash_near_dups(
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def phash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    width: int = BMP_WIDTH,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): image near-duplicate pairs by dHash
+    Hamming distance <= max_hamming — the pixel-space twin of
+    dedup.simhash_near_dups. Candidates come from
+    ``banded_hamming_pairs``'s four 16-bit pigeonhole equi-joins,
+    never an all-pairs comparison; the exact bit_count(xor) filter
+    verifies, and the DuckDB oracle applies the identical bucket cap
+    (plans/northstar.MULTIMODAL_NEAR_DUP_PHASH_SQL)."""
+    return banded_hamming_pairs(image_phash(docs, width), max_hamming, max_bucket)
+
+
+# ------------------------------------------------- audio fingerprint
+# The AUDIO leg of the near-duplicate story, completing the modality
+# triad (text shingles in operators/dedup, embeddings in
+# operators/similarity, pixels in phash_near_dups above). The
+# signature is a 64-band energy-gradient fingerprint in the spirit of
+# Haitsma & Kalker, "A Highly Robust Audio Fingerprinting System"
+# (ISMIR 2002): the decoded PCM stream is reduced to 64 contiguous
+# time-band |amplitude| sums and each bit records the gradient
+# between cyclically neighbouring bands — invariant to uniform volume
+# scaling and local edits touch at most two bits per altered band.
+# Entirely integer math over the REAL RIFF/WAV decoder's output, so
+# the signature is engine-exact and the registered query carries a
+# DuckDB oracle (plans/northstar.MULTIMODAL_NEAR_DUP_AUDIO_SQL).
+
+AUDIO_FP_BANDS = 64
+
+
+def _audio_fp_chunks(samples: list[int], ns: int) -> list[int]:
+    """Four 16-bit chunks of the 64-bit band-gradient fingerprint.
+    Band b collects samples i with (64*i)//ns == b (empty bands when
+    ns < 64 contribute zero sums, hence zero bits — mirrored exactly
+    by the SQL twin); bit b is the cyclic gradient sums[b] >
+    sums[(b+1)%64], packed MSB-first 16 bits per chunk exactly like
+    ``_dhash_chunks``."""
+    sums = [0] * AUDIO_FP_BANDS
+    for i, x in enumerate(samples):
+        sums[(AUDIO_FP_BANDS * i) // ns] += abs(x)
+    bits = [
+        1 if sums[b] > sums[(b + 1) % AUDIO_FP_BANDS] else 0
+        for b in range(AUDIO_FP_BANDS)
+    ]
+    chunks = []
+    for c in range(4):
+        v = 0
+        for k in range(16):
+            v = (v << 1) | bits[16 * c + k]
+        chunks.append(v)
+    return chunks
+
+
+def audio_fingerprint(docs: DataFrame, sample_rate: int = WAV_SAMPLE_RATE) -> DataFrame:
+    """(doc_id, b0..b3): the 64-bit band-energy-gradient fingerprint
+    of each document's audio as four 16-bit chunk values, computed
+    from the REAL decode path (make_wav → decode_audio, so the RIFF
+    chunk walker runs on every blob). One Arrow-batched mapInPandas;
+    PCM samples never leave the executor, only the 4-int signature
+    comes back — the 100 TB shape for a fleet-wide audio fingerprint
+    pass, identical to ``image_phash``'s."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _fp(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PHASH_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                au = decode_audio(make_wav(bytes(blob), sample_rate))
+                if au["n_channels"] != 1:
+                    raise ValueError(
+                        "audio_fingerprint is mono-only: time bands are "
+                        f"per-channel concepts, got {au['n_channels']} channels"
+                    )
+                chunks = _audio_fp_chunks(au["samples"], au["n_samples"])
+                out["doc_id"].append(doc_id)
+                for c in range(4):
+                    out[f"b{c}"].append(chunks[c])
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_fp, PHASH_SCHEMA)
+
+
+def audio_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): audio near-duplicate pairs by
+    band-energy fingerprint Hamming distance <= max_hamming — the
+    audio twin of ``phash_near_dups``, sharing its
+    ``banded_hamming_pairs`` pigeonhole candidate engine (four 16-bit
+    equi-joins + hot-bucket cap, never all-pairs). A single perturbed
+    sample moves at most one band sum, flipping at most the two bits
+    that compare that band to its neighbours, so genuinely similar
+    recordings land within the Hamming budget (recall pinned by
+    tests/test_multimodal.py on planted perturbations)."""
+    return banded_hamming_pairs(
+        audio_fingerprint(docs, sample_rate), max_hamming, max_bucket
     )
 
 

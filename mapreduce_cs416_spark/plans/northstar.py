@@ -1052,6 +1052,89 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 """
 
 
+def multimodal_near_dup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (multimodal.audio_near_dups): 64-band
+    energy-gradient fingerprint (Haitsma-Kalker style) over the REAL
+    RIFF/WAV decode, the same 16-bit pigeonhole chunk banding as the
+    phash query for candidates (never all-pairs), exact Hamming
+    verify. The oracle reassembles the identical int16 stream from
+    payload hex pairs (the MULTIMODAL_DECODE_WAV_SQL recipe) and
+    recomputes the integer fingerprint end-to-end."""
+    return multimodal.audio_near_dups(_docs(spark, sf_dir))
+
+
+# AUDIO twin of MULTIMODAL_NEAR_DUP_PHASH_SQL: samples come from the
+# WAV oracle's hex-pair int16 reassembly (two's complement via the
+# >= 32768 branch), band b sums |sample i| where (64*i)//ns = b
+# (0-indexed i; the grid LEFT JOIN zero-fills bands that ns < 64
+# leaves empty), bit b compares band b to its cyclic neighbour, and
+# chunk c packs bits 16c..16c+15 MSB-first — then the identical
+# capped banding self-join + bit_count(xor) tail as the phash oracle.
+MULTIMODAL_NEAR_DUP_AUDIO_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, n,
+           greatest(CAST(ceil(n / 2.0) AS BIGINT), 1) AS ns,
+           rpad(hx, CAST(4 * greatest(CAST(ceil(n / 2.0) AS BIGINT), 1) AS INT), '0') AS hx4
+    FROM c
+), s AS (
+    SELECT doc_id, ns,
+           [abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+            FOR u IN [CAST('0x' || substr(hx4, 4 * i - 1, 2) || substr(hx4, 4 * i - 3, 2) AS INT)
+                      FOR i IN range(1, ns + 1)]] AS av
+    FROM d
+), pos AS (
+    SELECT doc_id, (64 * p) // ns AS band, av[CAST(p AS INT) + 1] AS val
+    FROM s, unnest(range(0, ns)) AS u(p)
+), bsum AS (
+    SELECT doc_id, band, sum(val) AS s FROM pos GROUP BY 1, 2
+), grid AS (
+    SELECT doc_id, b AS band FROM d, unnest(range(0, 64)) AS u(b)
+), bs AS (
+    SELECT g.doc_id, g.band, coalesce(m.s, 0) AS s
+    FROM grid g LEFT JOIN bsum m ON m.doc_id = g.doc_id AND m.band = g.band
+), bits AS (
+    SELECT x.doc_id, x.band,
+           CASE WHEN x.s > y.s THEN 1 ELSE 0 END AS bit
+    FROM bs x
+    JOIN bs y ON y.doc_id = x.doc_id AND y.band = (x.band + 1) % 64
+), hb AS (
+    SELECT doc_id, band // 16 AS chunk,
+           CAST(sum(bit * (1::BIGINT << (15 - (band % 16)))) AS INT) AS v
+    FROM bits GROUP BY 1, 2
+), h4 AS (
+    SELECT doc_id,
+           max(CASE WHEN chunk = 0 THEN v END) AS b0,
+           max(CASE WHEN chunk = 1 THEN v END) AS b1,
+           max(CASE WHEN chunk = 2 THEN v END) AS b2,
+           max(CASE WHEN chunk = 3 THEN v END) AS b3
+    FROM hb GROUP BY doc_id
+), keyed AS (
+    SELECT doc_id, u.ch AS chunk, [b0, b1, b2, b3][u.ch + 1] AS key
+    FROM h4, unnest(range(0, 4)) AS u(ch)
+), capped AS (
+    SELECT * FROM keyed
+    QUALIFY count(*) OVER (PARTITION BY chunk, key) <= 1000
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+FROM cand c
+JOIN h4 x ON x.doc_id = c.doc_a
+JOIN h4 y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+"""
+
+
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG decode (multimodal.decode_jpeg_stats): each doc's
     bytes become constant 8×8 blocks behind REAL Huffman entropy
@@ -2491,7 +2574,12 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_SQL, textstats.pii_scan_redact.__doc__, headline=True, tags=("northstar", "text", "pii", "pipeline")),
         # r8 rotation IN — the remaining r7-oracled families the
         # driver had never hashed, plus the new iterated-BPE pair.
-        QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
+        # late-r8 rotation: corpus_bpe_merges (the single-iteration
+        # count, strictly subsumed by the full trainer below) moves to
+        # extras with its oracle; its slot carries the NEW audio
+        # fingerprint near-dup so the driver hashes the full modality
+        # triad (shingles / pixels / PCM). Window stays 50/50 oracled.
+        QuerySpec("multimodal_near_dup_audio", multimodal_near_dup_audio, MULTIMODAL_NEAR_DUP_AUDIO_SQL, multimodal.audio_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "audio")),
         QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
@@ -2549,6 +2637,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         # the LAST codec caveat retired: baseline JPEG decode (r8)
         QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
+        # late-r8 rotation OUT (oracle kept; the full trainer
+        # corpus_bpe_train stays in-window and subsumes this count):
+        QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
         QuerySpec("corpus_bpe_doc_encode", corpus_bpe_doc_encode, CORPUS_BPE_DOC_ENCODE_SQL, vocab.bpe_encode_docs.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         # r8 rotation OUT (oracles kept; see the QUERIES comment):
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),

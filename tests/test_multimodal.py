@@ -572,6 +572,79 @@ def test_image_phash_partition_invariant(spark):
     assert one == many and len(one) == 30
 
 
+def _ref_audio_chunks(payload: bytes) -> tuple[int, ...]:
+    """Independent sequential fingerprint: int16 LE stream straight
+    from the payload (zero-padded to whole samples, min 1) — never
+    touches make_wav/decode_audio, so a container or parser bug on
+    the Spark path shows up as a mismatch here."""
+    import struct
+
+    ns = max(-(-len(payload) // 2), 1)
+    sm = struct.unpack(f"<{ns}h", payload.ljust(2 * ns, b"\x00"))
+    sums = [0] * 64
+    for i, x in enumerate(sm):
+        sums[(64 * i) // ns] += abs(x)
+    bits = [1 if sums[b] > sums[(b + 1) % 64] else 0 for b in range(64)]
+    return tuple(
+        sum(bits[16 * c + k] << (15 - k) for k in range(16)) for c in range(4)
+    )
+
+
+def test_audio_fingerprint_matches_sequential_reference(spark):
+    from mapreduce_cs416_spark.operators.multimodal import audio_fingerprint
+
+    texts = [
+        "a",  # 1 byte -> 1 sample, 63 empty bands
+        "the quick brown fox jumps over the lazy dog " * 40,
+        "".join(chr(33 + (i * 13) % 90) for i in range(777)),  # odd length
+        "\x7f\x80 high-bit bytes \xff" * 25,
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in audio_fingerprint(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_audio_chunks(t.encode("utf-8")), f"doc {i}"
+
+
+def test_audio_near_dup_recall_on_perturbed_audio(spark):
+    """Band-gradient fingerprint: an exact copy is Hamming 0, a
+    2-byte (single-sample) edit moves one band sum and so flips at
+    most the two bits comparing that band to its neighbours, and a
+    structurally different signal does not pair."""
+    from mapreduce_cs416_spark.operators.multimodal import audio_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog " * 70)[:3000]
+    perturbed = base[:500] + "XY" + base[502:]  # one int16 sample changed
+    # quadratic-stride amplitudes: Hamming 24 from base (a short-period
+    # repeat would give a near-alternating gradient like base's own)
+    different = "".join(chr(33 + (i * i) % 90) for i in range(3000))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, perturbed), (3, different)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_near_dups(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact copy
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 2  # perturbed copy found
+    assert all(3 not in p for p in pairs)  # different signal never pairs
+
+
+def test_audio_fingerprint_partition_invariant(spark):
+    from mapreduce_cs416_spark.operators.multimodal import audio_fingerprint
+
+    docs = spark.createDataFrame(
+        [(i, f"audio stand-in number {i} with body " * (i % 5 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    one = {tuple(r) for r in audio_fingerprint(docs.coalesce(1)).collect()}
+    many = {tuple(r) for r in audio_fingerprint(docs.repartition(16)).collect()}
+    assert one == many and len(one) == 30
+
+
 def test_palette_png_decodes_through_plte():
     """Color-type-3 PNG: indices unfilter at 1 byte/px (Sub/Up
     distances operate on the stored width), then expand through PLTE
