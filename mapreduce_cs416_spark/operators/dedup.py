@@ -497,6 +497,147 @@ def duplicated_ngram_fraction(docs: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
+def duplicated_spans(docs: DataFrame, k: int = 4, min_df: int = 2) -> DataFrame:
+    """Exact-substring duplicate SPANS — the positional deliverable of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better" (the ExactSubstr pass): for every document, the
+    maximal runs of word positions covered by k-word shingles that
+    also occur in at least ``min_df - 1`` OTHER documents. Where
+    ``duplicated_ngram_fraction`` scores documents, this returns the
+    surgical cut list: (doc_id, span_start, span_end, span_words)
+    with 1-based inclusive word positions, one row per merged span —
+    ready for a removal consumer to slice. Overlapping AND adjacent
+    covered intervals merge, so spans are exactly the connected runs
+    of covered words. Documents with no duplicated shingle produce no
+    row; a shingle repeated only WITHIN one doc does not count
+    (df counts per-document distinct occurrences, matching
+    duplicated_ngram_fraction's cross-document semantics).
+
+    Scale shape: one tokenize scan keyed by per-doc windows (k-1
+    lead()s over ONE window spec — no self-join to build positional
+    shingles), corpus-wide document frequency as one groupBy on
+    xxhash64(shingle) longs, join back on the same key (exchange
+    reuse), then the classic gaps-and-islands interval union inside
+    each doc partition: running max(end) over preceding rows → island
+    ids → one groupBy(doc_id, island). No pair joins anywhere —
+    O(corpus), the same screening discipline as
+    duplicated_ngram_fraction, and windows partition BY DOCUMENT so
+    no single partition ever exceeds one document's length at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    tok = _spread(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))
+        ).alias("p0", "w"),
+    )
+    seq = Window.partitionBy("doc_id").orderBy("p0")
+    shingle = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(seq) for i in range(1, k)]
+    )
+    occ = (
+        tok.select(
+            "doc_id",
+            (F.col("p0") + 1).alias("start"),
+            shingle.alias("g_text"),
+            F.lead("w", k - 1).over(seq).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "start", F.xxhash64("g_text").alias("g"))
+    )
+    # postings feed two branches (df groupBy + join-back) of one
+    # action — eager materialize, per the shingle_postings discipline
+    occ = occ.localCheckpoint()
+    dup_keys = (
+        occ.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("g")
+    )
+    iv = occ.join(dup_keys, "g").select(
+        "doc_id", "start", (F.col("start") + k - 1).alias("end")
+    )
+    prev_max = F.max("end").over(
+        Window.partitionBy("doc_id").orderBy("start").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "doc_id",
+        "start",
+        "end",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max + 1), 1).otherwise(0).alias("new_island"),
+    )
+    island = F.sum("new_island").over(
+        Window.partitionBy("doc_id").orderBy("start").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select("doc_id", "start", "end", island.alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_words"),
+        )
+    )
+
+
+def remove_duplicated_spans(docs: DataFrame, k: int = 4, min_df: int = 2) -> DataFrame:
+    """The REWRITE stage of the ExactSubstr pipeline: apply
+    ``duplicated_spans``'s cut list and emit the deduplicated corpus —
+    (doc_id, n_words, n_removed, cleaned_text) with every covered word
+    sliced out and the survivors re-joined by single spaces (word
+    splitting is lossy by design: this is the tokenizer-facing text,
+    the same normalization every shingle operator applies). Every
+    document gets a row; span-free documents pass through with
+    n_removed = 0 and wordless documents with cleaned_text = ''.
+
+    Scale shape: the spans are document-bounded (a span never exceeds
+    its document's word count), so explode(sequence(...)) fans out to
+    at most one row per covered WORD — O(corpus) again; the kept words
+    reassemble with one per-doc sort inside a groupBy aggregate
+    (array_sort over (pos, word) structs — no window, no second
+    shuffle beyond the groupBy itself) and the final left join from
+    `documents` restores span-free and wordless docs."""
+    tok = _spread(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))
+        ).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    covered = (
+        duplicated_spans(docs, k, min_df)
+        .select("doc_id", F.explode(F.sequence("span_start", "span_end")).alias("p"))
+    )
+    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
+    totals = tok.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("int").alias("n_words"),
+            (F.coalesce("n_words", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): 64-bit SimHash over word tokens.
 

@@ -1670,6 +1670,100 @@ GROUP BY ex.doc_id
 """
 
 
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (dedup.duplicated_spans): the
+    Lee-et-al. ExactSubstr cut list — maximal word-position runs
+    covered by cross-document duplicated 4-grams, merged by interval
+    union, one row per span. The oracle rebuilds positional shingles
+    and replays the identical gaps-and-islands merge in SQL."""
+    return dedup.duplicated_spans(_docs(spark, sf_dir))
+
+
+# Positional twin of DEDUP_NGRAM_FRACTION_SQL: per-START-position
+# 4-gram occurrences (NOT list_distinct — every covered position
+# counts), document frequency over per-doc DISTINCT shingles, then
+# the textbook gaps-and-islands interval union (running max(end)
+# over preceding rows → island ids) replayed exactly as the Spark
+# window does it. Spans merge when overlapping OR adjacent, so each
+# row is a maximal run of covered words.
+DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, CAST(i AS INT) AS start, CAST(i + 3 AS INT) AS "end",
+           ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS g
+    FROM w, unnest(range(1, len(ws) - 2)) AS u(i)
+    WHERE len(ws) >= 4
+), dfreq AS (
+    SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh) GROUP BY g HAVING count(*) >= 2
+), iv AS (
+    SELECT doc_id, start, "end" FROM sh JOIN dfreq USING (g)
+), m AS (
+    SELECT doc_id, start, "end",
+           max("end") OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM iv
+), isl AS (
+    SELECT doc_id, start, "end",
+           sum(CASE WHEN prev_max IS NULL OR start > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start) AS island
+    FROM m
+)
+SELECT doc_id,
+       CAST(min(start) AS INT) AS span_start,
+       CAST(max("end") AS INT) AS span_end,
+       CAST(max("end") - min(start) + 1 AS INT) AS span_words
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite stage (dedup.remove_duplicated_spans): the
+    deduplicated corpus itself — covered words sliced out, survivors
+    re-joined, span-free docs passed through. The oracle recomputes
+    coverage from the UNMERGED intervals (same union as the merged
+    spans) and rebuilds the text with an ordered string_agg."""
+    return dedup.remove_duplicated_spans(_docs(spark, sf_dir))
+
+
+DEDUP_SUBSTRING_REWRITE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, CAST(i AS INT) AS start, CAST(i + 3 AS INT) AS "end",
+           ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS g
+    FROM w, unnest(range(1, len(ws) - 2)) AS u(i)
+    WHERE len(ws) >= 4
+), dfreq AS (
+    SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh) GROUP BY g HAVING count(*) >= 2
+), iv AS (
+    SELECT doc_id, start, "end" FROM sh JOIN dfreq USING (g)
+), cov AS (
+    SELECT DISTINCT doc_id, CAST(p AS INT) AS p
+    FROM iv, unnest(range(start, "end" + 1)) AS v(p)
+), tok AS (
+    SELECT doc_id, CAST(i AS INT) AS p, ws[i] AS wd
+    FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+), kept AS (
+    SELECT t.doc_id, t.p, t.wd
+    FROM tok t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+), tot AS (
+    SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id
+), reb AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(wd, ' ' ORDER BY p) AS cleaned_text
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(tot.n_words, 0) AS INT) AS n_words,
+       CAST(coalesce(tot.n_words, 0) - coalesce(reb.n_kept, 0) AS INT) AS n_removed,
+       coalesce(reb.cleaned_text, '') AS cleaned_text
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN reb USING (doc_id)
+"""
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the Gopher repetition rules
     that are non-vacuous on this corpus — its documents never repeat
@@ -2572,6 +2666,10 @@ QUERIES: dict[str, QuerySpec] = {
         # comment); its multimodal sibling multimodal_decode_wav and
         # cdc_scd2_history stay extras (parity-green in pytest).
         QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_SQL, textstats.pii_scan_redact.__doc__, headline=True, tags=("northstar", "text", "pii", "pipeline")),
+        # late-r8: the positional ExactSubstr cut list (Lee et al.
+        # 2021) — driver-hashed; the rewrite stage keeps its oracle in
+        # extras. Slot freed by set_ops (plans/relational.py rotation).
+        QuerySpec("dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL, dedup.duplicated_spans.__doc__, headline=True, tags=("northstar", "dedup", "text", "pipeline")),
         # r8 rotation IN — the remaining r7-oracled families the
         # driver had never hashed, plus the new iterated-BPE pair.
         # late-r8 rotation: corpus_bpe_merges (the single-iteration
@@ -2620,6 +2718,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # properties in tests/test_dedup.py / tests/test_similarity.py
         QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
         QuerySpec("dedup_ngram_fraction", dedup_ngram_fraction, DEDUP_NGRAM_FRACTION_SQL, dedup.duplicated_ngram_fraction.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
+        # r8: the ExactSubstr rewrite stage — the deduplicated corpus
+        # itself (its cut-list producer dedup_substring_spans sits in
+        # the driver window, slot freed by set_ops' rotation).
+        QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),

@@ -1682,7 +1682,9 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("distinct_suite", distinct_suite, DISTINCT_SUITE_SQL, distinct_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("holistic_pandas_agg", holistic_pandas_agg, HOLISTIC_PANDAS_SQL, holistic_pandas_agg.__doc__, tags=("relational", "agg", "udf", "pandas")),
-        QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
+        # late-r8 rotation: set_ops (driver-hashed green since r1; its
+        # oracle stays in extras) frees a slot for the new northstar
+        # ExactSubstr span family registered in plans/northstar.py.
         QuerySpec("scalar_part_kernels", scalar_part_kernels, SCALAR_PART_KERNELS_SQL, scalar_part_kernels.__doc__, tags=("relational", "scalar", "struct", "map")),
         # json_funcs rotated to EXTRA in r7, and late-r7
         # scalar_datetime_funcs / array_funcs followed it
@@ -1714,6 +1716,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL, q17_small_quantity.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         QuerySpec("json_funcs", json_funcs, JSON_FUNCS_SQL, json_funcs.__doc__, tags=("relational", "scalar", "json")),
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),

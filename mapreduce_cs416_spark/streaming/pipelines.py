@@ -394,6 +394,32 @@ def streaming_source_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFram
     )
 
 
+def streaming_fingerprint_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming media dedup: each arriving document is fingerprinted
+    through the REAL decode path (multimodal.audio_fingerprint — the
+    Arrow-batched mapInPandas runs unchanged inside a streaming plan)
+    and each distinct 64-bit signature keeps ONE canonical winner,
+    min(doc_id) — deterministic on stream and batch alike, unlike
+    dropDuplicates' first-arrival winner. This is the streaming face
+    of the banded fingerprint family: exact-signature admission at
+    ingest; the Hamming-neighbourhood pass stays batch (pair joins
+    over the corpus are a compaction job, cf. streaming_corpus_ingest).
+
+    State is one row per DISTINCT signature FOREVER — the dedup-key
+    table itself, the same bounded-by-content argument as
+    streaming_cms_sketch; replays are absorbed by construction
+    (min over re-delivered shards is unchanged —
+    tests/test_streaming.py replays every shard twice). A production
+    ingest with event-time blobs would bound it further with
+    dropDuplicatesWithinWatermark."""
+    from ..operators import multimodal
+
+    fp = multimodal.audio_fingerprint(docs)
+    return fp.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("doc_id").alias("canonical_doc")
+    )
+
+
 def streaming_daily_type_counts(events: DataFrame) -> DataFrame:
     """Incremental (event_type, day) counters — the stateful half of
     the volume-anomaly monitor (plans/events.events_anomaly_zscore,

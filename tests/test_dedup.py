@@ -273,3 +273,80 @@ def test_append_ingest_index_accretion(spark, sf_dir, tmp_path_factory):
     # the grown index and the stale corpus must genuinely differ —
     # otherwise this test would pass with append_ingest_index a no-op
     assert matched_new or indexed != stale
+
+
+def test_duplicated_spans_semantics(spark):
+    """Planted shared passage: both carriers get ONE merged span at
+    the right positions; within-doc-only repetition and unique docs
+    produce no rows; two disjoint shared passages stay two spans."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            # passage at words 3..10 (two unique lead-in words)
+            (0, "unique opening " + passage + " tail words here"),
+            # passage at words 1..8
+            (1, passage + " completely different ending text"),
+            # within-doc repeat only: its 4-grams have df=1 -> no rows
+            (2, "solo repeat solo repeat solo repeat solo repeat"),
+            # nothing shared
+            (3, "entirely unrelated document body with fresh words"),
+            # two disjoint shared passages -> two spans
+            (4, passage + " xx yy zz ww " + passage),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicated_spans(docs).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_words"])
+        )
+    assert spans[0] == [(3, 10, 8)]
+    assert sorted(spans[1]) == [(1, 8, 8)]
+    assert 2 not in spans and 3 not in spans
+    # doc 4: words 1..8 and 13..20 are the two passages (4 gap words)
+    assert sorted(spans[4]) == [(1, 8, 8), (13, 20, 8)]
+
+
+def test_duplicated_spans_merge_adjacent(spark):
+    """Coverage that ends at word p and resumes at p+1 merges into one
+    maximal run (interval union with adjacency)."""
+    a = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, a),                              # full 8-word overlap with 1 and 2
+            (1, "one two three four unrelated filler words again"),
+            (2, "padding tokens here five six seven eight more"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in dedup.duplicated_spans(docs).collect()
+        if r["doc_id"] == 0
+    }
+    # doc 0: words 1-4 (shared with doc1) and 5-8 (shared with doc2)
+    # are adjacent -> ONE span 1..8
+    assert spans[0] == (1, 8)
+
+
+def test_remove_duplicated_spans_rewrite(spark):
+    """The rewrite stage slices exactly the covered words, passes
+    span-free docs through verbatim (modulo the whitespace-lossy word
+    normalization), and keeps every document in the output."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, "unique opening " + passage + " tail words here"),
+            (1, passage + " completely different ending text"),
+            (2, "entirely unrelated document body with fresh words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_duplicated_spans(docs).collect()}
+    assert len(out) == 3
+    assert out[0]["cleaned_text"] == "unique opening tail words here"
+    assert (out[0]["n_words"], out[0]["n_removed"]) == (13, 8)
+    assert out[1]["cleaned_text"] == "completely different ending text"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["cleaned_text"] == "entirely unrelated document body with fresh words"

@@ -408,3 +408,22 @@ def test_streaming_expectation_counts_match_batch_audit(spark, sf_dir, ev_stream
     }
     assert got == want
     assert sum(got.values()) > 0  # the cap rule genuinely fires on the fixture
+
+
+def test_streaming_fingerprint_dedup_matches_batch_and_absorbs_replays(spark, sf_dir):
+    """The streaming media-dedup admission table (one canonical
+    min-doc_id winner per 64-bit fingerprint, computed through the
+    REAL decode path's mapInPandas inside the streaming plan) must
+    equal the batch table row-for-row even when every shard is
+    re-delivered twice — replays must be absorbed, not double-counted."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    replay = sp.stream_documents_replayed(spark, sf_dir, copies=2)
+    assert replay.isStreaming
+    sp.run_available_now(sp.streaming_fingerprint_dedup(replay), "t_fpdedup")
+    got = _canon(spark.table("t_fpdedup"))
+    want = _canon(sp.streaming_fingerprint_dedup(load_table(spark, sf_dir, "documents")))
+    assert got == want and got
+    # the winner table is keyed by signature: no fingerprint twice
+    sigs = [tuple(r[:4]) for r in got]
+    assert len(sigs) == len(set(sigs))
