@@ -154,6 +154,16 @@ def bench_tumbling(spark, sf_dir: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_fingerprint_dedup(spark, sf_dir: str) -> dict:
+    """Times the streaming DECODE hot path: every arriving document
+    runs the Arrow-batched make_wav → RIFF-walk → 64-band fingerprint
+    mapInPandas before the one-row-per-signature stateful agg."""
+    docs = sp.stream_documents_replayed(spark, sf_dir, copies=N_REPLAYS)
+    agg = sp.streaming_fingerprint_dedup(docs)
+    q = sp.run_available_now(agg, "streambench_fpdedup")
+    return _batch_stats(q.recentProgress)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stream-bench")
@@ -163,6 +173,7 @@ def main() -> int:
             "ingest_gate": bench_ingest_gate(spark, sf_dir, f"{base}/ingest"),
             "cdc_merge": bench_cdc_merge(spark, sf_dir, f"{base}/cdc"),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
+            "fingerprint_dedup": bench_fingerprint_dedup(spark, sf_dir),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
