@@ -638,6 +638,92 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 4, min_df: int = 2) -> Dat
     )
 
 
+def cdc_chunks(
+    docs: DataFrame, m: int = 8, mod: int = 1_000_000_007, base: int = 31
+) -> DataFrame:
+    """Content-defined chunking — the STORAGE leg of the dedup story
+    (LBFS, Muthitacharoen et al. SOSP'01; the rolling-boundary idea
+    behind FastCDC): each document's word stream is cut AFTER every
+    word whose polynomial hash (sum of code points, Horner base 31,
+    mod 1e9+7) is ≡ 0 mod ``m`` (expected chunk length m words), and
+    each chunk gets an md5 content signature. Because boundaries
+    depend only on LOCAL content, an insertion or deletion re-chunks
+    only its neighbourhood and every downstream chunk re-synchronizes
+    — the property that lets a chunk store dedup shared passages
+    across documents and versions where fixed-size chunking would
+    shift every subsequent block (pinned by
+    tests/test_dedup.py::test_cdc_chunks_resync_after_insertion).
+
+    Returns (doc_id, chunk_idx, chunk_start, n_words, chunk_md5,
+    n_docs_sharing) — one row per chunk, with the cross-document
+    sharing count that a dedup store would use to keep one copy.
+
+    Scale shape: one tokenize scan; the boundary rule and the word
+    hash are pure JVM expressions (F.aggregate over the word's chars
+    — no Python, no shuffle); chunk ids are a per-document prefix sum
+    (windows partition BY DOCUMENT); chunk reassembly is one
+    groupBy(doc, chunk) with an ordered array_sort aggregate; the
+    sharing count is one groupBy on the 16-byte signature + a join
+    back on the same key. O(corpus) end to end, no pair joins. The
+    DuckDB twin replays the identical hash with list_reduce
+    (plans/northstar.DEDUP_CDC_CHUNKS_SQL)."""
+    from pyspark.sql.window import Window
+
+    tok = _spread(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))
+        ).alias("p0", "w"),
+    )
+    wh = F.aggregate(
+        F.split("w", ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+    tokh = tok.select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "w",
+        (wh % m == 0).cast("int").alias("b"),
+    )
+    chunk_idx = F.coalesce(
+        F.sum("b").over(
+            Window.partitionBy("doc_id")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    chunks = (
+        tokh.select("doc_id", "p", "w", chunk_idx.alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(
+            F.min("p").alias("chunk_start"),
+            F.count("*").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "w"))),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+    share = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs_sharing")
+    )
+    return chunks.join(share, "chunk_md5").select(
+        "doc_id",
+        F.col("c").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.col("n_words").cast("int").alias("n_words"),
+        "chunk_md5",
+        F.col("n_docs_sharing").cast("int").alias("n_docs_sharing"),
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): 64-bit SimHash over word tokens.
 

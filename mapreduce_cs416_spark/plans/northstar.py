@@ -1764,6 +1764,50 @@ LEFT JOIN reb USING (doc_id)
 """
 
 
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (dedup.cdc_chunks): LBFS-style
+    rolling boundaries over the word stream, md5 chunk signatures,
+    cross-document sharing counts. The oracle replays the identical
+    Horner hash with list_reduce and the same prefix-sum chunk ids."""
+    return dedup.cdc_chunks(_docs(spark, sf_dir))
+
+
+# Chunk twin: the SAME polynomial hash (Horner base 31 over code
+# points, mod 1e9+7 — list_reduce's first-element seed equals
+# Spark's 0-seeded aggregate because 0*31 + c0 = c0), the same
+# boundary rule (hash % 8 = 0 cuts AFTER the word), the same
+# preceding-rows prefix sum for chunk ids, and md5 over the
+# space-joined chunk words.
+DEDUP_CDC_CHUNKS_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), tok AS (
+    SELECT doc_id, CAST(i AS INT) AS p, ws[i] AS wd,
+           CASE WHEN list_reduce(
+                    [CAST(unicode(c) AS BIGINT) FOR c IN string_split(ws[i], '')],
+                    (acc, x) -> (acc * 31 + x) % 1000000007
+                ) % 8 = 0 THEN 1 ELSE 0 END AS b
+    FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+), ch AS (
+    SELECT doc_id, p, wd,
+           coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+    FROM tok
+), chunks AS (
+    SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+           CAST(min(p) AS INT) AS chunk_start,
+           CAST(count(*) AS INT) AS n_words,
+           md5(string_agg(wd, ' ' ORDER BY p)) AS chunk_md5
+    FROM ch GROUP BY doc_id, c
+), share AS (
+    SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS INT) AS n_docs_sharing
+    FROM chunks GROUP BY chunk_md5
+)
+SELECT doc_id, chunk_idx, chunk_start, n_words, chunk_md5, n_docs_sharing
+FROM chunks JOIN share USING (chunk_md5)
+"""
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the Gopher repetition rules
     that are non-vacuous on this corpus — its documents never repeat
@@ -2722,6 +2766,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # itself (its cut-list producer dedup_substring_spans sits in
         # the driver window, slot freed by set_ops' rotation).
         QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
+        # r8: storage-leg dedup — LBFS content-defined chunking
+        QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, tags=("northstar", "dedup", "text", "storage")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),

@@ -350,3 +350,64 @@ def test_remove_duplicated_spans_rewrite(spark):
     assert out[1]["cleaned_text"] == "completely different ending text"
     assert out[2]["n_removed"] == 0
     assert out[2]["cleaned_text"] == "entirely unrelated document body with fresh words"
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """The LBFS property: inserting one word re-chunks only its
+    neighbourhood — every other chunk signature survives, because
+    boundaries are content-defined (fixed-size chunking would shift
+    every downstream block)."""
+    # letter-only words (WORD_SPLIT_RE drops digits): deterministic
+    # varied vocabulary so boundary hashes genuinely vary
+    abc = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "w" + abc[(i * 37) % 26] + abc[(i * 11) % 26] + abc[i % 26]
+        for i in range(200)
+    ]
+    original = " ".join(words)
+    edited = " ".join(words[:100] + ["INSERTED"] + words[100:])
+    docs = spark.createDataFrame(
+        [(0, original), (1, edited)], "doc_id long, text string"
+    )
+    rows = dedup.cdc_chunks(docs).collect()
+    sigs = {0: set(), 1: set()}
+    for r in rows:
+        sigs[r["doc_id"]].add(r["chunk_md5"])
+    n_chunks = sum(1 for r in rows if r["doc_id"] == 0)
+    assert n_chunks >= 10, "expected ~25 chunks from 200 words at m=8"
+    # at most the chunk containing the insertion (possibly split in
+    # two) differs; everything else re-synchronizes
+    assert len(sigs[1] - sigs[0]) <= 2
+    assert len(sigs[0] - sigs[1]) <= 1
+    # shared chunks are counted as shared by the store
+    shared = [r for r in rows if r["n_docs_sharing"] == 2]
+    assert len(shared) >= 2 * (n_chunks - 2)
+
+
+def test_cdc_chunks_cover_every_word_exactly_once(spark):
+    """Chunks tile each document: n_words sums to the word count and
+    chunk_starts are consistent with contiguous tiling."""
+    import re
+
+    texts = {
+        i: f"document number {'x' * i} body " + " ".join("tok" + "abcdefghij"[j % 10] * (j % 3 + 1) for j in range(i * 5))
+        for i in range(1, 6)
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = dedup.cdc_chunks(docs).collect()
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        pos = 1
+        for c in chunks:
+            assert c["chunk_start"] == pos
+            pos += c["n_words"]
+        total = sum(c["n_words"] for c in chunks)
+        want = len([w for w in re.split(r"[^a-zA-Z]+", texts[doc_id]) if w])
+        assert total == want
