@@ -160,6 +160,61 @@ def connected_components(
     )
 
 
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """(node, core_degree): the k-core of the undirected graph — the
+    maximal subgraph where every node keeps degree >= k — by the
+    classic simultaneous peel: each round drops EVERY node whose
+    current degree is < k (Matula & Beck's algorithm, rounds bounded
+    by the degeneracy ordering depth), until a round drops nobody.
+    On a near-dup graph this separates genuinely dense duplicate
+    clusters from incidental pair chains — the community-strength
+    refinement of ``connected_components``.
+
+    Same iterative discipline as connected_components: per-round
+    localCheckpoint with eager frees of the superseded round's blocks,
+    and the fixpoint probe is one count over the NODE-sized degree
+    frame (never the edge list, never a collect of data rows). All
+    victims drop simultaneously per round — exactly what the unrolled
+    DuckDB CTE chain replays (plans/northstar._kcore_sql), so the two
+    engines agree round-for-round; exceeding ``max_rounds`` raises
+    rather than silently diverging from the fixed-unroll oracle."""
+    und = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
+        n_victims = deg.where(F.col("d") < k).count()  # node-sized scalar probe
+        if n_victims == 0:
+            _unpersist_checkpoint(deg)
+            break
+        surv = deg.where(F.col("d") >= k).select("u")
+        prev = edges
+        edges = (
+            edges.join(surv, "u", "left_semi")
+            .join(surv.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        _unpersist_checkpoint(prev)
+        _unpersist_checkpoint(deg)
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    return edges.groupBy("u").agg(F.count("*").cast("int").alias("core_degree")).select(
+        F.col("u").alias("node"), "core_degree"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "u",

@@ -2349,6 +2349,65 @@ SELECT node, CAST(count(*) AS INT) AS n_triangles FROM member GROUP BY node
 GRAPH_TRIANGLES_SQL = _triangles_sql()
 
 
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the cosine near-dup graph (operators/graph.kcore):
+    the maximal subgraph where every vector keeps >= 2 near-dup
+    neighbours — dense duplicate clusters minus the incidental pair
+    chains. Simultaneous peel, fixpoint-probed per round; the oracle
+    unrolls the same rounds as a generated CTE chain (the bpe_train
+    pattern for iterative algorithms)."""
+    from ..operators import graph
+
+    pairs = similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), _TRIANGLE_THRESHOLD)
+    return graph.kcore(pairs, k=2, src="vec_a", dst="vec_b")
+
+
+def _kcore_sql(threshold: float = _TRIANGLE_THRESHOLD, k: int = 2, rounds: int = 24) -> str:
+    """DuckDB twin of graph.kcore over the cosine near-dup pairs: the
+    same symmetric edge list (zero-norm guard included), then
+    ``rounds`` unrolled peel rounds — survivors = nodes with degree
+    >= k, edges filtered to survivor pairs. The peel is a fixpoint,
+    so unrolling MORE rounds than the data needs is a no-op; the
+    Spark side raises if it ever needs more than the same bound
+    (graph.kcore max_rounds), so the engines cannot silently
+    disagree."""
+    dot = (
+        "list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), "
+        "(acc, x) -> acc + x)"
+    )
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+      FROM e
+      WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),
+e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)"""
+    ]
+    # each round references the previous one three times (degree scan
+    # + two survivor subqueries) — without MATERIALIZED the inlined
+    # tree grows 3^rounds and DuckDB re-opens the base parquet scan
+    # exponentially many times ("Too many open files")
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+s{r} AS MATERIALIZED (SELECT u FROM e{r - 1} GROUP BY u HAVING count(*) >= {k}),
+e{r} AS MATERIALIZED (SELECT x.u, x.v FROM e{r - 1} x
+         WHERE x.u IN (SELECT u FROM s{r}) AND x.v IN (SELECT u FROM s{r}))"""
+        )
+    parts.append(
+        f"""
+SELECT u AS node, CAST(count(*) AS INT) AS core_degree FROM e{rounds} GROUP BY u"""
+    )
+    return "".join(parts)
+
+
+GRAPH_KCORE_SQL = _kcore_sql()
+
+
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang is the skewed stratum on this corpus (en ≈ 3.4× fr), so the
     # α=0.5 flattening genuinely drops head-language rows while the
@@ -2774,6 +2833,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, None, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
+        # r8: k-core peel — iterative fixpoint with an unrolled-CTE
+        # oracle (the bpe_train pattern applied to graphs)
+        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, tags=("northstar", "graph", "dedup", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),

@@ -217,3 +217,39 @@ def test_triangle_counts_orientation_invariant(spark):
     a = sorted((r["node"], r["n_triangles"]) for r in triangle_counts(fwd).collect())
     b = sorted((r["node"], r["n_triangles"]) for r in triangle_counts(rev).collect())
     assert a == b == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_kcore_peels_chains_keeps_triangle(spark):
+    """Triangle {1,2,3} with a pendant chain 3-4-5: the 2-core must
+    peel 5 (degree 1), then 4 (degree 1 after the first round) — two
+    genuine rounds — and keep exactly the triangle at degree 2."""
+    from mapreduce_cs416_spark.operators.graph import kcore
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(pairs, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_no_core(spark):
+    """A pure chain has no 2-core: every round exposes new degree-1
+    endpoints until nothing is left."""
+    from mapreduce_cs416_spark.operators.graph import kcore
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    assert kcore(pairs, k=2).count() == 0
+
+
+def test_kcore_k3_keeps_clique_drops_triangle(spark):
+    """k=3: a 4-clique survives with degree 3; an attached triangle
+    (degrees 2 inside) and its bridge peel away."""
+    from mapreduce_cs416_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    triangle = [(10, 11), (11, 12), (10, 12), (0, 10)]
+    pairs = spark.createDataFrame(clique + triangle, "doc_a long, doc_b long")
+    got = {r["node"]: r["core_degree"] for r in kcore(pairs, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
