@@ -180,6 +180,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by Broder's containment measure
+    ("On the resemblance and containment of documents", SEQUENCES'97):
+    C(A⊆B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|. Returns
+    (doc_contained, doc_container, containment) with containment >=
+    threshold — one DIRECTED row per satisfied direction (mutual
+    near-dups emit both). This is the quote/partial-copy detector
+    symmetric Jaccard structurally misses: a short document fully
+    quoted inside a long one has Jaccard ≈ |A|/|B| (tiny) but
+    containment 1.0 — exactly the subset-document case a training
+    pipeline must catch AFTER exact and resemblance dedup have run.
+
+    Same inverted-index discipline and the same two 8-byte-keyed
+    shuffles as ``ngram_jaccard_pairs`` (ONE shingle scan, df-capped
+    postings, never an all-pairs join); only the finisher differs:
+    the (pair, common) aggregate fans into the two directed
+    normalizations instead of one symmetric one."""
+    ex = shingle_postings(docs, k)
+    if max_df is not None:
+        ex = cap_postings(ex, max_df)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    # the (pair, common) aggregate feeds BOTH directed finishers of
+    # one action — eager materialize so the index self-join runs once
+    # (the multi-branch discipline of shingle_postings)
+    common = common.localCheckpoint()
+    ab = common.where(F.col("common") / F.col("na") >= threshold).select(
+        F.col("doc_a").alias("doc_contained"),
+        F.col("doc_b").alias("doc_container"),
+        F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+    )
+    ba = common.where(F.col("common") / F.col("nb") >= threshold).select(
+        F.col("doc_b").alias("doc_contained"),
+        F.col("doc_a").alias("doc_container"),
+        F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+    )
+    return ab.unionAll(ba)
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, n_hashes: int = 64, shingles: DataFrame | None = None
 ) -> DataFrame:

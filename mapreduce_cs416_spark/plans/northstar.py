@@ -97,6 +97,47 @@ DEDUP_PAIRS_EXACT_SQL = _DEDUP_PAIRS_SQL_TEMPLATE.format(
 )
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (dedup.containment_pairs): Broder's
+    C(A⊆B) = |A∩B|/|A| over 3-shingles, df-capped postings — the
+    quote/subset-document detector symmetric Jaccard misses."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), k=3, threshold=0.5, max_df=1000)
+
+
+# Containment twin: the _DEDUP_PAIRS_SQL_TEMPLATE body (same distinct
+# shingling, same df cap) with the two DIRECTED normalizations
+# common/na and common/nb as the finisher instead of the symmetric
+# Jaccard — one row per satisfied direction, mutual near-dups emit
+# both.
+DEDUP_CONTAINMENT_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) < 3 THEN []
+                ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   FOR i IN range(1, len(ws) - 1)])
+           END AS shingles
+    FROM w
+), ex AS (
+    SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+), kept AS (
+    SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY sh) <= 1000
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a AS doc_contained, doc_b AS doc_container,
+       round(common / na, 6) AS containment
+FROM common WHERE common / na >= 0.5
+UNION ALL
+SELECT doc_b, doc_a, round(common / nb, 6)
+FROM common WHERE common / nb >= 0.5
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -2827,6 +2868,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         # r8: storage-leg dedup — LBFS content-defined chunking
         QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, tags=("northstar", "dedup", "text", "storage")),
+        # r8: asymmetric containment — the quote/subset detector
+        QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL, dedup.containment_pairs.__doc__, tags=("northstar", "dedup", "text", "join")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),

@@ -411,3 +411,39 @@ def test_cdc_chunks_cover_every_word_exactly_once(spark):
         total = sum(c["n_words"] for c in chunks)
         want = len([w for w in re.split(r"[^a-zA-Z]+", texts[doc_id]) if w])
         assert total == want
+
+
+def test_containment_finds_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 in
+    the short→long direction even though symmetric Jaccard is far
+    below any useful threshold; the long doc is NOT contained in the
+    short one; mutual near-identical docs emit both directions."""
+    quote = "the five boxing wizards jump quickly over the lazy dwarf"
+    # distinct word at every position (shingling is list_distinct, so
+    # repeated filler phrases would collapse to a tiny shingle set and
+    # inflate the symmetric Jaccard this test wants small)
+    abc = "abcdefghijklmnopqrstuvwxyz"
+    filler = " ".join(
+        "fill" + abc[i % 26] + abc[(i // 26) % 26] + abc[(i * 7) % 26]
+        for i in range(150)
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, quote),                      # 10 words, 8 shingles
+            (1, filler + " " + quote + " " + filler),  # contains the quote
+            (2, quote + " indeed"),          # near-identical to 0: mutual
+            (3, "entirely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs(docs, k=3, threshold=0.5).collect()
+    directed = {(r["doc_contained"], r["doc_container"]): r["containment"] for r in rows}
+    assert directed[(0, 1)] == 1.0          # quote fully contained
+    assert (1, 0) not in directed           # asymmetry: long ⊄ short
+    assert (0, 2) in directed and (2, 0) in directed  # mutual
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.01).collect()
+    }
+    # the symmetric measure scores the quoted pair near |A|/|B|
+    assert jac[(0, 1)] < 0.1
