@@ -2814,6 +2814,13 @@ QUERIES: dict[str, QuerySpec] = {
         # 2021) — driver-hashed; the rewrite stage keeps its oracle in
         # extras. Slot freed by set_ops (plans/relational.py rotation).
         QuerySpec("dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL, dedup.duplicated_spans.__doc__, headline=True, tags=("northstar", "dedup", "text", "pipeline")),
+        # late-r8 rotation (slots freed by grouping_variants /
+        # percentile_suite / distinct_suite, plans/relational.py):
+        # the driver hashes the storage-leg chunking, the asymmetric
+        # containment detector, and the k-core peel.
+        QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, tags=("northstar", "dedup", "text", "storage")),
+        QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL, dedup.containment_pairs.__doc__, tags=("northstar", "dedup", "text", "join")),
+        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, tags=("northstar", "graph", "dedup", "iterative")),
         # r8 rotation IN — the remaining r7-oracled families the
         # driver had never hashed, plus the new iterated-BPE pair.
         # late-r8 rotation: corpus_bpe_merges (the single-iteration
@@ -2866,19 +2873,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # itself (its cut-list producer dedup_substring_spans sits in
         # the driver window, slot freed by set_ops' rotation).
         QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
-        # r8: storage-leg dedup — LBFS content-defined chunking
-        QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, tags=("northstar", "dedup", "text", "storage")),
-        # r8: asymmetric containment — the quote/subset detector
-        QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL, dedup.containment_pairs.__doc__, tags=("northstar", "dedup", "text", "join")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, None, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
-        # r8: k-core peel — iterative fixpoint with an unrolled-CTE
-        # oracle (the bpe_train pattern applied to graphs)
-        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, tags=("northstar", "graph", "dedup", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),

@@ -1674,13 +1674,14 @@ QUERIES: dict[str, QuerySpec] = {
         # the r7-oracled warehouse families (SCD2 history, column
         # profiling) and the new r8 queries.
         QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
-        QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
-        # q17_small_quantity rotated to EXTRA in r7 (q1/q3/q5 +
-        # top_customers keep TPC-H in the window; all 22 TPC-H shapes
-        # stay oracle-checked by tests/test_parity.py) — the slot
-        # carries an r6-oracled northstar family instead.
-        QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
-        QuerySpec("distinct_suite", distinct_suite, DISTINCT_SUITE_SQL, distinct_suite.__doc__, tags=("relational", "agg", "approx")),
+        # late-r8 rotation: grouping_variants / percentile_suite /
+        # distinct_suite (driver-hashed green since the early rounds;
+        # each is a consolidation whose granular twins — rollup/cube/
+        # grouping_sets, percentiles/approx, distinct/approx — keep
+        # their oracles in extras) move out so the driver hashes the
+        # three new r8 dedup/graph families registered in
+        # plans/northstar.py: dedup_cdc_chunks, dedup_containment,
+        # graph_kcore. Window stays 50/50 oracled.
         QuerySpec("holistic_pandas_agg", holistic_pandas_agg, HOLISTIC_PANDAS_SQL, holistic_pandas_agg.__doc__, tags=("relational", "agg", "udf", "pandas")),
         # late-r8 rotation: set_ops (driver-hashed green since r1; its
         # oracle stays in extras) frees a slot for the new northstar
@@ -1717,6 +1718,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
+        QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
+        QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
+        QuerySpec("distinct_suite", distinct_suite, DISTINCT_SUITE_SQL, distinct_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL, q17_small_quantity.__doc__, tags=("relational", "join", "subquery", "sql-api")),
         QuerySpec("json_funcs", json_funcs, JSON_FUNCS_SQL, json_funcs.__doc__, tags=("relational", "scalar", "json")),
         QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL, window_frames.__doc__, tags=("relational", "window", "sql-api")),
