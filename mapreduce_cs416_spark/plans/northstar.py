@@ -2818,9 +2818,9 @@ QUERIES: dict[str, QuerySpec] = {
         # percentile_suite / distinct_suite, plans/relational.py):
         # the driver hashes the storage-leg chunking, the asymmetric
         # containment detector, and the k-core peel.
-        QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, tags=("northstar", "dedup", "text", "storage")),
-        QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL, dedup.containment_pairs.__doc__, tags=("northstar", "dedup", "text", "join")),
-        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, tags=("northstar", "graph", "dedup", "iterative")),
+        QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, headline=True, tags=("northstar", "dedup", "text", "storage")),
+        QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL, dedup.containment_pairs.__doc__, headline=True, tags=("northstar", "dedup", "text", "join")),
+        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, headline=True, tags=("northstar", "graph", "dedup", "iterative")),
         # r8 rotation IN — the remaining r7-oracled families the
         # driver had never hashed, plus the new iterated-BPE pair.
         # late-r8 rotation: corpus_bpe_merges (the single-iteration
