@@ -2396,7 +2396,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbours — dense duplicate clusters minus the incidental pair
     chains. Simultaneous peel, fixpoint-probed per round; the oracle
     unrolls the same rounds as a generated CTE chain (the bpe_train
-    pattern for iterative algorithms)."""
+    pattern for iterative algorithms). Like graph_triangles, the edge
+    list comes from the REGISTERED O(n²) cosine pair baseline so the
+    oracle stays exact — SCALING.md charges both against embeddings
+    growth and shows the inherited super-linear edge build; feeding
+    the peel from the LSH pair generator is the (hash-dependent,
+    rows-only) scale path."""
     from ..operators import graph
 
     pairs = similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), _TRIANGLE_THRESHOLD)

@@ -68,6 +68,14 @@ _EMBEDDING_QUERIES = {
     "similarity_quantized_topk",
     "dedup_semantic",
     "embedding_centroid_scores",
+    # the graph queries scan ONLY embeddings: their edge list is the
+    # cosine near-dup pair join (the registered O(n²) baseline), so
+    # charging them documents' 10× growth understated their exponents
+    # — against embeddings growth they are EXPECTED to trend mildly
+    # super-linear exactly because the exact-oracle edge build is
+    # quadratic; an LSH-fed edge build is the (rows-only) scale path.
+    "graph_triangles",
+    "graph_kcore",
 }
 
 # queries whose actual scan set is NOT what their tags imply (checked
