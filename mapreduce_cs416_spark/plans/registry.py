@@ -8,7 +8,7 @@ streaming/pipelines.py).
 
 from __future__ import annotations
 
-from . import corpus, events, northstar, relational, tpch
+from . import corpus, entity, events, northstar, relational, tpch
 from .spec import QuerySpec
 
 # The round driver records the FIRST 50 entries of queries() into
@@ -22,7 +22,7 @@ DRIVER_WINDOW = 50
 
 QUERIES: dict[str, QuerySpec] = {}
 EXTRA_QUERIES: dict[str, QuerySpec] = {}
-for module in (corpus, relational, events, northstar, tpch):
+for module in (corpus, relational, events, northstar, tpch, entity):
     extra = getattr(module, "EXTRA_QUERIES", {})
     overlap = (QUERIES.keys() | EXTRA_QUERIES.keys()) & (module.QUERIES.keys() | extra.keys())
     if overlap:

@@ -88,6 +88,7 @@ _TABLE_OVERRIDES = {
     "asof_join_events": "events",
     "cdc_merge_orders": "orders",
     "text_pii_redact": "customer",
+    "entity_resolution": "customer",
 }
 
 
