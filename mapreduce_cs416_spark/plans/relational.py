@@ -1455,19 +1455,14 @@ FROM ({APPROX_DISTINCT_SQL})
 
 
 # ------------------------------------------------------------------ CDC
-def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE a deterministic CDC changelog into the orders snapshot
-    (operators/cdc.cdc_merge): base = orders outside the %7 insert
-    slice; changelog = updates (%3 of existing keys: new status,
-    bumped price, seq 1), inserts (the held-out %7 slice, seq 1), and
-    deletes (%5, seq 2 — outranking a same-key update, so a key in
-    both slices resolves to delete: exactly the binlog-position
-    semantics of cdc.latest_changes). The snapshot is touched by ONE
-    left-anti join; conflict resolution is a map-side-combinable
-    max_by over the changelog only."""
-    from ..operators import cdc
-
-    orders = load_table(spark, sf_dir, "orders")
+def _cdc_orders_feed(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (snapshot, changelog) CDC fixture shared by
+    cdc_merge_orders and ivm_orders_revenue: base = orders outside
+    the %7 insert slice; changelog = updates (%3 of existing keys:
+    new status, bumped price, seq 1), inserts (the held-out %7 slice,
+    seq 1), and deletes (%5, seq 2 — outranking a same-key update, so
+    a key in both slices resolves to delete: exactly the
+    binlog-position semantics of cdc.latest_changes)."""
     k = F.col("o_orderkey")
     base = orders.filter(k % 7 != 0)
     upd = orders.filter((k % 3 == 0) & (k % 7 != 0)).select(
@@ -1493,8 +1488,85 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("D").alias("op"),
         F.lit(2).alias("seq"),
     )
-    changes = upd.unionByName(ins).unionByName(dels)
+    return base, upd.unionByName(ins).unionByName(dels)
+
+
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a deterministic CDC changelog into the orders snapshot
+    (operators/cdc.cdc_merge; fixture in _cdc_orders_feed). The
+    snapshot is touched by ONE left-anti join; conflict resolution is
+    a map-side-combinable max_by over the changelog only."""
+    from ..operators import cdc
+
+    base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
     return cdc.cdc_merge(base, changes, ["o_orderkey"], op_col="op", seq_col="seq")
+
+
+def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a per-customer
+    (n_rows, revenue) view of the orders snapshot is materialized
+    once, then kept current under the SAME CDC changelog
+    cdc_merge_orders applies — by delta retraction/assertion, never
+    by rescanning the merged facts. The changelog's inserts, updates
+    and conflict-outranked deletes all flow through one old-image
+    key join + delta-sized aggregates; DECIMAL-carried sums make the
+    incremental result EXACTLY recomputation, which is what the
+    oracle does (DuckDB re-aggregates the merged snapshot) — the
+    driver hash is the maintenance-correctness proof. avg_price is
+    the derived-measure face (sum/count at publish time)."""
+    from ..operators import ivm
+
+    base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    view = ivm.build_view(base, group, measures)
+    deltas = ivm.delta_view(
+        base, changes, ["o_orderkey"], group, measures, op_col="op", seq_col="seq"
+    )
+    out = ivm.finalize(ivm.merge_deltas(view, deltas, group), group)
+    return out.select(
+        "o_custkey",
+        F.col("n_rows").alias("n_orders"),
+        "revenue",
+        (F.round(F.col("revenue") / F.col("n_rows") * 100.0) / 100.0).alias("avg_price"),
+    )
+
+
+IVM_ORDERS_SQL = """
+WITH merged AS (
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    changes AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+               'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, NULL, NULL, NULL, NULL, 'D', 2
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    latest AS (
+        SELECT * EXCLUDE (rn) FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM latest WHERE op <> 'D'
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 100.0) / 100.0
+           AS avg_price
+FROM merged
+GROUP BY o_custkey
+"""
 
 
 CDC_MERGE_SQL = """
@@ -1718,6 +1790,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
+        QuerySpec("ivm_orders_revenue", ivm_orders_revenue, IVM_ORDERS_SQL, ivm_orders_revenue.__doc__, headline=True, tags=("relational", "cdc", "ivm", "agg", "pipeline")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("distinct_suite", distinct_suite, DISTINCT_SUITE_SQL, distinct_suite.__doc__, tags=("relational", "agg", "approx")),

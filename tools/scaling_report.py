@@ -87,6 +87,7 @@ _EMBEDDING_QUERIES = {
 _TABLE_OVERRIDES = {
     "asof_join_events": "events",
     "cdc_merge_orders": "orders",
+    "ivm_orders_revenue": "orders",
     "text_pii_redact": "customer",
     "entity_resolution": "customer",
 }
