@@ -1374,6 +1374,78 @@ def audio_near_dups(
     )
 
 
+# ------------------------------------------------- video fingerprint
+# The VIDEO leg of the fingerprint dedup family — with text shingles,
+# embeddings, pixels (phash_near_dups) and PCM (audio_near_dups) this
+# makes every stored modality near-dup-detectable. The signature is
+# the TEMPORAL twin of the audio fingerprint: the decoded frame
+# sequence is reduced to one luminance-proxy integer per frame (the
+# frame's pixel-byte sum — order-invariant, so the SQL twin needs no
+# row-reversal bookkeeping), frames collapse into 64 contiguous
+# time bands, and each bit records the cyclic gradient between
+# neighbouring band sums — _audio_fp_chunks verbatim, fed frame sums
+# instead of |samples|. Re-encodes, uniform brightness scaling, and
+# container-level differences leave the gradient signature intact;
+# an edit localized to one band flips at most its two boundary bits.
+# Spatial (within-frame) near-dup remains image_phash over
+# sample_video_frames; this face captures the temporal structure.
+
+
+def video_fingerprint(docs: DataFrame, width: int = 1, height: int = 1) -> DataFrame:
+    """(doc_id, b0..b3): the 64-bit temporal band-gradient fingerprint
+    of each document's video as four 16-bit chunks, computed from the
+    REAL decode path (make_avi → decode_video, so the RIFF tree
+    walker and bottom-up DIB reversal run on every blob). One
+    Arrow-batched mapInPandas; frames never leave the executor, only
+    the 4-int signature comes back — identical 100 TB shape to
+    ``image_phash`` / ``audio_fingerprint``.
+
+    A temporal signature needs MORE FRAMES than bands to be
+    informative (the audio twin gets ns = n/2 samples for free); the
+    fixture therefore wraps the few-hundred-byte test payloads as
+    1×1-pixel videos — 4-byte stride-padded frames, so ~300 bytes
+    give ~75 frames across the 64 bands. Real videos have thousands
+    of frames and use the natural dimensions; the decoder path is
+    identical either way. The stride pad byte each 1×1 frame carries
+    is stripped by decode_video's row extraction — the SQL twin
+    skips the same byte positions (p % 4 = 3)."""
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _fp(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PHASH_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                vid = decode_video(make_avi(bytes(blob), width, height))
+                frame_sums = [sum(f) for f in vid["frames"]]
+                chunks = _audio_fp_chunks(frame_sums, vid["n_frames"])
+                out["doc_id"].append(doc_id)
+                for c in range(4):
+                    out[f"b{c}"].append(chunks[c])
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_fp, PHASH_SCHEMA)
+
+
+def video_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    width: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): video near-duplicate pairs by temporal
+    band-gradient fingerprint Hamming distance <= max_hamming —
+    sharing ``banded_hamming_pairs``'s pigeonhole candidate engine
+    (four 16-bit equi-joins + hot-bucket cap, never all-pairs). A
+    perturbation confined to one frame moves exactly one band sum,
+    flipping at most the two bits comparing that band to its
+    neighbours (recall pinned by tests/test_multimodal.py)."""
+    return banded_hamming_pairs(
+        video_fingerprint(docs, width), max_hamming, max_bucket
+    )
+
+
 # --------------------------------------------------------- JPEG face
 JPEG_DECODE_SCHEMA = T.StructType(
     [

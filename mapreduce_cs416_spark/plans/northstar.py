@@ -1176,6 +1176,88 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 """
 
 
+def multimodal_near_dup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (multimodal.video_near_dups): 64-band
+    TEMPORAL gradient fingerprint over per-frame pixel sums from the
+    REAL RIFF/AVI decode, the same 16-bit pigeonhole chunk banding as
+    the image/audio queries for candidates (never all-pairs), exact
+    Hamming verify — the last stored modality joins the fingerprint
+    dedup family. The oracle recomputes the integer fingerprint from
+    payload byte positions: frame sums are row-order-invariant, so
+    the bottom-up DIB reversal drops out of the math by design."""
+    return multimodal.video_near_dups(_docs(spark, sf_dir))
+
+
+# VIDEO twin of MULTIMODAL_NEAR_DUP_AUDIO_SQL: the fingerprint fixture
+# wraps payloads as 1×1-pixel frames — 4 stride-padded bytes each,
+# min 1 frame — so frame f's luminance proxy is the sum of payload
+# bytes at positions [4f, 4f+3) (the 4th byte of every frame is DIB
+# stride padding that decode_video's row extraction strips, so the
+# oracle skips p % 4 = 3; permuting rows inside a frame cannot change
+# a sum). Band b collects frames with (64*f)//nf = b, zero-filled via
+# the grid LEFT JOIN when nf < 64 — then the identical cyclic-gradient
+# bits, MSB-first 16-bit chunk packing, capped pigeonhole banding
+# self-join and bit_count(xor) tail as the audio oracle.
+MULTIMODAL_NEAR_DUP_VIDEO_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, n,
+           greatest(CAST(ceil(n / 4.0) AS BIGINT), 1) AS nf,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+), pos AS (
+    SELECT doc_id, (64 * (p // 4)) // nf AS band,
+           CASE WHEN p < n AND p % 4 < 3 THEN codes[p + 1] ELSE 0 END AS val
+    FROM d, unnest(range(0, 4 * nf)) AS u(p)
+), bsum AS (
+    SELECT doc_id, band, sum(val) AS s FROM pos GROUP BY 1, 2
+), grid AS (
+    SELECT doc_id, b AS band FROM d, unnest(range(0, 64)) AS u(b)
+), bs AS (
+    SELECT g.doc_id, g.band, coalesce(m.s, 0) AS s
+    FROM grid g LEFT JOIN bsum m ON m.doc_id = g.doc_id AND m.band = g.band
+), bits AS (
+    SELECT x.doc_id, x.band,
+           CASE WHEN x.s > y.s THEN 1 ELSE 0 END AS bit
+    FROM bs x
+    JOIN bs y ON y.doc_id = x.doc_id AND y.band = (x.band + 1) % 64
+), hb AS (
+    SELECT doc_id, band // 16 AS chunk,
+           CAST(sum(bit * (1::BIGINT << (15 - (band % 16)))) AS INT) AS v
+    FROM bits GROUP BY 1, 2
+), h4 AS (
+    SELECT doc_id,
+           max(CASE WHEN chunk = 0 THEN v END) AS b0,
+           max(CASE WHEN chunk = 1 THEN v END) AS b1,
+           max(CASE WHEN chunk = 2 THEN v END) AS b2,
+           max(CASE WHEN chunk = 3 THEN v END) AS b3
+    FROM hb GROUP BY doc_id
+), keyed AS (
+    SELECT doc_id, u.ch AS chunk, [b0, b1, b2, b3][u.ch + 1] AS key
+    FROM h4, unnest(range(0, 4)) AS u(ch)
+), capped AS (
+    SELECT * FROM keyed
+    QUALIFY count(*) OVER (PARTITION BY chunk, key) <= 1000
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+FROM cand c
+JOIN h4 x ON x.doc_id = c.doc_a
+JOIN h4 y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+"""
+
+
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG decode (multimodal.decode_jpeg_stats): each doc's
     bytes become constant 8×8 blocks behind REAL Huffman entropy
@@ -2895,6 +2977,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         # the LAST codec caveat retired: baseline JPEG decode (r8)
         QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
+        QuerySpec("multimodal_near_dup_video", multimodal_near_dup_video, MULTIMODAL_NEAR_DUP_VIDEO_SQL, multimodal.video_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "video")),
         # late-r8 rotation OUT (oracle kept; the full trainer
         # corpus_bpe_train stays in-window and subsumes this count):
         QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),

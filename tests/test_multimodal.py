@@ -645,6 +645,62 @@ def test_audio_fingerprint_partition_invariant(spark):
     assert one == many and len(one) == 30
 
 
+def test_video_fingerprint_matches_sequential_reference(spark):
+    from mapreduce_cs416_spark.operators.multimodal import (
+        _audio_fp_chunks,
+        decode_video,
+        make_avi,
+        video_fingerprint,
+    )
+
+    rows = [(i, f"video stand-in number {i} with body " * (i % 5 + 1)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in video_fingerprint(docs).collect()
+    }
+    for doc_id, text in rows:
+        vid = decode_video(make_avi(text.encode(), 1, 1))
+        want = tuple(_audio_fp_chunks([sum(f) for f in vid["frames"]], vid["n_frames"]))
+        assert got[doc_id] == want
+
+
+def test_video_near_dup_recall_on_perturbed_video(spark):
+    """Temporal band-gradient fingerprint: an exact copy is Hamming 0,
+    an edit confined to one frame (3 pixel bytes of a 1×1 fixture
+    frame) moves one band sum and so flips at most the two bits
+    comparing that band to its neighbours, and a structurally
+    different frame sequence does not pair."""
+    from mapreduce_cs416_spark.operators.multimodal import video_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog " * 70)[:3000]
+    perturbed = base[:500] + "XYZ" + base[503:]  # one whole 1×1 frame changed
+    different = "".join(chr(33 + (i * i) % 90) for i in range(3000))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, perturbed), (3, different)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in video_near_dups(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact copy
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 2  # perturbed copy found
+    assert all(3 not in p for p in pairs)  # different sequence never pairs
+
+
+def test_video_fingerprint_partition_invariant(spark):
+    from mapreduce_cs416_spark.operators.multimodal import video_fingerprint
+
+    docs = spark.createDataFrame(
+        [(i, f"video stand-in number {i} with body " * (i % 5 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    one = {tuple(r) for r in video_fingerprint(docs.coalesce(1)).collect()}
+    many = {tuple(r) for r in video_fingerprint(docs.repartition(16)).collect()}
+    assert one == many and len(one) == 30
+
+
 def test_palette_png_decodes_through_plte():
     """Color-type-3 PNG: indices unfilter at 1 byte/px (Sub/Up
     distances operate on the stored width), then expand through PLTE
