@@ -382,6 +382,81 @@ def test_streaming_cdc_merge_matches_batch_loop(spark, tmp_path_factory):
     assert got == want == {1: "a", 3: "c", 9: "i9b", 10: "j"}
 
 
+def test_streaming_view_maintenance_matches_recompute_and_absorbs_replay(
+    spark, tmp_path_factory
+):
+    """The foreachBatch IVM service must leave the materialized view
+    exactly where recomputation over the final snapshot does — across
+    two micro-batches with a group-moving update, a whole-group
+    delete, and an insert-born group — and re-running the WHOLE
+    changelog with a fresh stream checkpoint must change nothing
+    (zero-delta replay absorption via the co-advanced snapshot)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_cs416_spark.operators import ivm
+
+    group, measures = ["g"], {"total": "v"}
+    base = spark.createDataFrame(
+        [(1, "a", 10.25), (2, "a", 1.50), (3, "b", 7.00), (5, "c", 99.99)],
+        "k long, g string, v double",
+    )
+    batch1 = [(2, "b", 1.50, "U", 1), (5, "c", None, "D", 1), (6, "d", 4.44, "U", 1)]
+    batch2 = [(3, "b", 8.00, "U", 1), (6, "d", None, "D", 1), (1, "a", 10.00, "U", 1)]
+
+    root = str(tmp_path_factory.mktemp("stream_ivm"))
+    snap, view = f"{root}/snapshot", f"{root}/view"
+    base.coalesce(1).write.parquet(snap)
+    ivm.build_view(base, group, measures).coalesce(1).write.parquet(view)
+
+    log_dir = f"{root}/changelog"
+    os.makedirs(log_dir)
+    schema = "k long, g string, v double, op string, seq long"
+    for i, rows in enumerate([batch1, batch2]):
+        path = f"{log_dir}/batch{i}.parquet"
+        pdf = spark.createDataFrame(rows, schema).toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log_dir)
+        )
+        q = sp.streaming_view_maintenance(
+            stream, snap, view, ["k"], group, measures
+        )
+        q.awaitTermination()
+
+    run()
+    got = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in ivm.finalize(spark.read.parquet(view), group).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in ivm.finalize(
+            ivm.build_view(spark.read.parquet(snap), group, measures), group
+        ).collect()
+    }
+    assert got == want == {"a": (1, 10.00), "b": (2, 9.50)}
+
+    # replay the whole changelog under a FRESH checkpoint: the
+    # co-advanced snapshot makes every delta zero — nothing may move.
+    import shutil
+
+    shutil.rmtree(f"{view}_stream_checkpoint")
+    run()
+    again = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in ivm.finalize(spark.read.parquet(view), group).collect()
+    }
+    assert again == want
+
+
 def test_streaming_expectation_counts_match_batch_audit(spark, sf_dir, ev_stream):
     """The continuous DQ monitor's drained counters must equal the
     batch expectation audit over the same events."""
