@@ -1502,3 +1502,51 @@ def decode_jpeg_stats(docs: DataFrame) -> DataFrame:
         F.round("mean_gray", 6).alias("mean_gray"),
         "row0_hex",
     )
+
+
+# ---------------------------------------------------------- GIF face
+def decode_gif_stats(docs: DataFrame, width: int = BMP_WIDTH) -> DataFrame:
+    """The GIF face of the real-decode path: wrap each blob's bytes
+    into a REAL GIF89a (operators/gif.make_gif — 8-bit indices into a
+    grayscale global color table behind genuine variable-width LZW
+    with clear codes and width bumps), run the GENERAL decoder
+    (header/LSD, color table, extension walking, sub-block
+    reassembly, full LZW with the KwKwK case, palette expansion), and
+    emit per-doc stats: dims, gray mean, and the top row's red
+    channel hex. LZW is lossless, so the query carries the same
+    byte-position DuckDB oracle shape as the BMP/PNG/JPEG faces
+    (plans/northstar.MULTIMODAL_DECODE_GIF_SQL). Same 100 TB shape:
+    one Arrow-batched mapInPandas, blobs never leave executors, means
+    rounded JVM-side (HALF_UP discipline)."""
+    from .gif import decode_gif, make_gif
+
+    blobs = with_blob(docs).select("doc_id", "blob")
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in JPEG_DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                img = decode_gif(make_gif(raw, width))
+                px = img["pixels"]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_data_bytes"].append(len(raw))
+                out["mean_gray"].append(sum(px) / len(px))
+                out["row0_hex"].append(
+                    bytes(px[3 * i] for i in range(img["width"])).hex()
+                )
+            yield pd.DataFrame(out)
+
+    out = blobs.mapInPandas(_decode, JPEG_DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_data_bytes",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        "row0_hex",
+    )

@@ -1296,6 +1296,40 @@ FROM d
 """
 
 
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a decode (multimodal.decode_gif_stats): each doc's bytes
+    become 8-bit grayscale-palette indices behind REAL variable-width
+    LZW (clear codes, width bumps, sub-block chains, an extension
+    block the parser must walk); the general decoder reproduces them
+    byte-exactly because LZW is lossless."""
+    return multimodal.decode_gif_stats(_docs(spark, sf_dir))
+
+
+# GIF twin: byte-position math only. The grayscale palette maps index
+# i to (i,i,i), so the RGB mean equals the zero-padded payload mean,
+# and row 0's red channel is the first 16 payload bytes.
+MULTIMODAL_DECODE_GIF_SQL = """
+WITH c AS (
+    SELECT doc_id,
+           lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+), d AS (
+    SELECT doc_id, hx, n,
+           greatest(CAST(ceil(n / 16.0) AS BIGINT), 1) AS h,
+           [CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT) FOR i IN range(1, n + 1)] AS codes
+    FROM c
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_data_bytes,
+       round(coalesce(list_sum(codes), 0) / (16.0 * h), 6) AS mean_gray,
+       rpad(substr(hx, 1, 32), 32, '0') AS row0_hex
+FROM d
+"""
+
+
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_ppm_stats(_docs(spark, sf_dir))
 
@@ -2978,6 +3012,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # the LAST codec caveat retired: baseline JPEG decode (r8)
         QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
         QuerySpec("multimodal_near_dup_video", multimodal_near_dup_video, MULTIMODAL_NEAR_DUP_VIDEO_SQL, multimodal.video_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "video")),
+        QuerySpec("multimodal_decode_gif", multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL, multimodal.decode_gif_stats.__doc__, tags=("northstar", "multimodal", "decode", "gif")),
         # late-r8 rotation OUT (oracle kept; the full trainer
         # corpus_bpe_train stays in-window and subsumes this count):
         QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
