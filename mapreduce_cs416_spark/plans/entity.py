@@ -188,12 +188,19 @@ GROUP BY entity_id
 """
 
 
-QUERIES: dict[str, QuerySpec] = {}
+QUERIES: dict[str, QuerySpec] = {
+    q.name: q
+    for q in [
+        # r8 session-3 rotation IN (slot freed by embedding_centroid_scores,
+        # whose oracle stays in extras): the full linker pipeline is
+        # driver-hashed end to end.
+        QuerySpec("entity_resolution", entity_resolution, ENTITY_RESOLUTION_SQL, entity_resolution.__doc__, headline=True, tags=("northstar", "entity", "dedup", "graph", "pipeline", "warehouse")),
+    ]
+}
 
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
-        QuerySpec("entity_resolution", entity_resolution, ENTITY_RESOLUTION_SQL, entity_resolution.__doc__, headline=True, tags=("northstar", "entity", "dedup", "graph", "pipeline", "warehouse")),
         QuerySpec("entity_match_pairs", entity_match_pairs, ENTITY_PAIRS_SQL, entity_match_pairs.__doc__, tags=("northstar", "entity", "dedup", "join", "warehouse")),
     ]
 }

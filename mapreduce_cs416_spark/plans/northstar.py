@@ -2882,7 +2882,12 @@ QUERIES: dict[str, QuerySpec] = {
         # EXTRA_QUERIES to open driver slots for the two new ORACLED
         # families below — the window's oracled count rises 45 → 47.
         QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, headline=True, tags=("northstar", "dedup", "similarity", "pipeline")),
-        QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
+        # r8 session-3 rotation: the brute-force topk baseline and the
+        # centroid-score pipeline face keep their oracles in extras; their
+        # slots carry the NEW video fingerprint near-dup (completing the
+        # driver-hashed modality set) and the entity-resolution pipeline
+        # (plans/entity.py).
+        QuerySpec("multimodal_near_dup_video", multimodal_near_dup_video, MULTIMODAL_NEAR_DUP_VIDEO_SQL, multimodal.video_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "video")),
         # r6 rotation (VERDICT r5 item 7): the three rows-only window
         # entries (similarity_cosine_near_dup_lsh,
         # similarity_ivf_fitted_topk, events_distinct_rollup) moved to
@@ -2924,7 +2929,6 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_near_dup_phash", multimodal_near_dup_phash, MULTIMODAL_NEAR_DUP_PHASH_SQL, multimodal.phash_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode")),
         QuerySpec("corpus_pack_sequences", corpus_pack_sequences, CORPUS_PACK_SQL, corpus_pack_sequences.__doc__, headline=True, tags=("northstar", "packing", "pipeline")),
         QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, headline=True, tags=("northstar", "dedup", "graph", "iterative")),
-        QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("text_decontaminate", text_decontaminate, TEXT_DECONTAMINATE_SQL, text_decontaminate.__doc__, headline=True, tags=("northstar", "text", "dedup", "pipeline")),
         # late-r7: the NEW PII scrub takes the slot freed by
         # scalar_datetime_funcs (see plans/relational.py rotation
@@ -2995,6 +2999,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # the driver window, slot freed by set_ops' rotation).
         QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
+        QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, None, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
@@ -3011,7 +3016,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         # the LAST codec caveat retired: baseline JPEG decode (r8)
         QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
-        QuerySpec("multimodal_near_dup_video", multimodal_near_dup_video, MULTIMODAL_NEAR_DUP_VIDEO_SQL, multimodal.video_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "video")),
+        QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
         QuerySpec("multimodal_decode_gif", multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL, multimodal.decode_gif_stats.__doc__, tags=("northstar", "multimodal", "decode", "gif")),
         # late-r8 rotation OUT (oracle kept; the full trainer
         # corpus_bpe_train stays in-window and subsumes this count):

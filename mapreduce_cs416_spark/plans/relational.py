@@ -1735,7 +1735,10 @@ QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL, q1_pricing_summary.__doc__, headline=True, tags=("relational", "agg")),
         QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL, q3_shipping_priority.__doc__, headline=True, tags=("relational", "join", "topk")),
-        QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
+        # r8 session-3 rotation: q5 (one of 22 TPC-H shapes; 18 were
+        # already extras-oracled) frees its slot for the NEW incremental
+        # view maintenance family; q5 keeps its oracle in extras.
+        QuerySpec("ivm_orders_revenue", ivm_orders_revenue, IVM_ORDERS_SQL, ivm_orders_revenue.__doc__, headline=True, tags=("relational", "cdc", "ivm", "agg", "pipeline")),
         # r8 rotation: top_customers_revenue / join_semi_anti /
         # join_outer_agg / range_band_join / window_rank /
         # udtf_tokenize / exists_subquery to EXTRA (oracles kept,
@@ -1790,7 +1793,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
-        QuerySpec("ivm_orders_revenue", ivm_orders_revenue, IVM_ORDERS_SQL, ivm_orders_revenue.__doc__, headline=True, tags=("relational", "cdc", "ivm", "agg", "pipeline")),
+        QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
         QuerySpec("distinct_suite", distinct_suite, DISTINCT_SUITE_SQL, distinct_suite.__doc__, tags=("relational", "agg", "approx")),
