@@ -70,6 +70,89 @@ def cdc_merge(
     return survivors.unionByName(upserts)
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: list[str] | None = None,
+    prefix: str = "state_",
+) -> DataFrame:
+    """Temporal (point-in-time) join: enrich every fact row with the
+    dimension attributes that were valid AT the fact's timestamp —
+    the query every SCD2 history exists to answer. ``changes`` is the
+    raw change stream (one row per version, ``attr_cols`` tracked,
+    ``order_cols`` breaking same-timestamp ties); a fact matches the
+    key's latest change at-or-before its timestamp, exactly the
+    half-open validity intervals ``scd2_history`` materializes
+    (version N covers [its ts, next ts)), plus a ``{prefix}version``
+    ordinal and ``{prefix}since`` timestamp. Facts before the first
+    version get NULL state and version 0.
+
+    Scale shape — the asof_join_events union+window pattern, NOT an
+    interval join: both sides shuffle ONCE on the key, one per-key
+    ordered window computes last-version-so-far (dimension rows sort
+    before facts at equal timestamps, so a version starting exactly
+    at the fact's time covers it, matching the interval semantics'
+    `valid_from <= ts < valid_to`). No range-join blow-up, no per-key
+    collect; state is bounded by one key's rows, skew-bounded by the
+    busiest key."""
+    order_cols = order_cols or []
+    fact_payload = [c for c in facts.columns if c not in (*key_cols, ts_col)]
+    f = facts.select(
+        *key_cols,
+        ts_col,
+        F.lit(1).alias("_isf"),
+        *[
+            F.lit(None).cast(changes.schema[c].dataType).alias(f"_a_{c}")
+            for c in attr_cols
+        ],
+        *[
+            F.lit(None).cast(changes.schema[c].dataType).alias(f"_o_{c}")
+            for c in order_cols
+        ],
+        *fact_payload,
+    )
+    d = changes.select(
+        *key_cols,
+        ts_col,
+        F.lit(0).alias("_isf"),
+        *[F.col(c).alias(f"_a_{c}") for c in attr_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in order_cols],
+        *[
+            F.lit(None).cast(facts.schema[c].dataType).alias(c)
+            for c in fact_payload
+        ],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "_isf", *[f"_o_{c}" for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    state = F.when(
+        F.col("_isf") == 0,
+        F.struct(
+            F.col(ts_col).alias("since"),
+            *[F.col(f"_a_{c}").alias(c) for c in attr_cols],
+        ),
+    )
+    out = (
+        f.unionByName(d)
+        .withColumn("_state", F.last(state, ignorenulls=True).over(w))
+        .withColumn("_version", F.sum(1 - F.col("_isf")).over(w).cast("int"))
+        .where(F.col("_isf") == 1)
+    )
+    return out.select(
+        *key_cols,
+        ts_col,
+        *fact_payload,
+        F.col("_state.since").alias(f"{prefix}since"),
+        *[F.col(f"_state.{c}").alias(f"{prefix}{c}") for c in attr_cols],
+        F.col("_version").alias(f"{prefix}version"),
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     key_cols: list[str],

@@ -1623,6 +1623,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal enrichment (operators/cdc.point_in_time_join): every
+    purchase event is joined to the user-profile version valid AT its
+    timestamp — the dimension being the SCD2 stream of the user's
+    non-purchase events (event_type tracked, event_id tie-break).
+    Spark runs the union+window shape (one shuffle per side, no
+    interval join, no range blow-up); the oracle materializes the
+    half-open validity intervals and joins with
+    `valid_from <= ts < valid_to` — hash equality proves the window
+    recipe implements exactly the interval semantics, including
+    zero-width versions from same-timestamp changes and
+    before-first-version facts (NULL state, version 0)."""
+    from ..operators import cdc
+
+    events = load_table(spark, sf_dir, "events")
+    facts = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    changes = events.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return cdc.point_in_time_join(
+        facts, changes, ["user_id"], "ts", ["event_type"], order_cols=["event_id"]
+    )
+
+
+SCD2_PIT_SQL = """
+WITH hist AS (
+    SELECT user_id, ts AS valid_from, lead(ts) OVER w AS valid_to,
+           event_type, CAST(row_number() OVER w AS INT) AS version
+    FROM events WHERE event_type <> 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p.user_id, p.ts, p.event_id AS purchase_id,
+       h.valid_from AS state_since,
+       h.event_type AS state_event_type,
+       coalesce(h.version, 0) AS state_version
+FROM events p LEFT JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.valid_from <= p.ts AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
 # ----------------------------------------------------------- data quality
 def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-publish expectation audit over orders (operators/dq): four
@@ -1793,6 +1837,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
+        QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
         QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),

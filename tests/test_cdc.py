@@ -82,3 +82,76 @@ def test_cdc_merge_composite_key(spark):
     out = cdc.cdc_merge(base, changes, ["k1", "k2"], op_col="op", seq_col="seq")
     got = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
     assert got == {(1, "x"): "a2", (1, "y"): "b", (3, "z"): "new"}
+
+
+def test_point_in_time_join_planted(spark):
+    """Interval semantics on a hand-planted history: facts at exact
+    version starts, between versions, before the first version, and
+    across a zero-width version (two changes at the same timestamp)."""
+    changes = spark.createDataFrame(
+        [
+            (1, 10, 100, "bronze"),
+            (1, 20, 101, "silver"),
+            (1, 20, 102, "gold"),    # same-ts change: zero-width silver
+            (1, 40, 103, "plat"),
+            (2, 50, 200, "bronze"),
+        ],
+        "k long, t long, cid long, tier string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 5, 1000),   # before any version -> NULL, version 0
+            (1, 10, 1001),  # exactly at version 1's start -> bronze
+            (1, 20, 1002),  # at the double change -> gold (v3), never silver
+            (1, 30, 1003),  # between versions -> gold
+            (1, 40, 1004),  # at version 4's start -> plat
+            (2, 99, 2000),  # other key
+        ],
+        "k long, t long, fid long",
+    )
+    out = cdc.point_in_time_join(
+        facts, changes, ["k"], "t", ["tier"], order_cols=["cid"]
+    )
+    got = {r["fid"]: (r["state_tier"], r["state_version"], r["state_since"]) for r in out.collect()}
+    assert got[1000] == (None, 0, None)
+    assert got[1001] == ("bronze", 1, 10)
+    assert got[1002] == ("gold", 3, 20)
+    assert got[1003] == ("gold", 3, 20)
+    assert got[1004] == ("plat", 4, 40)
+    assert got[2000] == ("bronze", 1, 50)
+    assert out.count() == facts.count()  # enrichment never duplicates facts
+
+
+def test_point_in_time_join_equals_interval_join(spark):
+    """The union+window recipe must equal a literal interval join
+    against scd2_history's materialized validity ranges."""
+    from pyspark.sql import functions as F
+
+    changes = spark.createDataFrame(
+        [(k, t, k * 1000 + t, f"s{t % 7}") for k in range(5) for t in range(0, 100, 7)],
+        "k long, t long, cid long, tier string",
+    )
+    facts = spark.createDataFrame(
+        [(k, t, k * 10000 + t) for k in range(5) for t in range(0, 110, 3)],
+        "k long, t long, fid long",
+    )
+    got = cdc.point_in_time_join(facts, changes, ["k"], "t", ["tier"], order_cols=["cid"])
+    hist = cdc.scd2_history(changes, ["k"], "t", order_cols=["cid"])
+    want = (
+        facts.alias("f")
+        .join(
+            hist.alias("h"),
+            (F.col("f.k") == F.col("h.k"))
+            & (F.col("h.valid_from") <= F.col("f.t"))
+            & (F.col("h.valid_to").isNull() | (F.col("f.t") < F.col("h.valid_to"))),
+            "left",
+        )
+        .select(
+            "f.fid",
+            F.col("h.tier").alias("state_tier"),
+            F.coalesce("h.version", F.lit(0)).alias("state_version"),
+        )
+    )
+    a = {(r["fid"], r["state_tier"], r["state_version"]) for r in got.select("fid", "state_tier", "state_version").collect()}
+    b = {(r["fid"], r["state_tier"], r["state_version"]) for r in want.collect()}
+    assert a == b and len(a) == facts.count()
