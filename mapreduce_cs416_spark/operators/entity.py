@@ -172,6 +172,120 @@ def resolve(records: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_resolve(
+    resolved: DataFrame,
+    new_records: DataFrame,
+    block_cols: tuple[str, ...] = ("nation", "segment"),
+    bal_col: str = "bal",
+    band: float = 0.5,
+    name_threshold: float = 0.9,
+) -> DataFrame:
+    """Accrete a batch of new records into an already-resolved corpus
+    WITHOUT re-matching old-against-old — the entity-resolution
+    counterpart of dedup.incremental_ingest, and the operation a
+    continuously-fed MDM service runs per arrival batch.
+
+    ``resolved`` must keep the full per-record match keys (it is the
+    ``resolve`` output, records + entity_id — NOT the golden table:
+    survivorship discards the non-surviving members' phones/names, so
+    matching against golden alone would miss links the batch path
+    finds). Matching is restricted to pairs with a NEW side (old-old
+    pairs cannot have changed — the match rules are static); each
+    edge then collapses its old endpoint to that record's entity
+    label, and connected components over this SUPERNODE graph
+    propagates minima: a new record bridging two existing entities
+    MERGES them, and because every old label is already the minimum
+    rid of its sub-cluster, the merged component's minimum equals the
+    from-scratch label over the full corpus. Result: incremental
+    resolution is EXACTLY ``resolve(all_records, match_pairs(all))``
+    — asserted by tests and by the driver oracle, which recomputes
+    from scratch in SQL while Spark runs only the accretion path.
+
+    Scale: per batch the corpus is touched by the two candidate
+    equi-joins only (phone key + balance band — both output
+    batch-bounded candidates under the same blocking discipline as
+    match_pairs); CC runs on the batch-sized supernode edge list."""
+    new = new_records.localCheckpoint()
+    old = resolved.localCheckpoint()
+    # the new-side restriction is a ROW-LOCAL flag carried through the
+    # candidate joins (a pair qualifies iff either side is new) — not
+    # a semi-join with an OR condition, which would plan as a
+    # nested-loop over the candidate set
+    both = (
+        old.select(*new.columns)
+        .withColumn("_new", F.lit(0))
+        .unionByName(new.withColumn("_new", F.lit(1)))
+    )
+
+    phone = both.where(
+        F.col("phone_norm").isNotNull() & (F.length("phone_norm") > 0)
+    )
+    r1 = (
+        phone.alias("a")
+        .join(phone.alias("b"), "phone_norm")
+        .where(
+            (F.col("a.rid") < F.col("b.rid"))
+            & (F.col("a._new") + F.col("b._new") >= 1)
+        )
+        .select(F.col("a.rid").alias("rid_a"), F.col("b.rid").alias("rid_b"))
+    )
+    reg = both.withColumn("bucket", F.floor(F.col(bal_col)))
+    probe = both.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(bal_col) - F.lit(band)),
+                F.floor(F.col(bal_col) + F.lit(band)),
+            )
+        ),
+    )
+    r2 = (
+        reg.alias("a")
+        .join(probe.alias("b"), ["bucket", *block_cols])
+        .where(
+            (F.col("a.rid") < F.col("b.rid"))
+            & (F.col("a._new") + F.col("b._new") >= 1)
+            & (F.abs(F.col(f"a.{bal_col}") - F.col(f"b.{bal_col}")) <= band)
+        )
+        .select(F.col("a.rid").alias("rid_a"), F.col("b.rid").alias("rid_b"),
+                F.col("a.name_norm").alias("a_norm"), F.col("b.name_norm").alias("b_norm"))
+        .distinct()
+        .where(_name_sim(F.col("a_norm"), F.col("b_norm")) >= name_threshold)
+        .select("rid_a", "rid_b")
+    )
+
+    # collapse old endpoints to their entity labels (supernodes)
+    lbl = old.select("rid", "entity_id")
+    edges = (
+        r1.unionByName(r2)
+        .join(lbl.withColumnRenamed("rid", "rid_a").withColumnRenamed("entity_id", "la"), "rid_a", "left")
+        .join(lbl.withColumnRenamed("rid", "rid_b").withColumnRenamed("entity_id", "lb"), "rid_b", "left")
+        .select(
+            F.coalesce("la", "rid_a").alias("rid_a"),
+            F.coalesce("lb", "rid_b").alias("rid_b"),
+        )
+        .where(F.col("rid_a") != F.col("rid_b"))
+    )
+    from . import graph
+
+    comp = graph.connected_components(edges, src="rid_a", dst="rid_b")
+    # node space of comp = old entity labels + new rids; map both sides
+    relabel = comp.withColumnRenamed("node", "_key").withColumnRenamed(
+        "component", "_new_label"
+    )
+    old_out = (
+        old.join(relabel, old["entity_id"] == relabel["_key"], "left")
+        .withColumn("entity_id", F.coalesce("_new_label", "entity_id"))
+        .drop("_key", "_new_label")
+    )
+    new_out = (
+        new.join(relabel, new["rid"] == relabel["_key"], "left")
+        .withColumn("entity_id", F.coalesce("_new_label", "rid"))
+        .drop("_key", "_new_label")
+    )
+    return old_out.unionByName(new_out.select(*old_out.columns))
+
+
 def _priority(source_col: Column, priority: dict[str, int]) -> Column:
     expr: Column = F.lit(max(priority.values()) + 1)
     for name, p in sorted(priority.items(), key=lambda kv: -kv[1]):

@@ -77,6 +77,24 @@ def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity.match_pairs(entity.normalize_records(_records(spark, sf_dir)))
 
 
+def entity_incremental_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden records via ACCRETION (operators/entity.incremental_
+    resolve): the record feed arrives in two waves (even custkeys,
+    then odd — so every second entity's billing/support members land
+    in a later wave than their crm seed, exercising new-old linking
+    and label propagation), each wave matched only against the
+    standing resolved corpus, never old-against-old. The oracle is
+    the FROM-SCRATCH resolution SQL, unchanged: hash equality IS the
+    proof that incremental accretion lands on exactly the batch
+    labels (the supernode-minimum argument, driver-verified)."""
+    recs = entity.normalize_records(_records(spark, sf_dir))
+    wave1 = recs.where(F.floor(F.col("rid") / 3) % 2 == 0)
+    wave2 = recs.where(F.floor(F.col("rid") / 3) % 2 == 1)
+    state = entity.resolve(wave1, entity.match_pairs(wave1))
+    state = entity.incremental_resolve(state, wave2)
+    return entity.golden_records(state)
+
+
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full four-stage entity-resolution pipeline: normalize →
     match (two rules, blocked candidates) → cluster transitively
@@ -202,5 +220,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("entity_match_pairs", entity_match_pairs, ENTITY_PAIRS_SQL, entity_match_pairs.__doc__, tags=("northstar", "entity", "dedup", "join", "warehouse")),
+        # the accretion path against the from-scratch oracle: the SAME
+        # SQL as entity_resolution — equality is the claim under test.
+        QuerySpec("entity_incremental_resolution", entity_incremental_resolution, ENTITY_RESOLUTION_SQL, entity_incremental_resolution.__doc__, tags=("northstar", "entity", "dedup", "graph", "pipeline", "incremental", "warehouse")),
     ]
 }

@@ -120,3 +120,56 @@ def test_customer_derived_recall(spark):
         .count()
     )
     assert split == 0
+
+
+def _resolve_all(recs):
+    return entity.resolve(recs, entity.match_pairs(recs))
+
+
+def test_incremental_resolve_equals_from_scratch(spark):
+    """Accreting the customer-derived feed in three waves must land on
+    EXACTLY the from-scratch labels (the supernode-minimum argument in
+    incremental_resolve's docstring, measured)."""
+    from mapreduce_cs416_spark.plans.entity import _records
+
+    recs = entity.normalize_records(_records(spark, "/root/testdata/sf0.001"))
+    want = {(r["rid"], r["entity_id"]) for r in _resolve_all(recs).collect()}
+    state = None
+    for wave in range(3):
+        batch = recs.where(F.floor(F.col("rid") / 3) % 3 == wave)
+        if state is None:
+            state = _resolve_all(batch).localCheckpoint()
+        else:
+            state = entity.incremental_resolve(state, batch).localCheckpoint()
+    got = {(r["rid"], r["entity_id"]) for r in state.collect()}
+    assert got == want
+
+
+def test_incremental_bridge_merges_existing_entities(spark):
+    """A late record matching TWO previously-separate entities must
+    merge them (phone link to one, profile link to the other)."""
+    waves = [
+        [(0, "crm", "Widget Corp", "11-111-1111", 10.00, 1, "BUILDING")],
+        [(10, "crm", "Widget Korp", "22-222-2222", 50.00, 1, "BUILDING")],
+        [(5, "support", "Widget Korpp", "11.111.1111", 49.80, 1, "BUILDING")],
+    ]
+    state = None
+    for rows in waves:
+        batch = entity.normalize_records(spark.createDataFrame(rows, SCHEMA))
+        if state is None:
+            state = _resolve_all(batch).localCheckpoint()
+        else:
+            state = entity.incremental_resolve(state, batch).localCheckpoint()
+    labels = {r["rid"]: r["entity_id"] for r in state.collect()}
+    assert labels == {0: 0, 10: 0, 5: 0}
+    # sanity: the two seeds alone do NOT match each other
+    seeds = entity.normalize_records(
+        spark.createDataFrame(waves[0] + waves[1], SCHEMA)
+    )
+    assert entity.match_pairs(seeds).count() == 0
+    # and the result equals from-scratch over all three
+    allrecs = entity.normalize_records(
+        spark.createDataFrame([r for w in waves for r in w], SCHEMA)
+    )
+    want = {(r["rid"], r["entity_id"]) for r in _resolve_all(allrecs).collect()}
+    assert {(r, e) for r, e in labels.items()} == want
