@@ -251,7 +251,10 @@ def main() -> int:
         "one-time plan/codegen warmup. `view_maintenance` runs the SAME",
         "changelog as `cdc_merge` plus the delta aggregate and view merge, so",
         "the per-batch difference between the two rows is the IVM overhead",
-        "over plain snapshot maintenance.",
+        "over plain snapshot maintenance. Caveat: `rows/batch` is Spark's",
+        "`numInputRows`, which counts SOURCE SCANS — a foreachBatch body that",
+        "reads its batch twice (cdc_merge) or three times (view_maintenance)",
+        "reports 2-3x the on-disk shard rows.",
         "",
     ]
     with open(os.path.join(REPO, "STREAMBENCH.md"), "w") as f:
