@@ -31,10 +31,23 @@ from .spec import QuerySpec
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three-source record feed (rid = 3*custkey + source slot)."""
+    """The three-source record feed (rid = 3*custkey + source slot).
+
+    The phone digits are the custkey's OWN digit slices (2+3+3+4 of a
+    zero-padded 12-digit key), so the phone is INJECTIVE in custkey
+    for any key below 10^12 — a modular formula here (an earlier
+    draft used k%90/k%900/7k%900/37k%9000) is periodic and silently
+    hands customers k and k+period the same phone once the fixture
+    outgrows the period, collapsing thousands of distinct customers
+    into shared entities at sf0.1."""
     cust = load_table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
-    d = (k % 90 + 10, k % 900 + 100, (k * 7) % 900 + 100, (k * 37) % 9000 + 1000)
+    d = (
+        F.expr("c_custkey div 10000000000") % 100,
+        F.expr("c_custkey div 10000000") % 1000,
+        F.expr("c_custkey div 10000") % 1000,
+        k % 10_000,
+    )
     dash = F.format_string("%02d-%03d-%03d-%04d", *d)
     dot = F.format_string("%02d.%03d.%03d.%04d", *d)
 
@@ -116,14 +129,16 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECORDS_SQL = """
 recs AS (
     SELECT c_custkey * 3 AS rid, 'crm' AS source, c_name AS name,
-           printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10, c_custkey % 900 + 100,
-                  (c_custkey * 7) % 900 + 100, (c_custkey * 37) % 9000 + 1000) AS phone,
+           printf('%02d-%03d-%03d-%04d', (c_custkey // 10000000000) % 100,
+                  (c_custkey // 10000000) % 1000, (c_custkey // 10000) % 1000,
+                  c_custkey % 10000) AS phone,
            c_acctbal AS bal, c_nationkey AS nation, c_mktsegment AS segment
     FROM customer
     UNION ALL
     SELECT c_custkey * 3 + 1, 'billing', upper(replace(c_name, 'Customer', 'Custommer')),
-           printf('%02d.%03d.%03d.%04d', c_custkey % 90 + 10, c_custkey % 900 + 100,
-                  (c_custkey * 7) % 900 + 100, (c_custkey * 37) % 9000 + 1000),
+           printf('%02d.%03d.%03d.%04d', (c_custkey // 10000000000) % 100,
+                  (c_custkey // 10000000) % 1000, (c_custkey // 10000) % 1000,
+                  c_custkey % 10000),
            c_acctbal, c_nationkey, c_mktsegment
     FROM customer WHERE c_custkey % 2 = 0
     UNION ALL

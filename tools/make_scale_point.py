@@ -27,6 +27,11 @@ is therefore shifted into its own disjoint universe:
 - embeddings cyclically rotate their dimension order by the replica
   index (norms and within-replica neighbor structure preserved,
   cross-replica cosine decorrelated);
+- customer balances offset by replica · 20000 (far beyond the entity
+  linker's ±0.5 matching band, so the profile rule cannot link the
+  8 same-named copies of one customer across universes — phones are
+  already disjoint via the custkey-derived digits; within-replica
+  match structure is untouched because the shift is constant);
 - region/nation stay constant-size dims, as in TPC-H itself.
 
 Output is ONE parquet file per table (DuckDB COPY), matching the
@@ -69,6 +74,8 @@ def replicate_sql(table: str, src: str, replicas: int) -> str:
     for c in _columns(src):
         if c in KEY_COLS.get(table, []):
             cols.append(f"{c} + i * {OFF} AS {c}")
+        elif table == "customer" and c == "c_acctbal":
+            cols.append(f"{c} + i * 20000 AS {c}")
         elif table == "documents" and c == "text":
             cols.append(
                 f"translate(text, '{LOWER}{UPPER}', "
