@@ -290,6 +290,17 @@ def main() -> int:
         "  show itself over a ~0.15 s floor) and approaches 2 as scale grows. A",
         "  query OUTSIDE the documented baselines ranking alongside it is a",
         "  regression to investigate, not noise.",
+        "- **The graph rows inherit the baseline's edge build.**",
+        "  `graph_triangles` and `graph_kcore` deliberately feed from the",
+        "  registered O(n²) cosine pair join so their DuckDB oracles stay",
+        "  exact (their docstrings say so); a mildly super-linear exponent",
+        "  here is the edge BUILD's — all-pairs cosine is quadratic in",
+        "  vectors by construction, even across the third point's disjoint",
+        "  universes (the filter discards cross-universe pairs AFTER the",
+        "  dot products) — not the wedge join's or the peel's, which are",
+        "  linear in the edge list they are handed. Swapping in the LSH",
+        "  pair generator is the drop-in scale path for both (hash-",
+        "  dependent, hence rows-only checkable).",
         "- **Overhead-bound rows** are fine: they say the query is so cheap at both",
         "  scales that the data term hasn't surfaced yet. They provide no asymptotic",
         "  evidence either way.",
