@@ -247,9 +247,11 @@ def similarity_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     come from an equi-join on (table, bucket)). Registered at the
     exact twin's threshold and a banding tuned for it (see comment at
     _COSINE_NEAR_DUP_THRESHOLD), so the driver row count is directly
-    comparable to the exact twin's. Hash-bucket dependent, so
-    rows-only at the driver; recall vs the brute-force twin is
-    asserted in tests/test_similarity.py."""
+    comparable to the exact twin's. Exactly oracled (r8): the
+    hyperplanes are deterministic LCG plan literals, so the DuckDB
+    twin (_lsh_near_dup_sql) replays the identical buckets, candidate
+    set, and verify cosines bit-for-bit; recall vs the brute-force
+    twin is additionally asserted in tests/test_similarity.py."""
     return similarity.cosine_near_dup_lsh(
         _emb(spark, sf_dir),
         threshold=_COSINE_NEAR_DUP_THRESHOLD,
@@ -274,7 +276,9 @@ def similarity_near_dup_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify of the 1.8% candidate set), and recall/precision at
     THIS config are asserted on clustered fixtures in
     tests/test_similarity.py::test_lsh_near_dup_recall_and_precision.
-    Hash-bucket dependent → rows-only at the driver."""
+    Exactly oracled (r8, _lsh_near_dup_sql): deterministic literal
+    hyperplanes make even the empty result a hash-checked claim —
+    the oracle agrees no pair clears 0.9, not just "zero rows"."""
     return similarity.cosine_near_dup_lsh(
         _emb(spark, sf_dir), threshold=0.9, n_planes=8, n_tables=4
     )
@@ -300,6 +304,136 @@ WITH e AS (
 SELECT vec_a, vec_b, round(cos, 6) AS score
 FROM pairs WHERE cos >= {_COSINE_NEAR_DUP_THRESHOLD}
 """
+
+
+def _planes_values_sql(tables: list[list[list[float]]]) -> str:
+    """DuckDB VALUES CTE body ``(tbl, idx, p)`` holding every
+    hyperplane of every table as a list literal — hoisted out of the
+    per-row expressions so each 64-element literal list is built ONCE
+    (inlining them into a comprehension rebuilds the list per element
+    — measured 7× slower on the sf0.01 oracle)."""
+    rows = []
+    for t, planes in enumerate(tables):
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(x) for x in p)
+            rows.append(f"({t}, {i}, [{lits}])")
+    return ",\n           ".join(rows)
+
+
+def _bucket_cte_sql(tables: list[list[list[float]]], dim: int) -> str:
+    """DuckDB twin of similarity._bucket_expr as a CTE chain:
+    ``planes(tbl, idx, p)`` VALUES + a grouped sign-bit sum producing
+    ``k(vec_id, tbl, bucket)``. The per-plane dot keeps the exact
+    left-fold order of Spark's ``aggregate(zip_with(...), 0D, +)``
+    (bit-identical doubles → identical signs → identical buckets);
+    the OUTER sum over sign bits is integer arithmetic, so its order
+    is free. MATERIALIZED: ``k`` feeds a self-join (or probe join) —
+    an inlined CTE would re-run the whole sweep per reference."""
+    return f"""planes(tbl, idx, p) AS (
+    VALUES {_planes_values_sql(tables)}
+), k AS MATERIALIZED (
+    SELECT n.vec_id, pl.tbl,
+           CAST(sum(CASE WHEN list_reduce(list_prepend(0.0, [n.v[i] * pl.p[i] FOR i IN range(1, {dim} + 1)]),
+                                          (acc, x) -> acc + x) > 0
+                    THEN (1 << pl.idx) ELSE 0 END) AS INT) AS bucket
+    FROM n CROSS JOIN planes pl
+    GROUP BY n.vec_id, pl.tbl
+)"""
+
+
+def _lsh_near_dup_sql(
+    threshold: float, n_planes: int, n_tables: int, dim: int = 64
+) -> str:
+    """Exact DuckDB twin of ``similarity.cosine_near_dup_lsh`` — the
+    banded LSH pair sweep is fully deterministic (the hyperplanes are
+    LCG-generated PLAN LITERALS, not engine hashes), so the whole
+    family is hash-oracle-able, not merely rows-only.
+
+    Bit-identical by construction: both engines fold the 64 plane
+    products sequentially left-to-right from 0.0 (Spark
+    ``aggregate(zip_with(...))``, DuckDB ``list_reduce`` over a
+    ``list_prepend(0.0, ...)``), both parse the identical ``repr``
+    decimal literals to the same IEEE doubles, and the bucket is
+    integer arithmetic on the resulting sign bits — so the candidate
+    set, the verify cosines, and the rounded scores all match the
+    Spark plan exactly (cf. ``similarity._bucket_expr`` /
+    ``_banded_candidates``)."""
+    from ..operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(n_planes, dim, seed=42 + t) for t in range(n_tables)]
+    return f"""
+WITH e AS (
+    SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+), n AS MATERIALIZED (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+    FROM e
+    -- zero-norm guard, mirroring cosine_near_dup_lsh (ADVICE r5)
+    WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0
+), {_bucket_cte_sql(tables, dim)}, cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM k a JOIN k b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS (
+    SELECT c.vec_a, c.vec_b,
+           list_reduce(list_prepend(0.0, [na.v[i] * nb.v[i] FOR i IN range(1, len(na.v) + 1)]),
+                       (acc, x) -> acc + x) / (na.nrm * nb.nrm) AS cos
+    FROM cand c
+    JOIN n na ON na.vec_id = c.vec_a
+    JOIN n nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, round(cos, 6) AS score FROM pairs WHERE cos >= {threshold}
+"""
+
+
+LSH_NEAR_DUP_SQL = _lsh_near_dup_sql(_COSINE_NEAR_DUP_THRESHOLD, n_planes=4, n_tables=8)
+LSH_NEAR_DUP_PROD_SQL = _lsh_near_dup_sql(0.9, n_planes=8, n_tables=4)
+
+
+def _lsh_ann_sql(n_queries: int, k: int, n_planes: int, dim: int = 64) -> str:
+    """Exact DuckDB twin of ``similarity.lsh_ann_topk`` (multi-probe
+    single-table LSH ANN). Mirrors the Spark plan clause-for-clause:
+    the seed-42 literal hyperplane bucket, the Hamming-1 probe set
+    (qbucket XOR each single bit, plus the bucket itself), the
+    bucket equi-join with self-match excluded, and the
+    (cos DESC, neighbor_id) rank on the UNROUNDED cosine. No
+    zero-norm guard, exactly like the Spark operator (the testdata
+    embeddings have no zero vectors; the guard lives in the
+    brute-force faces whose results a zero vector could poison)."""
+    from ..operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(n_planes, dim, seed=42)]
+    probe_lits = ", ".join(["0"] + [str(1 << i) for i in range(n_planes)])
+    return f"""
+WITH e AS (
+    SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+), n AS MATERIALIZED (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+    FROM e
+), {_bucket_cte_sql(tables, dim)}, b AS (
+    SELECT n.vec_id, n.v, n.nrm, k.bucket FROM n JOIN k ON k.vec_id = n.vec_id
+), probes AS (
+    SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qnrm, xor(q.bucket, t.p) AS qbucket
+    FROM b q, unnest([{probe_lits}]) AS t(p)
+    WHERE q.vec_id < {n_queries}
+), scored AS (
+    SELECT p.q_id, c.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, [c.v[i] * p.qv[i] FOR i IN range(1, len(c.v) + 1)]),
+                       (acc, x) -> acc + x) / (c.nrm * p.qnrm) AS cos
+    FROM b c JOIN probes p ON c.bucket = p.qbucket
+    WHERE c.vec_id != p.q_id
+), ranked AS (
+    SELECT q_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS score, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+"""
+
+
+LSH_ANN_SQL = _lsh_ann_sql(n_queries=10, k=5, n_planes=8)
 
 
 def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2465,25 +2599,36 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(pairs)
 
 
-def _triangles_sql(threshold: float = _TRIANGLE_THRESHOLD) -> str:
-    """DuckDB twin of graph.triangle_counts over the cosine near-dup
-    pairs — mirrors the degree orientation and wedge canonicalization
-    exactly (UNION ALL everywhere, same (degree, id) tie-breaks)."""
-    dot = (
-        "list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), "
-        "(acc, x) -> acc + x)"
+def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_triangles' SCALE PATH, end-to-end: the same
+    degree-oriented wedge join fed by the banded-LSH pair sweep
+    (similarity.cosine_near_dup_lsh) instead of the all-pairs cosine
+    baseline — no quadratic stage anywhere in the plan, so the whole
+    query inherits the LSH family's near-linear scaling instead of
+    the edge build's O(n²) (SCALING.md charges graph_triangles with
+    exactly that inherited term). Exactly oracled: the deterministic
+    literal hyperplanes make the LSH edge list itself
+    SQL-replayable (_triangles_lsh_sql composes _lsh_near_dup_sql
+    into the shared triangle tail). Recall relative to the exact-fed
+    twin follows the banding S-curve; on planted identical-duplicate
+    cliques recall is exactly 1 (equal vectors share every bucket) —
+    asserted in tests/test_graph.py. graph.kcore composes with the
+    same LSH edge source identically."""
+    from ..operators import graph
+
+    pairs = similarity.cosine_near_dup_lsh(
+        _emb(spark, sf_dir), threshold=_TRIANGLE_THRESHOLD, n_planes=4, n_tables=8
     )
-    return f"""
-WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
-n AS (SELECT vec_id, v,
-             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
-      FROM e
-      -- zero-norm guard (ADVICE r5): without it a 0-vector is a NaN
-      -- universal hub inflating every node's triangle count
-      WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0),
-e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
-       FROM n a JOIN n b ON a.vec_id < b.vec_id
-       WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),
+    return graph.triangle_counts(pairs)
+
+
+def _triangles_tail_sql() -> str:
+    """The edge-source-independent tail of the triangle-count oracle:
+    degree orientation, wedge enumeration, closing-edge probe, and
+    the member count — mirrors graph.triangle_counts exactly (UNION
+    ALL everywhere, same (degree, id) tie-breaks). Prepend any WITH
+    chain that ends in an ``e0(a, b)`` CTE of undirected a < b edges."""
+    return """
 deg AS (SELECT node, count(*) AS d
         FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
         GROUP BY node),
@@ -2503,7 +2648,40 @@ SELECT node, CAST(count(*) AS INT) AS n_triangles FROM member GROUP BY node
 """
 
 
+def _triangles_sql(threshold: float = _TRIANGLE_THRESHOLD) -> str:
+    """DuckDB twin of graph.triangle_counts over the exact cosine
+    near-dup pairs (see _triangles_tail_sql for the shared tail)."""
+    dot = (
+        "list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+      FROM e
+      -- zero-norm guard (ADVICE r5): without it a 0-vector is a NaN
+      -- universal hub inflating every node's triangle count
+      WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0),
+e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),{_triangles_tail_sql()}"""
+
+
+def _triangles_lsh_sql(
+    threshold: float = _TRIANGLE_THRESHOLD, n_planes: int = 4, n_tables: int = 8
+) -> str:
+    """Triangle-count oracle over the LSH-generated edge list — the
+    exact _lsh_near_dup_sql pair sweep (deterministic literal
+    hyperplanes, bit-identical buckets and verify cosines) as the
+    ``e0`` source of the shared degree-oriented tail."""
+    pairs = _lsh_near_dup_sql(threshold, n_planes=n_planes, n_tables=n_tables)
+    return f"""
+WITH e0 AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM ({pairs})),{_triangles_tail_sql()}"""
+
+
 GRAPH_TRIANGLES_SQL = _triangles_sql()
+GRAPH_TRIANGLES_LSH_SQL = _triangles_lsh_sql()
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2514,10 +2692,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same rounds as a generated CTE chain (the bpe_train
     pattern for iterative algorithms). Like graph_triangles, the edge
     list comes from the REGISTERED O(n²) cosine pair baseline so the
-    oracle stays exact — SCALING.md charges both against embeddings
-    growth and shows the inherited super-linear edge build; feeding
-    the peel from the LSH pair generator is the (hash-dependent,
-    rows-only) scale path."""
+    driver row is directly comparable to graph_triangles — SCALING.md
+    charges both against embeddings growth and shows the inherited
+    super-linear edge build. The scale path is the LSH pair
+    generator, which composes identically and stays exactly oracled
+    (see graph_triangles_lsh / _lsh_near_dup_sql)."""
     from ..operators import graph
 
     pairs = similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), _TRIANGLE_THRESHOLD)
@@ -3000,9 +3179,13 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
-        QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
-        QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, None, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
-        QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, None, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
+        QuerySpec("similarity_ann_lsh", similarity_ann_lsh, LSH_ANN_SQL, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
+        # r8: the LSH family gained EXACT oracles (_lsh_near_dup_sql)
+        # — the hyperplanes are deterministic plan literals, not
+        # engine hashes, so "rows-only" was needlessly weak.
+        QuerySpec("graph_triangles_lsh", graph_triangles_lsh, GRAPH_TRIANGLES_LSH_SQL, graph_triangles_lsh.__doc__, tags=("northstar", "graph", "dedup", "lsh")),
+        QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, LSH_NEAR_DUP_SQL, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
+        QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, LSH_NEAR_DUP_PROD_SQL, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
@@ -3010,8 +3193,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
-        QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
-        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
+        # (multimodal_decode_png / _wav moved to the driver window in
+        # r8 — their QuerySpecs live in QUERIES above, not here)
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
         # the LAST codec caveat retired: baseline JPEG decode (r8)

@@ -253,3 +253,53 @@ def test_kcore_k3_keeps_clique_drops_triangle(spark):
     pairs = spark.createDataFrame(clique + triangle, "doc_a long, doc_b long")
     got = {r["node"]: r["core_degree"] for r in kcore(pairs, k=3).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_lsh_equals_exact_on_planted_cliques(spark):
+    """The graph_triangles_lsh composition (plans/northstar): on
+    planted IDENTICAL-vector cliques, equal vectors land in the same
+    bucket of every LSH table, so the banded edge list equals the
+    exact all-pairs one deterministically (recall exactly 1, no
+    S-curve) and the LSH-fed triangle counts match the exact-fed
+    twin node-for-node — the scale path loses nothing on true
+    duplicate cliques."""
+    import math
+
+    from mapreduce_cs416_spark.operators import similarity
+
+    dim = 16
+
+    def lcg_vec(seed: int) -> list[float]:
+        state = seed
+        out = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            out.append((state >> 11) / float(2**53) * 2.0 - 1.0)
+        nrm = math.sqrt(sum(x * x for x in out))
+        return [x / nrm for x in out]
+
+    rows = []
+    sizes = [4, 3, 5]
+    vid = 0
+    for c, size in enumerate(sizes):
+        vec = lcg_vec(31 + c)
+        for _ in range(size):
+            rows.append((vid, vec))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact_pairs = similarity.cosine_near_dup_pairs(emb, 0.9)
+    lsh_pairs = similarity.cosine_near_dup_lsh(emb, 0.9, n_planes=8, n_tables=4, dim=dim)
+    t_exact = {(r["node"], r["n_triangles"]) for r in graph.triangle_counts(exact_pairs).collect()}
+    t_lsh = {(r["node"], r["n_triangles"]) for r in graph.triangle_counts(lsh_pairs).collect()}
+    assert t_exact == t_lsh
+
+    # every member of a c-clique closes C(c-1, 2) triangles; the
+    # size-3 clique contributes 1 per node, 4 -> 3, 5 -> 6
+    expected = {}
+    vid = 0
+    for size in sizes:
+        for _ in range(size):
+            expected[vid] = (size - 1) * (size - 2) // 2
+            vid += 1
+    assert t_lsh == {(v, n) for v, n in expected.items() if n > 0}
