@@ -775,19 +775,63 @@ def cdc_chunks(
     )
 
 
+# Portable 64-bit word hash for SimHash (r8): two Horner polynomial
+# hashes over the word's code points (bases 31/131, mod 1e9+7 — the
+# cdc_chunks discipline) mixed by one multiply-shift step
+# z = (h1*K1 + h2*K2) mod 2^64 with odd 64-bit constants (the classic
+# universal multiply-shift family, Dietzfelbinger et al. 1997). The
+# multiply runs in DECIMAL(38,0) on the Spark side (30-bit × 64-bit
+# products are 29 digits, well inside 38) and HUGEINT in DuckDB, then
+# z splits into two 32-bit halves that fit BIGINT for bit extraction
+# — verified bit-identical across engines. xxhash64 gave the same
+# operator engine-locked buckets and an unverifiable (rows-only)
+# driver row.
+SIMHASH_MOD = 1_000_000_007
+SIMHASH_K1 = 11400714819323198485  # 0x9E3779B97F4A7C15, odd
+SIMHASH_K2 = 14029467366897019727  # 0xC2B2AE3D27D4EB4F, odd
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): 64-bit SimHash over word tokens.
 
     Per-bit contributions aggregated as 64 conditional sums (map-side
     partial, one shuffle, one output row per doc) — no 64× row
-    explosion.
+    explosion. The per-word hash is the portable multiply-shift mix
+    above, so the DuckDB twin (plans/northstar.DEDUP_SIMHASH_SQL)
+    replays every bucket exactly.
     """
-    tok = _spread(docs).select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))).alias("w"),
-    ).select("doc_id", F.xxhash64("w").alias("h"))
+    h1 = F.aggregate(
+        F.split("w", ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % SIMHASH_MOD,
+    )
+    h2 = F.aggregate(
+        F.split("w", ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % SIMHASH_MOD,
+    )
+    z = F.expr(
+        f"(CAST(h1 AS DECIMAL(38,0)) * {SIMHASH_K1} + CAST(h2 AS DECIMAL(38,0)) * {SIMHASH_K2})"
+        " % 18446744073709551616"
+    )
+    tok = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", WORD_SPLIT_RE), lambda w: w != F.lit(""))).alias("w"),
+        )
+        .select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        .select("doc_id", z.alias("z"))
+        .select(
+            "doc_id",
+            F.expr("CAST(z div 4294967296 AS LONG)").alias("zh"),
+            F.expr("CAST(z % 4294967296 AS LONG)").alias("zl"),
+        )
+    )
     sums = [
-        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+        F.sum(
+            F.when(F.expr(f"({'zl' if j < 32 else 'zh'} >> {j % 32}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
         for j in range(64)
     ]
     agg = tok.groupBy("doc_id").agg(*sums)

@@ -548,7 +548,9 @@ QUERIES: dict[str, QuerySpec] = {
         # families rotated in during r7.
         QuerySpec("events_multires_rollup", events_multires_rollup, EVENTS_MULTIRES_SQL, events_multires_rollup.__doc__, tags=("events", "window", "agg", "rollup")),
         QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, headline=True, tags=("events", "agg", "anomaly", "monitoring")),
-        QuerySpec("events_transition_matrix", events_transition_matrix, EVENTS_TRANSITION_SQL, events_transition_matrix.__doc__, tags=("events", "window", "markov")),
+        # events_transition_matrix rotated to EXTRA late-r8 (driver-
+        # hashed green in r7; the freed slot carries the newly
+        # exact-oracled LSH family — see plans/northstar.py).
         # events_distinct_rollup rotated to EXTRA in r6 (VERDICT r5
         # item 7): rows-only by construction (DataSketches HLL), its
         # real check is the error-bound/union pytest — the freed window
@@ -563,6 +565,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
+        QuerySpec("events_transition_matrix", events_transition_matrix, EVENTS_TRANSITION_SQL, events_transition_matrix.__doc__, tags=("events", "window", "markov")),
         QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
         QuerySpec("events_distinct_rollup", events_distinct_rollup, None, events_distinct_rollup.__doc__, tags=("events", "agg", "approx", "sketch")),

@@ -168,6 +168,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Exact DuckDB twin of dedup.simhash_near_dups — possible since
+    r8's portable word hash (two Horner code-point hashes mixed by a
+    multiply-shift step; see operators/dedup.SIMHASH_K1 docstring).
+    The HUGEINT multiply replays Spark's DECIMAL(38,0) arithmetic
+    exactly; the 64 conditional sign-sums and the bit reassembly are
+    integer arithmetic. The pigeonhole banding is LOSSLESS (any pair
+    within Hamming <= 3 shares one of four 16-bit chunks), so the
+    oracle verifies the simpler all-pairs form — identical rows."""
+    from ..operators.dedup import SIMHASH_K1, SIMHASH_K2, SIMHASH_MOD
+
+    def horner(base: int) -> str:
+        return (
+            f"list_reduce([CAST(unicode(c) AS BIGINT) FOR c IN string_split(ws[i], '')], "
+            f"(acc, x) -> (acc * {base} + x) % {SIMHASH_MOD})"
+        )
+
+    z = f"((CAST(h1 AS HUGEINT) * {SIMHASH_K1} + CAST(h2 AS HUGEINT) * {SIMHASH_K2}) % 18446744073709551616)"
+    sum_cols = ",\n           ".join(
+        f"sum(CASE WHEN (({'zl' if j < 32 else 'zh'} >> {j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j if j < 63 else -(2**63)} ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), tok AS (
+    SELECT doc_id, {horner(31)} AS h1, {horner(131)} AS h2
+    FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+), zed AS (
+    SELECT doc_id,
+           CAST({z} // 4294967296 AS BIGINT) AS zh,
+           CAST({z} % 4294967296 AS BIGINT) AS zl
+    FROM tok
+), sums AS (
+    SELECT doc_id,
+           {sum_cols}
+    FROM zed GROUP BY doc_id
+), sh AS MATERIALIZED (
+    SELECT doc_id, {bit_terms} AS simhash FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
 def dedup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=4 matches text_decontaminate's tuning note: at k=3 this corpus
     # flags nearly everything, at k=4 the fraction genuinely varies
@@ -2599,6 +2653,20 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(pairs)
 
 
+def graph_kcore_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_kcore's scale path: the same simultaneous peel fed by
+    the banded-LSH pair sweep instead of the all-pairs baseline — no
+    quadratic stage, still exactly oracled (the LSH pairs CTE feeds
+    the same unrolled-peel oracle; see graph_triangles_lsh for the
+    composition rationale)."""
+    from ..operators import graph
+
+    pairs = similarity.cosine_near_dup_lsh(
+        _emb(spark, sf_dir), threshold=_TRIANGLE_THRESHOLD, n_planes=4, n_tables=8
+    )
+    return graph.kcore(pairs, k=2, src="vec_a", dst="vec_b")
+
+
 def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_triangles' SCALE PATH, end-to-end: the same
     degree-oriented wedge join fed by the banded-LSH pair sweep
@@ -2728,10 +2796,19 @@ p AS (SELECT a.vec_id AS a, b.vec_id AS b
       WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),
 e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)"""
     ]
-    # each round references the previous one three times (degree scan
-    # + two survivor subqueries) — without MATERIALIZED the inlined
-    # tree grows 3^rounds and DuckDB re-opens the base parquet scan
-    # exponentially many times ("Too many open files")
+    parts.extend(_kcore_round_parts(k, rounds))
+    return "".join(parts)
+
+
+def _kcore_round_parts(k: int, rounds: int) -> list[str]:
+    """The edge-source-independent peel unroll shared by the exact
+    and LSH-fed k-core oracles: ``rounds`` MATERIALIZED round CTEs
+    over an ``e0(u, v)`` symmetric edge list, then the core-degree
+    count. Each round references the previous one three times (degree
+    scan + two survivor subqueries) — without MATERIALIZED the
+    inlined tree grows 3^rounds and DuckDB re-opens the base parquet
+    scan exponentially many times ("Too many open files")."""
+    parts = []
     for r in range(1, rounds + 1):
         parts.append(
             f""",
@@ -2743,10 +2820,31 @@ e{r} AS MATERIALIZED (SELECT x.u, x.v FROM e{r - 1} x
         f"""
 SELECT u AS node, CAST(count(*) AS INT) AS core_degree FROM e{rounds} GROUP BY u"""
     )
+    return parts
+
+
+def _kcore_lsh_sql(
+    threshold: float = _TRIANGLE_THRESHOLD,
+    k: int = 2,
+    rounds: int = 24,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> str:
+    """k-core oracle over the LSH-generated edge list — the exact
+    _lsh_near_dup_sql pair sweep as the ``e0`` source of the shared
+    peel unroll (cf. _triangles_lsh_sql)."""
+    pairs = _lsh_near_dup_sql(threshold, n_planes=n_planes, n_tables=n_tables)
+    parts = [
+        f"""
+WITH p AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM ({pairs})),
+e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)"""
+    ]
+    parts.extend(_kcore_round_parts(k, rounds))
     return "".join(parts)
 
 
 GRAPH_KCORE_SQL = _kcore_sql()
+GRAPH_KCORE_LSH_SQL = _kcore_lsh_sql()
 
 
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3085,7 +3183,15 @@ QUERIES: dict[str, QuerySpec] = {
         # corpus_temperature_mix. Window stays 50/50 oracled.
         QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, headline=True, tags=("northstar", "dedup", "pipeline", "join")),
         QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, headline=True, tags=("northstar", "text", "topk", "join")),
-        QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
+        # corpus_temperature_mix rotated to EXTRA late-r8 (driver-
+        # hashed green in r7; corpus family stays in-window via
+        # pack_sequences / release_pipeline / bpe_train+encode). Its
+        # slot and events_transition_matrix's carry the LSH family's
+        # r8 exact-oracle upgrade: the banded pair sweep and the
+        # LSH-fed triangle scale path, both hash-checked now that the
+        # deterministic literal hyperplanes have DuckDB twins.
+        QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, LSH_NEAR_DUP_SQL, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
+        QuerySpec("graph_triangles_lsh", graph_triangles_lsh, GRAPH_TRIANGLES_LSH_SQL, graph_triangles_lsh.__doc__, headline=True, tags=("northstar", "graph", "dedup", "lsh")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, headline=True, tags=("northstar", "text", "topk")),
         QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, headline=True, tags=("northstar", "graph", "dedup")),
@@ -3171,7 +3277,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # rotated out of the driver window in r5/r6 (see QUERIES
         # comment); rows-only smoke runs in test_parity, recall/quality
         # properties in tests/test_dedup.py / tests/test_similarity.py
-        QuerySpec("dedup_simhash", dedup_simhash, None, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
+        # r8: simhash moved off xxhash64 onto a portable multiply-shift
+        # word hash (operators/dedup.SIMHASH_K1 comment) — exact oracle.
+        QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
         QuerySpec("dedup_ngram_fraction", dedup_ngram_fraction, DEDUP_NGRAM_FRACTION_SQL, dedup.duplicated_ngram_fraction.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         # r8: the ExactSubstr rewrite stage — the deduplicated corpus
         # itself (its cut-list producer dedup_substring_spans sits in
@@ -3182,10 +3290,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, LSH_ANN_SQL, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
         # r8: the LSH family gained EXACT oracles (_lsh_near_dup_sql)
         # — the hyperplanes are deterministic plan literals, not
-        # engine hashes, so "rows-only" was needlessly weak.
-        QuerySpec("graph_triangles_lsh", graph_triangles_lsh, GRAPH_TRIANGLES_LSH_SQL, graph_triangles_lsh.__doc__, tags=("northstar", "graph", "dedup", "lsh")),
-        QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, LSH_NEAR_DUP_SQL, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
+        # engine hashes, so "rows-only" was needlessly weak. The pair
+        # sweep and the LSH-fed triangles moved INTO the driver
+        # window (late-r8); the production point stays here, benched.
         QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, LSH_NEAR_DUP_PROD_SQL, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
+        QuerySpec("graph_kcore_lsh", graph_kcore_lsh, GRAPH_KCORE_LSH_SQL, graph_kcore_lsh.__doc__, tags=("northstar", "graph", "dedup", "lsh", "iterative")),
+        QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),

@@ -104,14 +104,38 @@ def test_minhash_excludes_shingleless_docs(spark):
     assert _pairs(out) == {(4, 5)}
 
 
-def test_simhash_finds_near_identical_only(near_dup_corpus):
-    out = dedup.simhash_near_dups(near_dup_corpus, max_hamming=3)
-    found = _pairs(out)
-    # every found pair must be a constructed mutation pair, never filler
-    assert found
-    assert all(b == a + 1 and a % 2 == 0 for a, b in found), found
-    # the lightest mutation (1 word of 200) must be within Hamming 3
-    assert (0, 1) in found
+def test_simhash_finds_near_identical_only(spark):
+    # SimHash statistics, not folklore: a bit flips between two docs
+    # only when its ±1 sign-sum margin is smaller than the change, so
+    # a 1-word-of-n mutation lands at expected Hamming ≈ 64·4/√(2πn)
+    # — ~7 for n=200 (the shared near_dup_corpus would need a lucky
+    # hash draw to pass a ≤3 radius, and the old engine hash WAS that
+    # lucky draw), but ~1 for n=4000. This fixture pins the regime
+    # the 4×16-bit pigeonhole banding is actually designed for:
+    # exact duplicates (Hamming 0), a 1-of-4000 mutation (measured
+    # Hamming 1), a 33%-mutated twin (measured 23), unrelated filler
+    # (measured 18-32).
+    def vocab(tag: str, n: int) -> list[str]:
+        return [f"{tag}{_alpha(i)}" for i in range(n)]
+
+    exact = vocab("ex", 4000)
+    base = vocab("mu", 4000)
+    mut = list(base)
+    mut[1234] = "changedword"
+    far = vocab("fa", 4000)
+    far_twin = [w if i % 3 else f"alt{_alpha(i)}" for i, w in enumerate(far)]
+    rows = [
+        (0, " ".join(exact)),
+        (1, " ".join(exact)),  # identical -> Hamming 0
+        (2, " ".join(base)),
+        (3, " ".join(mut)),  # 1 word of 4000 -> Hamming ~1
+        (4, " ".join(far)),
+        (5, " ".join(far_twin)),  # every 3rd word differs -> ~23
+    ]
+    rows += [(10 + i, " ".join(f"fill{_alpha(97 * i + j)}" for j in range(300))) for i in range(4)]
+    docs = _corpus(spark, rows)
+    found = _pairs(dedup.simhash_near_dups(docs, max_hamming=3))
+    assert found == {(0, 1), (2, 3)}
 
 
 def test_ngram_jaccard_max_df_cap(spark):
