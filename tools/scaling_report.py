@@ -76,6 +76,10 @@ _EMBEDDING_QUERIES = {
     # quadratic; an LSH-fed edge build is the (rows-only) scale path.
     "graph_triangles",
     "graph_kcore",
+    # the LSH-fed twin scans the same embeddings table; its point is
+    # that WITHOUT the quadratic edge build the exponent should fall
+    # out of the baselines' band
+    "graph_triangles_lsh",
 }
 
 # queries whose actual scan set is NOT what their tags imply (checked
