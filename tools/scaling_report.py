@@ -73,7 +73,8 @@ _EMBEDDING_QUERIES = {
     # charging them documents' 10× growth understated their exponents
     # — against embeddings growth they are EXPECTED to trend mildly
     # super-linear exactly because the exact-oracle edge build is
-    # quadratic; an LSH-fed edge build is the (rows-only) scale path.
+    # quadratic; the LSH-fed edge build (graph_triangles_lsh below,
+    # exactly oracled since r8) is the scale path.
     "graph_triangles",
     "graph_kcore",
     # the LSH-fed twin scans the same embeddings table; its point is
@@ -303,8 +304,10 @@ def main() -> int:
         "  universes (the filter discards cross-universe pairs AFTER the",
         "  dot products) — not the wedge join's or the peel's, which are",
         "  linear in the edge list they are handed. Swapping in the LSH",
-        "  pair generator is the drop-in scale path for both (hash-",
-        "  dependent, hence rows-only checkable).",
+        "  pair generator is the drop-in scale path — `graph_triangles_lsh`",
+        "  in this table measures it (exactly oracled since r8, like every",
+        "  LSH query: the hyperplanes are plan literals both engines",
+        "  replay; `graph_kcore_lsh` composes identically in the extras).",
         "- **Overhead-bound rows** are fine: they say the query is so cheap at both",
         "  scales that the data term hasn't surfaced yet. They provide no asymptotic",
         "  evidence either way.",
