@@ -749,3 +749,80 @@ def lang_centroid_scores(
         )
         .select("doc_id", "lang", "lang_n", F.round("cos", 6).alias("centroid_cos"))
     )
+
+
+def lsh_eval(
+    emb: DataFrame,
+    points: list[tuple[str, float, int, int]],
+    dim: int = 64,
+) -> DataFrame:
+    """Operating-point evaluation of the banded-LSH near-dup sweep AS
+    A QUERY: for each (label, threshold, n_planes, n_tables) point,
+    one row (point, n_vectors, n_true, n_candidates, n_found, recall,
+    candidate_ratio) scoring the banding against the brute-force
+    exact pair set as ground truth — the measurement
+    ``lsh_candidate_stats`` and the pytest recall assertions make,
+    productized (cf. ``ranking_metrics`` for the ANN ranking face).
+
+    Every count is a bounded one-row aggregate cross-joined onto the
+    point row (scalar exchanges, never data-sized); the exact sweep
+    is the documented O(n²) ground-truth cost, exactly like
+    ``similarity_eval_ivf``'s brute-force truth — this is an eval
+    face run at fixture scale, not a production path. Deterministic
+    literal hyperplanes + integer counts + one IEEE division per
+    metric (6-dp rounded, NULL when the truth set is empty) keep the
+    whole evaluation hash-exact against the DuckDB twin
+    (plans/northstar.SIMILARITY_EVAL_LSH_SQL).
+    """
+    from .dedup import _spread
+    from .graph import _unpersist_checkpoint
+
+    spark = emb.sparkSession
+    out = None
+    for label, threshold, n_planes, n_tables in points:
+        p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
+        try:
+            cand = _banded_candidates(p, n_planes, n_tables, dim)
+            va = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+            vb = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+            dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            found = (
+                cand.join(va, "vec_a").join(vb, "vec_b")
+                .where((dot / (F.col("na") * F.col("nb"))) >= threshold)
+            )
+            dot_t = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            true = (
+                va.join(vb, F.col("vec_a") < F.col("vec_b"))
+                .where((dot_t / (F.col("na") * F.col("nb"))) >= threshold)
+            )
+            row = (
+                spark.range(1)
+                .select(F.lit(label).alias("point"))
+                .crossJoin(p.agg(F.count("*").alias("n_vectors")))
+                .crossJoin(true.agg(F.count("*").alias("n_true")))
+                .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+                .crossJoin(found.agg(F.count("*").alias("n_found")))
+                .select(
+                    "point",
+                    F.col("n_vectors").cast("int").alias("n_vectors"),
+                    F.col("n_true").cast("int").alias("n_true"),
+                    F.col("n_candidates").cast("int").alias("n_candidates"),
+                    F.col("n_found").cast("int").alias("n_found"),
+                    F.when(
+                        F.col("n_true") > 0,
+                        F.round(F.col("n_found") / F.col("n_true").cast("double"), 6),
+                    ).alias("recall"),
+                    F.round(
+                        F.col("n_candidates")
+                        / (F.col("n_vectors") * (F.col("n_vectors") - 1) / F.lit(2.0)),
+                        6,
+                    ).alias("candidate_ratio"),
+                )
+                # the one-row result is computed eagerly so the
+                # checkpointed prep blocks can be freed per point
+                .localCheckpoint()
+            )
+        finally:
+            _unpersist_checkpoint(p)
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -490,6 +490,82 @@ FROM ranked WHERE rn <= {k}
 LSH_ANN_SQL = _lsh_ann_sql(n_queries=10, k=5, n_planes=8)
 
 
+# The two REGISTERED LSH operating points, evaluated side by side:
+# the recall-friendly mid-threshold demo banding and the production
+# 0.9-threshold point whose 1.8% candidate ratio is the scale claim.
+_LSH_EVAL_POINTS = [
+    ("demo_4x8", _COSINE_NEAR_DUP_THRESHOLD, 4, 8),
+    ("prod_8x4", 0.9, 8, 4),
+]
+
+
+def similarity_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point evaluation AS A QUERY
+    (operators/similarity.lsh_eval): both registered bandings scored
+    against the brute-force exact pair set — per point, the true pair
+    count, the banded candidate count, the verified-found count,
+    recall, and the candidate ratio (the fraction of all pairs the
+    verify stage pays for). This is lsh_candidate_stats + the pytest
+    recall assertions productized and driver-hashable: deterministic
+    literal hyperplanes make the WHOLE evaluation — including the
+    S-curve's measured output — exactly SQL-expressible."""
+    return similarity.lsh_eval(_emb(spark, sf_dir), _LSH_EVAL_POINTS)
+
+
+def _lsh_eval_sql(points=None, dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_eval: one per-point block (the
+    _lsh_near_dup_sql CTE machinery plus four one-row counts), UNION
+    ALL across points, identical metric formulas (same IEEE division
+    trees, 6-dp rounds, NULL recall on an empty truth set)."""
+    from ..operators.similarity import _hyperplanes
+
+    blocks = []
+    for label, threshold, n_planes, n_tables in points or _LSH_EVAL_POINTS:
+        tables = [_hyperplanes(n_planes, dim, seed=42 + t) for t in range(n_tables)]
+        dot_ab = (
+            "list_reduce(list_prepend(0.0, [na.v[i] * nb.v[i] FOR i IN range(1, len(na.v) + 1)]), "
+            "(acc, x) -> acc + x)"
+        )
+        dot_tr = (
+            "list_reduce(list_prepend(0.0, [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), "
+            "(acc, x) -> acc + x)"
+        )
+        blocks.append(f"""
+SELECT '{label}' AS point,
+       CAST(n_vectors AS INT) AS n_vectors,
+       CAST(n_true AS INT) AS n_true,
+       CAST(n_candidates AS INT) AS n_candidates,
+       CAST(n_found AS INT) AS n_found,
+       CASE WHEN n_true > 0 THEN round(n_found / CAST(n_true AS DOUBLE), 6) END AS recall,
+       round(n_candidates / (n_vectors * (n_vectors - 1) / 2.0), 6) AS candidate_ratio
+FROM (
+    WITH e AS (
+        SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+    ), n AS MATERIALIZED (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x)) AS nrm
+        FROM e
+        WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, x) -> acc + x) > 0
+    ), {_bucket_cte_sql(tables, dim)}, cand AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM k a JOIN k b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT (SELECT count(*) FROM n) AS n_vectors,
+           (SELECT count(*) FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE {dot_tr} / (a.nrm * b.nrm) >= {threshold}) AS n_true,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM cand c
+             JOIN n na ON na.vec_id = c.vec_a
+             JOIN n nb ON nb.vec_id = c.vec_b
+             WHERE {dot_ab} / (na.nrm * nb.nrm) >= {threshold}) AS n_found
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SIMILARITY_EVAL_LSH_SQL = _lsh_eval_sql()
+
+
 def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-k (operators/quantize.quantized_topk):
     the serving-side compression path — 3.5× narrower vectors on the
@@ -3295,6 +3371,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # window (late-r8); the production point stays here, benched.
         QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, LSH_NEAR_DUP_PROD_SQL, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
         QuerySpec("graph_kcore_lsh", graph_kcore_lsh, GRAPH_KCORE_LSH_SQL, graph_kcore_lsh.__doc__, tags=("northstar", "graph", "dedup", "lsh", "iterative")),
+        QuerySpec("similarity_eval_lsh", similarity_eval_lsh, SIMILARITY_EVAL_LSH_SQL, similarity.lsh_eval.__doc__, tags=("northstar", "similarity", "lsh", "eval")),
         QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
