@@ -634,6 +634,93 @@ def streaming_view_maintenance(
     )
 
 
+def stream_embeddings_replayed(spark: SparkSession, sf_dir: str, copies: int = 2) -> DataFrame:
+    """embeddings replayed as ``copies`` identical single-file
+    micro-batches (cf. stream_documents_replayed) — the arrival shape
+    for the LSH admission gate's replay-absorption check."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(f"{sf_dir}/embeddings.parquet", copies=copies))
+    )
+
+
+def streaming_lsh_near_dup_gate(
+    emb_stream: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Streaming embedding admission through the banded-LSH candidate
+    engine: each arriving vector is sign-bit bucketed under the SAME
+    deterministic literal hyperplanes as the batch sweep (pure
+    codegen — the signature pass runs unchanged inside a streaming
+    plan), candidates come from a stream-static equi-join on
+    (table, bucket) against the ONCE-bucketed static corpus (never
+    all-pairs, never a stream-stream join), every candidate is
+    verified with the exact cosine, and ONE streaming aggregation
+    folds the per-table probes to a row per arriving vector:
+    (vec_id, near_dup) — near_dup = 1 iff some OTHER corpus vector
+    clears the threshold. The max() fold makes replays absorb by
+    construction (a re-delivered shard re-emits identical hits);
+    state is one row per DISTINCT arriving vec_id, the admission
+    ledger itself. The Hamming/S-curve recall semantics are exactly
+    the batch operator's (similarity.cosine_near_dup_lsh) — the
+    IDENTICAL function body runs on the batch table, and
+    tests/test_streaming.py asserts stream == batch under doubled
+    shard delivery. Corpus accretion (admitting novel vectors into
+    the bucketed index) follows streaming_ingest_gate's foreachBatch
+    shape and stays that service's job."""
+    from ..operators import similarity
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        p = similarity._prepared(df).where(F.col("nrm") > 0)
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    similarity._bucket_expr(
+                        similarity._hyperplanes(n_planes, dim, seed=42 + t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return p.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("v").alias(f"{prefix}_v"),
+            F.col("nrm").alias(f"{prefix}_nrm"),
+            F.explode(tables).alias("tb"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_v",
+            f"{prefix}_nrm",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    s = keyed(emb_stream, "new")
+    c = keyed(corpus, "corpus")
+    dot = F.expr(
+        "aggregate(zip_with(new_v, corpus_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    hit = F.when(
+        F.col("corpus_id").isNotNull()
+        & (F.col("corpus_id") != F.col("new_id"))
+        & ((dot / (F.col("new_nrm") * F.col("corpus_nrm"))) >= threshold),
+        1,
+    ).otherwise(0)
+    return (
+        s.join(c, ["tbl", "bucket"], "left_outer")
+        .select(F.col("new_id").alias("vec_id"), hit.alias("h"))
+        .groupBy("vec_id")
+        .agg(F.max("h").cast("int").alias("near_dup"))
+    )
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the stream's current input in one run (availableNow) into
     an in-memory table `name`; returns after the query stops. The unit

@@ -502,3 +502,30 @@ def test_streaming_fingerprint_dedup_matches_batch_and_absorbs_replays(spark, sf
     # the winner table is keyed by signature: no fingerprint twice
     sigs = [tuple(r[:4]) for r in got]
     assert len(sigs) == len(set(sigs))
+
+
+def test_streaming_lsh_gate_matches_batch_and_absorbs_replays(spark, sf_dir):
+    """The streaming LSH admission gate (arriving vectors bucketed
+    under the literal hyperplanes inside the streaming plan, verified
+    against the once-bucketed static corpus by a stream-static join)
+    must equal the identical batch body row-for-row even when every
+    shard is re-delivered twice — the max() fold absorbs replays.
+    Run at the demo operating point (0.42, 4 planes x 8 tables) so
+    the fixture genuinely produces BOTH decisions."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    replay = sp.stream_embeddings_replayed(spark, sf_dir, copies=2)
+    assert replay.isStreaming
+    point = dict(threshold=0.42, n_planes=4, n_tables=8)
+    sp.run_available_now(
+        sp.streaming_lsh_near_dup_gate(replay, corpus, **point), "t_lshgate"
+    )
+    got = _canon(spark.table("t_lshgate"))
+    want = _canon(sp.streaming_lsh_near_dup_gate(corpus, corpus, **point))
+    assert got == want and got
+    flags = {str(r[-1]) for r in got}
+    assert flags == {"0", "1"}  # non-vacuous in both directions
+    # one ledger row per arriving vector, replays absorbed
+    ids = [r[0] for r in got]
+    assert len(ids) == len(set(ids))

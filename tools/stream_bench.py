@@ -204,6 +204,22 @@ def bench_fingerprint_dedup(spark, sf_dir: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_lsh_gate(spark, sf_dir: str) -> dict:
+    """Times the streaming LSH admission hot path: per arriving
+    vector, the 32-hyperplane signature pass + the stream-static
+    bucket join against the once-bucketed corpus + exact-cosine
+    verify, folded by the one-ledger-row stateful agg. Run at the
+    production 0.9-threshold point — the config an ingest service
+    would deploy."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    arrivals = sp.stream_embeddings_replayed(spark, sf_dir, copies=N_REPLAYS)
+    agg = sp.streaming_lsh_near_dup_gate(arrivals, corpus, threshold=0.9, n_planes=8, n_tables=4)
+    q = sp.run_available_now(agg, "streambench_lshgate")
+    return _batch_stats(q.recentProgress)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stream-bench")
@@ -215,6 +231,7 @@ def main() -> int:
             "view_maintenance": bench_view_maintenance(spark, sf_dir, f"{base}/ivm"),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
             "fingerprint_dedup": bench_fingerprint_dedup(spark, sf_dir),
+            "lsh_gate": bench_lsh_gate(spark, sf_dir),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
