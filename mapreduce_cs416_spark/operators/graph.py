@@ -279,6 +279,78 @@ def pagerank(
     return ranks.select(F.col("u").alias("node"), "rank")
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    n_iter: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+) -> DataFrame:
+    """PageRank in SCALED-INTEGER fixed-point arithmetic — the
+    exactly-oracle-able twin of ``pagerank``. Ranks are BIGINTs
+    scaled by ``scale``; each contribution is an integer floor
+    division by the out-degree; damping is applied as
+    ``·damping_num DIV damping_den``. Integer sums commute on any
+    partitioning, so — unlike the float twin, whose ranks depend on
+    summation order and which is therefore rows-only at the driver —
+    every round here is bit-reproducible and DuckDB replays the
+    identical rounds as a generated MATERIALIZED CTE chain
+    (plans/northstar.GRAPH_PAGERANK_FIXED_SQL, the kcore/bpe_train
+    pattern). The price is mass leakage from the floors (sum(rank)
+    drifts at most a few node-counts of ulps below ``scale``), a
+    documented trade for exactness; ranking order matches the float
+    twin on the test graphs (tests/test_graph.py).
+
+    Scale shape per iteration: identical to ``pagerank`` — one
+    O(|E|) join on the source key, one contribution shuffle to the
+    target key, a left join back to the node set, a one-row dangling
+    scalar; eager localCheckpoint + superseded-block frees.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct().localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(F.col("u").alias("node"), F.lit(0).cast("long").alias("rank_fp"))
+    deg = e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    # the same nesting the oracle uses: ((den-num)*scale // den) // n
+    base = ((damping_den - damping_num) * scale // damping_den) // n
+    ranks = nodes.select("u", F.lit(scale // n).cast("long").alias("r")).localCheckpoint()
+    for _ in range(n_iter):
+        dangling = int(
+            ranks.join(deg, "u", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
+            or 0
+        )
+        dang_share = dangling // n
+        contribs = (
+            e.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("u"), F.expr("r div outdeg").alias("c"))
+        )
+        summed = contribs.groupBy("u").agg(F.sum("c").alias("s"))
+        prev = ranks
+        ranks = (
+            nodes.join(summed, "u", "left")
+            .select(
+                "u",
+                F.expr(
+                    f"CAST({base} + ({damping_num} * (coalesce(s, 0) + {dang_share})) div {damping_den} AS LONG)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+        _unpersist_checkpoint(prev)
+    for df in (e, nodes, deg):
+        _unpersist_checkpoint(df)
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_fp"))
+
+
 def triangle_counts(
     pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b", materialize: bool = True
 ) -> DataFrame:

@@ -887,6 +887,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(sym, n_iter=8).select("node", F.round("rank", 6).alias("rank"))
 
 
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.pagerank_fixed) over the
+    same part–supplier bipartite graph as graph_pagerank — the
+    exactly-oracled twin: scaled-BIGINT ranks, integer floor
+    divisions, order-free sums, so the DuckDB unrolled-round chain
+    (GRAPH_PAGERANK_FIXED_SQL) reproduces every rank bit-for-bit.
+    With this face registered, the float power iteration remains the
+    ONLY rows-only graph query — and its exactly-checkable sibling
+    sits beside it."""
+    from ..operators.graph import pagerank_fixed
+
+    line = load_table(spark, sf_dir, "lineitem")
+    edges = line.select(F.col("l_partkey").alias("u"), (-F.col("l_suppkey")).alias("v"))
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return pagerank_fixed(sym, n_iter=8)
+
+
+def _pagerank_fixed_sql(
+    n_iter: int = 8, num: int = 85, den: int = 100, scale: int = 10**9
+) -> str:
+    """DuckDB twin of graph.pagerank_fixed over the part–supplier
+    graph: the same edge prep, then ``n_iter`` unrolled MATERIALIZED
+    rounds (the kcore/bpe_train pattern) with the IDENTICAL integer
+    formulas — contributions ``r // outdeg``, damping
+    ``·num // den``, per-round dangling scalar — so the engines
+    agree exactly, floors and all."""
+    parts = [
+        f"""
+WITH raw AS (
+    SELECT l_partkey AS u, -l_suppkey AS v FROM lineitem
+    UNION ALL
+    SELECT -l_suppkey AS u, l_partkey AS v FROM lineitem
+), e AS MATERIALIZED (SELECT DISTINCT u, v FROM raw WHERE u != v),
+nodes AS MATERIALIZED (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+r0 AS MATERIALIZED (SELECT u, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT coalesce(sum(p.r), 0) AS dang
+       FROM r{k - 1} p LEFT JOIN deg ON deg.u = p.u WHERE deg.outdeg IS NULL),
+c{k} AS MATERIALIZED (SELECT e.v AS u, sum(p.r // deg.outdeg) AS s
+       FROM e JOIN r{k - 1} p ON p.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+r{k} AS MATERIALIZED (SELECT nodes.u,
+       (({den} - {num}) * CAST({scale} AS BIGINT) // {den}) // (SELECT n FROM nn)
+       + ({num} * (coalesce(c{k}.s, 0) + (SELECT dang FROM d{k}) // (SELECT n FROM nn))) // {den} AS r
+       FROM nodes LEFT JOIN c{k} ON c{k}.u = nodes.u)"""
+        )
+    parts.append(f"""
+SELECT u AS node, CAST(r AS BIGINT) AS rank_fp FROM r{n_iter}""")
+    return "".join(parts)
+
+
+GRAPH_PAGERANK_FIXED_SQL = _pagerank_fixed_sql()
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/textstats.pii_scan_redact) over a CRM-note
     frame synthesized deterministically from `customer` — the slim
@@ -3375,6 +3433,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
+        # r8: the fixed-point twin gives the iteration an EXACT oracle
+        # — integer sums commute, so only the float face stays rows-only.
+        QuerySpec("graph_pagerank_fixed", graph_pagerank_fixed, GRAPH_PAGERANK_FIXED_SQL, graph_pagerank_fixed.__doc__, tags=("northstar", "graph", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),

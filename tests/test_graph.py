@@ -303,3 +303,37 @@ def test_triangles_lsh_equals_exact_on_planted_cliques(spark):
             expected[vid] = (size - 1) * (size - 2) // 2
             vid += 1
     assert t_lsh == {(v, n) for v, n in expected.items() if n > 0}
+
+
+def test_pagerank_fixed_orders_like_float_and_conserves_mass(spark):
+    """The fixed-point twin must rank nodes in the same order as the
+    float power iteration (floors perturb ranks by ~1e-9·scale, far
+    below the rank gaps of a structured graph) and keep total mass
+    within n_nodes floors of the scale."""
+    from mapreduce_cs416_spark.operators.graph import pagerank, pagerank_fixed
+
+    # a hub-and-chain digraph with a dangling sink (node 5)
+    edges = [(1, 2), (3, 2), (4, 2), (2, 5), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    fp = {r["node"]: r["rank_fp"] for r in pagerank_fixed(df, n_iter=8).collect()}
+    fl = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    assert set(fp) == set(fl)
+    order_fp = sorted(fp, key=lambda k: (fp[k], k))
+    order_fl = sorted(fl, key=lambda k: (fl[k], k))
+    assert order_fp == order_fl
+    scale, n = 10**9, len(fp)
+    # every round floors at most once per node plus the dangling share
+    assert scale >= sum(fp.values()) > scale - 20 * n * 8
+
+
+def test_pagerank_fixed_partitioning_invariant(spark):
+    """Integer sums commute: 1-partition and 16-partition runs must
+    be BIT-identical — the property the float twin cannot offer and
+    the reason this face carries the exact oracle."""
+    from mapreduce_cs416_spark.operators.graph import pagerank_fixed
+
+    edges = [(i, (i * 7) % 23) for i in range(40)] + [(i, (i + 1) % 11) for i in range(40)]
+    base = spark.createDataFrame([(a, b) for a, b in edges if a != b], "u long, v long")
+    one = {tuple(r) for r in pagerank_fixed(base.coalesce(1), n_iter=6).collect()}
+    many = {tuple(r) for r in pagerank_fixed(base.repartition(16), n_iter=6).collect()}
+    assert one == many
