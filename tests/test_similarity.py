@@ -353,3 +353,51 @@ def test_ranking_metrics_hand_computed(spark):
     assert out[3]["n_relevant"] == 0 and out[3]["recall"] is None
     # q4: relevant exists, nothing retrieved at all
     assert out[4]["n_retrieved"] == 0 and out[4]["recall"] == 0.0 and out[4]["mrr"] == 0.0
+
+
+def test_lsh_oracle_generator_matches_spark_at_arbitrary_points(spark, tmp_path):
+    """Guards the ORACLE GENERATOR itself, not just the registered
+    operating points: at three unregistered (threshold, planes,
+    tables) configs over a small clustered frame, the generated
+    DuckDB twin must reproduce cosine_near_dup_lsh's pairs and
+    6-dp scores exactly — the plan-literal hyperplanes, the
+    sequential fold order, and the verify arithmetic all replay."""
+    import duckdb
+
+    from mapreduce_cs416_spark.plans.northstar import _lsh_near_dup_sql
+
+    dim = 16
+    rows = []
+    vid = 0
+    for c in range(4):
+        centroid = _lcg_vec(500 + c)
+        for j in range(8):
+            jitter = _lcg_vec(9000 + vid)
+            vec = _unit([x + 0.2 * y for x, y in zip(centroid, jitter)])
+            rows.append((vid, vec))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pq = str(tmp_path / "emb.parquet")
+    emb.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    for threshold, n_planes, n_tables in [(0.7, 6, 3), (0.5, 3, 5), (0.95, 10, 2)]:
+        got = sorted(
+            tuple(r)
+            for r in similarity.cosine_near_dup_lsh(
+                emb, threshold, n_planes=n_planes, n_tables=n_tables, dim=dim
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                _lsh_near_dup_sql(threshold, n_planes=n_planes, n_tables=n_tables, dim=dim)
+            ).fetchall()
+        )
+        assert got == want, (threshold, n_planes, n_tables)
+    # at least one config must be non-vacuous on the clustered frame
+    assert any(
+        similarity.cosine_near_dup_lsh(emb, t, n_planes=p, n_tables=k, dim=dim).count() > 0
+        for t, p, k in [(0.7, 6, 3), (0.5, 3, 5)]
+    )
