@@ -471,3 +471,29 @@ def test_containment_finds_quoted_subset(spark):
     }
     # the symmetric measure scores the quoted pair near |A|/|B|
     assert jac[(0, 1)] < 0.1
+
+
+def test_simhash_portable_hash_distribution(spark):
+    """Distribution guard for the portable multiply-shift word hash:
+    across documents built from disjoint random vocabularies, the
+    mean pairwise SimHash Hamming distance must sit near 32 (the
+    well-mixed expectation for 64 bits) and never collapse toward 0
+    — the failure mode of a correlated per-bit derivation (e.g. the
+    parity of a linear-in-j probe sequence, which produces long
+    identical-bit runs per word and was rejected for exactly this)."""
+    docs = [
+        (i, " ".join(f"w{_alpha(137 * i + j)}" for j in range(120)))
+        for i in range(12)
+    ]
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash64(_corpus(spark, docs)).collect()
+    }
+    dists = [
+        bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for a in range(12)
+        for b in range(a + 1, 12)
+    ]
+    mean = sum(dists) / len(dists)
+    assert 24 <= mean <= 40, mean
+    assert min(dists) >= 10, min(dists)
