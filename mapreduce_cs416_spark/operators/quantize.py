@@ -285,3 +285,17 @@ def standardize(emb: DataFrame, stats: DataFrame | None = None, dim: int = 64) -
     return emb.crossJoin(F.broadcast(arrs)).select(
         "vec_id", F.transform(z, lambda x: F.round(x, 6)).alias("z")
     )
+
+
+def standardize_long(emb: DataFrame, stats: DataFrame | None = None, dim: int = 64) -> DataFrame:
+    """The ``standardize`` transform in long (vec_id, dim, z) shape —
+    one posexplode over the z array, every output column atomic. This
+    is the driver-window face: hash canonicalizers sort by column
+    values, and a scalar-typed row set is sortable/hashable anywhere
+    (pandas included), while the array face (kept as the pipeline
+    artifact) is not. Same broadcast-calibration plan underneath; the
+    explode adds no shuffle."""
+    z = standardize(emb, stats=stats, dim=dim)
+    return z.select("vec_id", F.posexplode("z").alias("dim", "z")).select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), "z"
+    )

@@ -1047,17 +1047,49 @@ FROM a
 
 
 def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibrate-then-apply (operators/quantize.standardize): the
-    dim_stats model broadcast back over the corpus as per-element
-    z-scores — the corpus never shuffles for the model. The oracle
-    recomputes the identical ROUNDED stats and applies the same
-    fixed-order (x − mean)/sqrt(variance) per element."""
+    """Calibrate-then-apply (operators/quantize.standardize_long):
+    the dim_stats model broadcast back over the corpus as per-element
+    z-scores — the corpus never shuffles for the model. Driver-window
+    face is LONG (vec_id, dim, z): every column atomic, so the
+    driver's pandas sort/hash canonicalizer can factorize it (the r8
+    array-shaped row threw ``unhashable type: 'list'`` there). The
+    array-shaped pipeline artifact lives in extras as
+    embedding_standardize_vec. The oracle recomputes the identical
+    ROUNDED stats and applies the same fixed-order
+    (x − mean)/sqrt(variance) per element."""
+    from ..operators import quantize
+
+    return quantize.standardize_long(_emb(spark, sf_dir))
+
+
+EMBEDDING_STANDARDIZE_SQL = f"""
+WITH stats AS ({EMBEDDING_DIM_STATS_SQL}),
+model AS (
+    SELECT list(mean ORDER BY dim) AS means,
+           list(sqrt(variance) ORDER BY dim) AS stds
+    FROM stats
+)
+SELECT e.vec_id,
+       CAST(r.i AS INT) AS dim,
+       round(CASE WHEN stds[r.i + 1] = 0.0
+                  THEN embedding[r.i + 1]::DOUBLE - means[r.i + 1]
+                  ELSE (embedding[r.i + 1]::DOUBLE - means[r.i + 1]) / stds[r.i + 1]
+             END, 6) AS z
+FROM embeddings e CROSS JOIN model CROSS JOIN range(0, 64) AS r(i)
+"""
+
+
+def embedding_standardize_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-shaped face of embedding_standardize — the actual
+    pipeline artifact (one z-vector per row, feeding downstream
+    quantize/ANN stages). Extras-only: the driver canonicalizer can't
+    hash array columns, so the window hashes the long twin instead."""
     from ..operators import quantize
 
     return quantize.standardize(_emb(spark, sf_dir))
 
 
-EMBEDDING_STANDARDIZE_SQL = f"""
+EMBEDDING_STANDARDIZE_VEC_SQL = f"""
 WITH stats AS ({EMBEDDING_DIM_STATS_SQL}),
 model AS (
     SELECT list(mean ORDER BY dim) AS means,
@@ -3376,7 +3408,7 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
-        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, quantize.standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
+        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, embedding_standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
     ]
 }
@@ -3404,6 +3436,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_vocab_encode", corpus_vocab_encode, CORPUS_VOCAB_ENCODE_SQL, vocab.vocab_encode.__doc__, headline=True, tags=("northstar", "text", "pipeline")),
         QuerySpec("corpus_weighted_sample", corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL, sampling.weighted_priority_sample.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_quantized_topk", similarity_quantized_topk, QUANTIZED_TOPK_SQL, similarity_quantized_topk.__doc__, tags=("northstar", "similarity", "quantize")),
+        # r9: the array-shaped standardize face — the driver window
+        # hashes the long (vec_id, dim, z) twin (r8's one red row was
+        # this array column hitting the driver canonicalizer).
+        QuerySpec("embedding_standardize_vec", embedding_standardize_vec, EMBEDDING_STANDARDIZE_VEC_SQL, embedding_standardize_vec.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
         QuerySpec("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL, corpus_data_card.__doc__, tags=("northstar", "text", "pipeline")),
         QuerySpec("similarity_pq_adc_topk", similarity_pq_adc_topk, PQ_ADC_SQL, similarity_pq_adc_topk.__doc__, tags=("northstar", "similarity", "quantize", "pq")),
         QuerySpec("text_source_drift", text_source_drift, TEXT_SOURCE_DRIFT_SQL, textstats.source_unigram_kl.__doc__, tags=("northstar", "text", "pipeline", "drift")),

@@ -407,3 +407,29 @@ def test_single_partition_classifier_scalar_vs_bulk(spark):
     none_df = spark.range(0, 100).withColumn("v", F.col("id") + 1)
     none_df.collect()
     assert classify_single_partition("no such node", _single_partition_rows(none_df)) is None
+
+
+def test_driver_window_schemas_are_atomic(spark, sf_dir):
+    """Registry screen (VERDICT r8 item 1): the round driver's
+    canonicalizer sorts the pandas result by every column and hashes
+    it — array/map/struct columns throw `unhashable type` there
+    (embedding_standardize was r8's only red row for exactly this).
+    Every driver-window query must therefore emit only atomic-typed
+    columns; array-shaped faces belong in EXTRA_QUERIES, whose parity
+    harness tuples rows and handles nesting."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad: dict[str, list[str]] = {}
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        "driver-window rows must be scalar-typed for the driver's "
+        f"pandas canonicalizer; move array faces to EXTRA_QUERIES: {bad}"
+    )
