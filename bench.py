@@ -58,6 +58,10 @@ N_RUNS = 7
 N_TRIM = 2  # keep the middle 3 of 7: scheduling/GC jitter on
 # sub-second queries makes the 2nd-fastest/2nd-slowest runs outliers too
 
+# The trivial query whose trimmed-mean time IS the reported floor —
+# one parquet footer read + a one-row count, no data-dependent work.
+FLOOR_QUERY = "file_count"
+
 
 def _isolate(spark) -> None:
     """Reset cross-query state: unpersist cached/checkpointed blocks,
@@ -136,7 +140,17 @@ def main() -> int:
         print(f"bench.py: sf_dir does not exist: {sf_dir!r}", file=sys.stderr)
         return 2
     spark = get_spark("bench")
+    # The per-run fixed overhead ("floor": plan analysis + codegen +
+    # noop-job scheduling on a trivial single-file count), measured
+    # with the SAME trimmed-mean discipline as every other number.
+    # VERDICT r8 item 2: the r7→r8 bench shifted ~1.5× uniformly
+    # because this floor drifted (0.13→0.24s) with nothing reporting
+    # it — printing it beside the totals makes environment drift
+    # separable from plan regressions round-over-round.
+    floor_t, _ = time_queries(spark, sf_dir, [FLOOR_QUERY], echo_suffix=" (floor)")
+    floor = floor_t[FLOOR_QUERY]
     timings, spreads = time_queries(spark, sf_dir, names)
+    minus_floor = {n: round(max(0.0, t - floor), 3) for n, t in timings.items()}
 
     print(
         json.dumps(
@@ -146,6 +160,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "floor": floor,
+                "queries_minus_floor": minus_floor,
+                "value_minus_floor": round(sum(minus_floor.values()), 3),
                 "stat": "trimmed_mean",
                 "n_runs": N_RUNS,
                 "n_trim": N_TRIM,

@@ -228,13 +228,15 @@ QUERIES: dict[str, QuerySpec] = {
         # whose oracle stays in extras): the full linker pipeline is
         # driver-hashed end to end.
         QuerySpec("entity_resolution", entity_resolution, ENTITY_RESOLUTION_SQL, entity_resolution.__doc__, headline=True, tags=("northstar", "entity", "dedup", "graph", "pipeline", "warehouse")),
+        # r9 rotation IN (VERDICT r8 item 4): the scored Fellegi-Sunter
+        # pair stage — driver-hashed alongside the end-to-end linker.
+        QuerySpec("entity_match_pairs", entity_match_pairs, ENTITY_PAIRS_SQL, entity_match_pairs.__doc__, tags=("northstar", "entity", "dedup", "join", "warehouse")),
     ]
 }
 
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
-        QuerySpec("entity_match_pairs", entity_match_pairs, ENTITY_PAIRS_SQL, entity_match_pairs.__doc__, tags=("northstar", "entity", "dedup", "join", "warehouse")),
         # the accretion path against the from-scratch oracle: the SAME
         # SQL as entity_resolution — equality is the claim under test.
         QuerySpec("entity_incremental_resolution", entity_incremental_resolution, ENTITY_RESOLUTION_SQL, entity_incremental_resolution.__doc__, tags=("northstar", "entity", "dedup", "graph", "pipeline", "incremental", "warehouse")),

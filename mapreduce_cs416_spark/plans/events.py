@@ -543,10 +543,11 @@ QUERIES: dict[str, QuerySpec] = {
         # events_tumbling followed events_sliding / events_session to
         # EXTRA in r8 (all three time-window twins stay oracle-checked
         # by tests/test_parity.py; tumbling keeps its headline bench
-        # slot) — the driver window carries the r7-oracled
-        # multi-resolution rollup instead, plus the monitoring
-        # families rotated in during r7.
-        QuerySpec("events_multires_rollup", events_multires_rollup, EVENTS_MULTIRES_SQL, events_multires_rollup.__doc__, tags=("events", "window", "agg", "rollup")),
+        # slot). events_multires_rollup followed in r9 (driver-hashed
+        # green in r8; the grouping-sets family keeps its oracle there
+        # plus grouping_variants in extras) — the freed slot carries
+        # one of the r8-oracled northstar extras the driver had never
+        # hashed (VERDICT r8 item 4).
         QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, headline=True, tags=("events", "agg", "anomaly", "monitoring")),
         # events_transition_matrix rotated to EXTRA late-r8 (driver-
         # hashed green in r7; the freed slot carries the newly
@@ -565,6 +566,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_SQL, events_tumbling.__doc__, headline=True, tags=("events", "window")),
+        QuerySpec("events_multires_rollup", events_multires_rollup, EVENTS_MULTIRES_SQL, events_multires_rollup.__doc__, tags=("events", "window", "agg", "rollup")),
         QuerySpec("events_transition_matrix", events_transition_matrix, EVENTS_TRANSITION_SQL, events_transition_matrix.__doc__, tags=("events", "window", "markov")),
         QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, events_sliding.__doc__, tags=("events", "window")),
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),

@@ -3358,25 +3358,36 @@ QUERIES: dict[str, QuerySpec] = {
         # deterministic literal hyperplanes have DuckDB twins.
         QuerySpec("similarity_cosine_near_dup_lsh", similarity_cosine_near_dup_lsh, LSH_NEAR_DUP_SQL, similarity_cosine_near_dup_lsh.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh")),
         QuerySpec("graph_triangles_lsh", graph_triangles_lsh, GRAPH_TRIANGLES_LSH_SQL, graph_triangles_lsh.__doc__, headline=True, tags=("northstar", "graph", "dedup", "lsh")),
+        # r9 (VERDICT r8 items 3+4): the production LSH operating
+        # point and the eval harness join the window — the prod
+        # point's near-empty candidate set is now a driver-hashed
+        # claim, and the recall/candidate-ratio numbers at BOTH
+        # operating points are hash-checked, not just parity-checked.
+        QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, LSH_NEAR_DUP_PROD_SQL, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
+        QuerySpec("similarity_eval_lsh", similarity_eval_lsh, SIMILARITY_EVAL_LSH_SQL, similarity.lsh_eval.__doc__, tags=("northstar", "similarity", "lsh", "eval")),
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, headline=True, tags=("northstar", "text", "topk")),
-        QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, headline=True, tags=("northstar", "graph", "dedup")),
+        # r9: graph_triangles (exact-fed) joined graph_kcore in extras
+        # as the documented O(n²)-edge-build anchors (SCALING.md exp
+        # 1.29/1.20 — the edge build, not the wedge/peel); the window
+        # hashes the LSH-fed twins (exp ~0.71) plus the fixed-point
+        # PageRank with its bit-exact unrolled-CTE oracle, so no
+        # hashed headline row is super-linear except the declared
+        # cosine baseline.
+        QuerySpec("graph_kcore_lsh", graph_kcore_lsh, GRAPH_KCORE_LSH_SQL, graph_kcore_lsh.__doc__, headline=True, tags=("northstar", "graph", "dedup", "lsh", "iterative")),
+        QuerySpec("graph_pagerank_fixed", graph_pagerank_fixed, GRAPH_PAGERANK_FIXED_SQL, graph_pagerank_fixed.__doc__, headline=True, tags=("northstar", "graph", "iterative")),
         QuerySpec("corpus_release_pipeline", corpus_release_pipeline, CORPUS_RELEASE_SQL, corpus_release_pipeline.__doc__, headline=True, tags=("northstar", "text", "dedup", "sampling", "pipeline")),
-        QuerySpec("text_doc_profile", text_doc_profile, TEXT_DOC_PROFILE_SQL, text_doc_profile.__doc__, tags=("northstar", "text")),
-        # late-r7 rotation: text_tfidf to EXTRA (doc_profile, bm25,
-        # phrase search, decontaminate keep the text family richly
-        # in-window; the tfidf oracle stays in pytest) — its slot
-        # carries the REAL video decode so the driver hashes all
-        # three media parsers' family (BMP in-window, WAV/PPM/PNG
-        # parity in extras, AVI now in-window).
-        QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
-        QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
-        # r8: the BMP face (multimodal_decode_image) joined the extras
-        # (parity-green every run); the window now hashes the HARDER
-        # two image parsers — PNG (zlib + scanline filters) and WAV —
-        # plus the AVI row above and the phash near-dup below.
+        # r9 rotation (VERDICT r8 item 4): the window now hashes the
+        # two COMPRESSED-codec parsers the driver had never checked —
+        # JPEG (Huffman + IDCT + chroma upsampling) and GIF (LZW) —
+        # displacing the r8-hashed AVI/WAV container rows and the
+        # consolidated multimodal_doc_profile (all three keep oracles
+        # in extras; the near-dup rows below still drive the AVI and
+        # WAV decode paths end-to-end). PNG stays: zlib + scanline
+        # filters is the third nontrivial codec.
+        QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
+        QuerySpec("multimodal_decode_gif", multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL, multimodal.decode_gif_stats.__doc__, tags=("northstar", "multimodal", "decode", "gif")),
         QuerySpec("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_PNG_SQL, multimodal.decode_png_stats.__doc__, tags=("northstar", "multimodal", "decode")),
-        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
         QuerySpec("multimodal_near_dup_phash", multimodal_near_dup_phash, MULTIMODAL_NEAR_DUP_PHASH_SQL, multimodal.phash_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode")),
         QuerySpec("corpus_pack_sequences", corpus_pack_sequences, CORPUS_PACK_SQL, corpus_pack_sequences.__doc__, headline=True, tags=("northstar", "packing", "pipeline")),
         QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL, dedup_components.__doc__, headline=True, tags=("northstar", "dedup", "graph", "iterative")),
@@ -3396,7 +3407,10 @@ QUERIES: dict[str, QuerySpec] = {
         # containment detector, and the k-core peel.
         QuerySpec("dedup_cdc_chunks", dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL, dedup.cdc_chunks.__doc__, headline=True, tags=("northstar", "dedup", "text", "storage")),
         QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL, dedup.containment_pairs.__doc__, headline=True, tags=("northstar", "dedup", "text", "join")),
-        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, headline=True, tags=("northstar", "graph", "dedup", "iterative")),
+        # r9: the ExactSubstr REWRITE stage (the deduplicated corpus
+        # itself) joins its cut-list producer in-window — the full Lee
+        # et al. 2021 pipeline is driver-hashed end to end.
+        QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         # r8 rotation IN — the remaining r7-oracled families the
         # driver had never hashed, plus the new iterated-BPE pair.
         # late-r8 rotation: corpus_bpe_merges (the single-iteration
@@ -3406,7 +3420,6 @@ QUERIES: dict[str, QuerySpec] = {
         # triad (shingles / pixels / PCM). Window stays 50/50 oracled.
         QuerySpec("multimodal_near_dup_audio", multimodal_near_dup_audio, MULTIMODAL_NEAR_DUP_AUDIO_SQL, multimodal.audio_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "audio")),
         QuerySpec("corpus_bpe_train", corpus_bpe_train, CORPUS_BPE_TRAIN_SQL, vocab.bpe_train.__doc__, headline=True, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
-        QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         QuerySpec("embedding_dim_stats", embedding_dim_stats, EMBEDDING_DIM_STATS_SQL, embedding_dim_stats.__doc__, tags=("northstar", "similarity", "quantize", "stats")),
         QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, embedding_standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
@@ -3451,10 +3464,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # word hash (operators/dedup.SIMHASH_K1 comment) — exact oracle.
         QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, dedup.simhash_near_dups.__doc__, tags=("northstar", "dedup")),
         QuerySpec("dedup_ngram_fraction", dedup_ngram_fraction, DEDUP_NGRAM_FRACTION_SQL, dedup.duplicated_ngram_fraction.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
-        # r8: the ExactSubstr rewrite stage — the deduplicated corpus
-        # itself (its cut-list producer dedup_substring_spans sits in
-        # the driver window, slot freed by set_ops' rotation).
-        QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite, DEDUP_SUBSTRING_REWRITE_SQL, dedup.remove_duplicated_spans.__doc__, tags=("northstar", "dedup", "text", "pipeline")),
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, LSH_ANN_SQL, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
@@ -3462,32 +3471,43 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # — the hyperplanes are deterministic plan literals, not
         # engine hashes, so "rows-only" was needlessly weak. The pair
         # sweep and the LSH-fed triangles moved INTO the driver
-        # window (late-r8); the production point stays here, benched.
-        QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, LSH_NEAR_DUP_PROD_SQL, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
-        QuerySpec("graph_kcore_lsh", graph_kcore_lsh, GRAPH_KCORE_LSH_SQL, graph_kcore_lsh.__doc__, tags=("northstar", "graph", "dedup", "lsh", "iterative")),
-        QuerySpec("similarity_eval_lsh", similarity_eval_lsh, SIMILARITY_EVAL_LSH_SQL, similarity.lsh_eval.__doc__, tags=("northstar", "similarity", "lsh", "eval")),
+        # window (late-r8); in r9 the production point, the eval
+        # harness, and the LSH-fed k-core followed (see QUERIES).
         QuerySpec("corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMPERATURE_SQL, sampling.temperature_mix.__doc__, tags=("northstar", "sampling", "pipeline")),
         QuerySpec("similarity_ivf_fitted_topk", similarity_ivf_fitted_topk, None, similarity_ivf_fitted_topk.__doc__, tags=("northstar", "similarity", "ivf", "kmeans")),
         QuerySpec("graph_pagerank", graph_pagerank, None, graph_pagerank.__doc__, tags=("northstar", "graph", "iterative")),
-        # r8: the fixed-point twin gives the iteration an EXACT oracle
-        # — integer sums commute, so only the float face stays rows-only.
-        QuerySpec("graph_pagerank_fixed", graph_pagerank_fixed, GRAPH_PAGERANK_FIXED_SQL, graph_pagerank_fixed.__doc__, tags=("northstar", "graph", "iterative")),
+        # r9: graph_pagerank_fixed (the exact-oracle twin of the float
+        # face above) moved INTO the driver window; the exact-fed
+        # triangle/k-core rows moved here as the documented
+        # O(n²)-edge-build anchors (SCALING.md exp 1.29/1.20) beside
+        # the cosine baseline — their LSH-fed twins are the hashed
+        # window rows and the 100 TB path.
+        QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL, graph_triangles.__doc__, tags=("northstar", "graph", "dedup")),
+        QuerySpec("graph_kcore", graph_kcore, GRAPH_KCORE_SQL, graph_kcore.__doc__, tags=("northstar", "graph", "dedup", "iterative")),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, multimodal.blob_metadata.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, multimodal.extract_features.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, multimodal.resize_blobs.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, multimodal.sample_frames.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm, MULTIMODAL_DECODE_PPM_SQL, multimodal.decode_ppm_stats.__doc__, tags=("northstar", "multimodal", "decode")),
-        # (multimodal_decode_png / _wav moved to the driver window in
-        # r8 — their QuerySpecs live in QUERIES above, not here)
+        # r9: JPEG/GIF moved INTO the driver window; the container
+        # rows they displaced (AVI, WAV — hashed green in r8) and the
+        # consolidated multimodal_doc_profile keep their oracles here.
+        QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
+        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
+        QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),
-        # the LAST codec caveat retired: baseline JPEG decode (r8)
-        QuerySpec("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL, multimodal.decode_jpeg_stats.__doc__, tags=("northstar", "multimodal", "decode", "jpeg")),
         QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, similarity.brute_force_topk.__doc__, headline=True, tags=("northstar", "similarity")),
-        QuerySpec("multimodal_decode_gif", multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL, multimodal.decode_gif_stats.__doc__, tags=("northstar", "multimodal", "decode", "gif")),
         # late-r8 rotation OUT (oracle kept; the full trainer
         # corpus_bpe_train stays in-window and subsumes this count):
         QuerySpec("corpus_bpe_merges", corpus_bpe_merges, CORPUS_BPE_SQL, vocab.bpe_merge_counts.__doc__, tags=("northstar", "text", "vocab", "pipeline")),
+        # r9 rotation OUT (oracles kept; both hashed green in r8):
+        # the encode face — the trainer it depends on stays in-window;
+        # and the consolidated text profile, whose granular twins
+        # (lang_id / quality / token_stats / fingerprint) all keep
+        # their own oracles in this dict.
+        QuerySpec("corpus_bpe_encode", corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL, vocab.bpe_encode_pieces.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
+        QuerySpec("text_doc_profile", text_doc_profile, TEXT_DOC_PROFILE_SQL, text_doc_profile.__doc__, tags=("northstar", "text")),
         QuerySpec("corpus_bpe_doc_encode", corpus_bpe_doc_encode, CORPUS_BPE_DOC_ENCODE_SQL, vocab.bpe_encode_docs.__doc__, tags=("northstar", "text", "vocab", "iterative", "pipeline")),
         # r8 rotation OUT (oracles kept; see the QUERIES comment):
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, dedup.exact_dedup_stats.__doc__, tags=("northstar", "dedup")),

@@ -36,3 +36,18 @@ def test_sf_prefixed_typo_reported_as_dir_not_query():
     r = _run("sf0.42")
     assert r.returncode == 2
     assert "sf_dir does not exist" in r.stderr
+
+
+def test_bench_json_reports_floor():
+    """VERDICT r8 item 2: the bench must print the measured trivial-
+    query floor beside the totals so environment drift (r7→r8's
+    uniform 1.5× shift) is separable from plan regressions."""
+    import json
+
+    r = _run("/root/testdata/sf0.001", "file_count")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["floor"] > 0
+    assert out["queries_minus_floor"].keys() == out["queries"].keys()
+    assert out["value_minus_floor"] <= out["value"]
+    assert all(v >= 0 for v in out["queries_minus_floor"].values())

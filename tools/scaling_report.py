@@ -77,10 +77,12 @@ _EMBEDDING_QUERIES = {
     # exactly oracled since r8) is the scale path.
     "graph_triangles",
     "graph_kcore",
-    # the LSH-fed twin scans the same embeddings table; its point is
+    # the LSH-fed twins scan the same embeddings table; their point is
     # that WITHOUT the quadratic edge build the exponent should fall
-    # out of the baselines' band
+    # out of the baselines' band (r9: they are the hashed window rows;
+    # the exact-fed pair above is extras-only O(n²) anchors)
     "graph_triangles_lsh",
+    "graph_kcore_lsh",
 }
 
 # queries whose actual scan set is NOT what their tags imply (checked
@@ -95,6 +97,8 @@ _TABLE_OVERRIDES = {
     "ivm_orders_revenue": "orders",
     "text_pii_redact": "customer",
     "entity_resolution": "customer",
+    # pagerank's part–supplier bipartite edge list comes from lineitem
+    "graph_pagerank_fixed": "lineitem",
 }
 
 
