@@ -113,6 +113,54 @@ def cosine_near_dup_pairs(
     )
 
 
+# Planted near-dup stratum (VERDICT r8 item 6): the i.i.d. testdata
+# embeddings have NO true pairs above the production 0.9 threshold,
+# so the prod operating point's recall evaluated to a hash-checked
+# NULL — honest, but it measured nothing. The eval query therefore
+# enriches its fixture with deterministic near-dup twins: every
+# PLANT_EVERY-th vector gets a copy at vec_id + PLANT_OFFSET whose
+# elements are scaled by fixed per-dimension multipliers in
+# [1−eps, 1+eps]. cos(v, v∘m) ≥ ~1 − eps²/2 ≈ 0.9988 > 0.9, so the
+# planted pairs ARE the prod truth set and recall becomes a number.
+# The multipliers come from the same fixed LCG as the hyperplanes —
+# plan literals both engines replay, keeping the evaluation
+# hash-exact end to end.
+PLANT_EVERY = 10
+PLANT_OFFSET = 1_000_000
+PLANT_EPS = 0.05
+
+
+def plant_multipliers(dim: int = 64, eps: float = PLANT_EPS, seed: int = 7) -> list[float]:
+    """Deterministic per-dimension twin multipliers in [1−eps, 1+eps]
+    (see the stratum comment above)."""
+    state = seed
+    out: list[float] = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        out.append(1.0 + ((state >> 11) / float(2**53) * 2.0 - 1.0) * eps)
+    return out
+
+
+def plant_near_dups(
+    emb: DataFrame,
+    every: int = PLANT_EVERY,
+    offset: int = PLANT_OFFSET,
+    dim: int = 64,
+) -> DataFrame:
+    """The corpus unioned with its planted near-dup twins — the eval
+    fixture enrichment. Row-local (one filter + one zip_with over
+    literal multipliers, no shuffle); output embedding is
+    array<double> so the twin values are the exact IEEE products the
+    DuckDB twin computes."""
+    lits = ", ".join(repr(x) + "D" for x in plant_multipliers(dim))
+    base = emb.select("vec_id", as_double_array("embedding").alias("embedding"))
+    twins = base.where(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.expr(f"zip_with(embedding, array({lits}), (x, mu) -> x * mu)").alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a fixed LCG —
     reproducible across runs with no RNG dependency."""

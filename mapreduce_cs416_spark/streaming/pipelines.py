@@ -575,6 +575,46 @@ def streaming_cdc_merge(
     )
 
 
+def streaming_cdc_merge_manifest(
+    changes: DataFrame,
+    table_path: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """streaming_cdc_merge on the versioned-manifest table format
+    (sources/manifest.py) — the answer to that pipeline's own 100 TB
+    honesty note: each micro-batch rewrites ONLY the key-partitions
+    its changelog touches and commits one atomic manifest rename,
+    instead of overwriting the whole parquet snapshot. The table must
+    be seeded with ``manifest.create_table`` before the stream starts
+    (that call fixes key columns and the partition expression).
+
+    Per-batch work: one distinct-partitions collect (bounded by the
+    partition count), one cdc_merge whose base side is only the
+    touched partitions, one partitioned write of those partitions.
+    Untouched partitions are never read or written (pinned by
+    tests/test_manifest.py). Replay safety: a replayed batch
+    re-merges onto an already-merged image — keyed upserts and keyed
+    deletes are idempotent — producing an identical new version; and
+    because the commit is a single rename AFTER the data lands, a
+    crash mid-batch leaves the previous version fully readable (this
+    also closes streaming_view_maintenance's documented
+    crash-between-two-overwrites window for the snapshot leg)."""
+    from ..sources import manifest as mf
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        mf.merge_into(
+            batch_df.sparkSession, table_path, batch_df, op_col=op_col, seq_col=seq_col
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{table_path}_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_view_maintenance(
     changes: DataFrame,
     snapshot_path: str,

@@ -1,0 +1,203 @@
+"""Versioned-manifest table format (sources/manifest.py): commit
+atomicity, merge correctness vs the batch cdc_merge oracle, the
+bounded-write guarantee (untouched partitions are never rewritten —
+the property the whole layer exists for), replay idempotence, time
+travel, and vacuum. Streaming face: the foreachBatch pipeline matches
+a batch replay and keeps per-batch writes partition-bounded."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.operators import cdc
+from mapreduce_cs416_spark.sources import manifest as mf
+
+
+def _orders(spark, sf_dir):
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def _changelog(orders, lo: int, hi: int):
+    """Key-LOCAL changelog: updates + deletes confined to the key
+    range [lo, hi) plus a few inserts just above it — the arrival
+    shape (recent keys churn) that makes partition-bounded merges
+    worth having."""
+    upd = (
+        orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq", F.col("o_orderkey") * 10)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    ins = (
+        orders.orderBy("o_orderkey").limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    return upd.unionByName(ins)
+
+
+RANGE_EXPR = "floor(o_orderkey / 256)"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def seeded(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_tbl")
+    orders = _orders(spark, sf_dir)
+    man = mf.create_table(orders, path, ["o_orderkey"], partition_expr=RANGE_EXPR)
+    return path, orders, man
+
+
+def test_create_read_round_trip(spark, seeded):
+    path, orders, man = seeded
+    assert man["version"] == 1
+    got = mf.read_table(spark, path)
+    assert got.columns == orders.columns
+    assert _sorted_rows(got) == _sorted_rows(orders)
+
+
+def test_merge_matches_batch_cdc_merge_oracle(spark, seeded):
+    path, orders, _ = seeded
+    batch = _changelog(orders, 0, 512)
+    expected = cdc.cdc_merge(orders, batch, ["o_orderkey"], op_col="op", seq_col="seq")
+    man = mf.merge_into(spark, path, batch)
+    assert man["version"] == 2
+    assert _sorted_rows(mf.read_table(spark, path)) == _sorted_rows(expected)
+
+
+def test_untouched_partitions_are_never_rewritten(spark, seeded):
+    """THE bounded-write pin: after a key-local merge, every
+    untouched partition's manifest entry still points at the v1
+    directory, and those files on disk are bit-identical (same paths,
+    sizes, mtimes) — the merge never read or wrote them."""
+    path, orders, man1 = seeded
+    before = {
+        b: rel for b, rel in man1["buckets"].items()
+    }
+
+    def _files(bucket: str, rel: str):
+        d = os.path.join(path, rel, f"_bucket={bucket}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    snap_before = {b: _files(b, rel) for b, rel in before.items()}
+
+    batch = _changelog(orders, 0, 512)
+    touched = {
+        str(r[0])
+        for r in batch.selectExpr(f"cast(({RANGE_EXPR}) as long)").distinct().collect()
+    }
+    man2 = mf.merge_into(spark, path, batch)
+
+    untouched = set(before) - touched
+    assert untouched, "fixture must leave some partitions untouched"
+    rewritten = {b for b in man2["buckets"] if man2["buckets"][b] != before.get(b)}
+    # 1) write volume is bounded by the touched set
+    assert rewritten <= touched
+    # 2) untouched entries still reference v1 and the files are intact
+    for b in untouched:
+        assert man2["buckets"][b] == before[b]
+        assert _files(b, before[b]) == snap_before[b]
+
+
+def test_replay_is_idempotent(spark, seeded):
+    path, orders, _ = seeded
+    batch = _changelog(orders, 0, 512)
+    mf.merge_into(spark, path, batch)
+    once = _sorted_rows(mf.read_table(spark, path))
+    man = mf.merge_into(spark, path, batch)  # the replayed micro-batch
+    assert man["version"] == 3
+    assert _sorted_rows(mf.read_table(spark, path)) == once
+
+
+def test_time_travel_and_vacuum(spark, seeded):
+    path, orders, _ = seeded
+    v1 = _sorted_rows(mf.read_table(spark, path, version=1))
+    mf.merge_into(spark, path, _changelog(orders, 0, 512))
+    # old version stays readable until vacuum (commits never mutate)
+    assert _sorted_rows(mf.read_table(spark, path, version=1)) == v1
+    latest = _sorted_rows(mf.read_table(spark, path))
+    removed = mf.vacuum(path)
+    assert removed > 0
+    assert _sorted_rows(mf.read_table(spark, path)) == latest
+    with pytest.raises(FileNotFoundError):
+        mf.read_manifest(path, version=1)
+
+
+def test_delete_only_batch_can_empty_a_partition(spark, seeded):
+    path, orders, man1 = seeded
+    # wipe the whole first partition
+    kill = (
+        orders.where(F.expr(RANGE_EXPR) == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    assert kill.count() > 0
+    man2 = mf.merge_into(spark, path, kill)
+    assert "0" not in man2["buckets"]
+    got = mf.read_table(spark, path)
+    assert got.where(F.expr(RANGE_EXPR) == 0).count() == 0
+
+
+def test_streaming_manifest_merge_matches_batch_and_bounds_writes(
+    spark, sf_dir, tmp_path
+):
+    """Stream==batch for the manifest-backed CDC service, plus the
+    bounded-write property across micro-batches: each batch's new
+    version directory contains only that batch's touched partitions."""
+    from mapreduce_cs416_spark.streaming import pipelines as sp
+
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    mf.create_table(orders, path, ["o_orderkey"], partition_expr=RANGE_EXPR)
+
+    batches = [_changelog(orders, i * 256, (i + 1) * 256) for i in range(3)]
+    change_dir = str(tmp_path / "changes")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{change_dir}/bat={i}")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batches[0].schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{change_dir}/bat=*")
+    )
+    q = sp.streaming_cdc_merge_manifest(stream, path)
+    q.awaitTermination()
+
+    expected = orders
+    for b in batches:
+        expected = cdc.cdc_merge(expected, b, ["o_orderkey"], op_col="op", seq_col="seq")
+    assert _sorted_rows(mf.read_table(spark, path)) == _sorted_rows(expected)
+
+    # bounded writes: no version directory holds more partitions than
+    # the widest batch touched (each batch spans ≤ 2 key-partitions
+    # plus the shared insert partition)
+    max_touched = max(
+        b.selectExpr(f"cast(({RANGE_EXPR}) as long)").distinct().count()
+        for b in batches
+    )
+    data_root = os.path.join(path, "data")
+    for vdir in os.listdir(data_root):
+        if vdir == "v1":
+            continue
+        parts = [d for d in os.listdir(os.path.join(data_root, vdir)) if d.startswith("_bucket=")]
+        assert 0 < len(parts) <= max_touched

@@ -147,6 +147,52 @@ def bench_cdc_merge(spark, sf_dir: str, base: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_cdc_merge_manifest(spark, sf_dir: str, base: str) -> dict:
+    """The transactional twin of bench_cdc_merge (VERDICT r8 item 5):
+    the SAME total changelog volume and update/delete mix, but
+    key-LOCAL batches (contiguous key ranges — the real arrival shape
+    of binlog feeds, where recent keys churn) applied through the
+    versioned-manifest table (sources/manifest.py) with range
+    partitioning. Per batch only the touched key-partitions are read
+    and rewritten + one atomic manifest rename, vs cdc_merge's full
+    snapshot rewrite — the per-batch ms difference between the two
+    rows is what the manifest layer buys."""
+    orders = load_table(spark, sf_dir, "orders")
+    from mapreduce_cs416_spark.sources import manifest as mf
+
+    table = f"{base}/table"
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = max(1024, int(max_key) // 32)  # ~32 key-partitions
+    mf.create_table(
+        orders, table, ["o_orderkey"], partition_expr=f"floor(o_orderkey / {width})"
+    )
+    # same 60%-of-keys churn as bench_cdc_merge, but each batch is one
+    # contiguous tenth of the key domain instead of a mod-10 slice
+    slice_w = (int(max_key) + 1) // 10
+    changes = (
+        orders.where(F.floor(F.col("o_orderkey") / slice_w) < N_BATCHES)
+        .withColumn("bat", F.floor(F.col("o_orderkey") / slice_w).cast("long"))
+        .withColumn(
+            "op", F.when(F.col("o_orderkey") % 97 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .withColumn("seq", F.col("o_orderkey") * 10 + F.col("bat"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    change_dir = f"{base}/changes"
+    _write_shards(changes, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in changes.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = sp.streaming_cdc_merge_manifest(stream, table, op_col="op", seq_col="seq")
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
 def bench_view_maintenance(spark, sf_dir: str, base: str) -> dict:
     """Times the IVM service: per batch, ONE old-image key join
     against the snapshot, a delta-sized aggregate, a view-sized merge
@@ -228,6 +274,7 @@ def main() -> int:
         results = {
             "ingest_gate": bench_ingest_gate(spark, sf_dir, f"{base}/ingest"),
             "cdc_merge": bench_cdc_merge(spark, sf_dir, f"{base}/cdc"),
+            "cdc_merge_manifest": bench_cdc_merge_manifest(spark, sf_dir, f"{base}/cdcm"),
             "view_maintenance": bench_view_maintenance(spark, sf_dir, f"{base}/ivm"),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
             "fingerprint_dedup": bench_fingerprint_dedup(spark, sf_dir),
@@ -262,8 +309,14 @@ def main() -> int:
         "Reading notes: `ingest_gate` batch N gates against the index grown by",
         "batches 1..N-1, so a flat per-batch profile is the accretion working",
         "(no from-scratch rescans); `cdc_merge` includes the full snapshot",
-        "rewrite per batch (see streaming_cdc_merge's 100 TB honesty note —",
-        "a transactional table format bounds that rewrite); `tumbling_agg` is",
+        "rewrite per batch (see streaming_cdc_merge's 100 TB honesty note);",
+        "`cdc_merge_manifest` is the transactional answer to that note: the",
+        "same changelog volume applied as key-local batches through the",
+        "versioned-manifest table (sources/manifest.py), rewriting only the",
+        "touched key-partitions per batch + one atomic manifest rename — the",
+        "per-batch ms gap between the two cdc rows is what the manifest layer",
+        "buys (its advantage grows with snapshot size: full-rewrite cost is",
+        "O(snapshot), manifest cost is O(touched partitions)); `tumbling_agg` is",
         "the pure state-store path with no sink rewrite. First batches carry",
         "one-time plan/codegen warmup. `view_maintenance` runs the SAME",
         "changelog as `cdc_merge` plus the delta aggregate and view merge, so",
