@@ -60,6 +60,16 @@ N_TRIM = 2  # keep the middle 3 of 7: scheduling/GC jitter on
 
 # The trivial query whose trimmed-mean time IS the reported floor —
 # one parquet footer read + a one-row count, no data-dependent work.
+# Measured composition on this container (r9 probe, warm local[32]):
+# ~0.07s noop-sink job round trip (scheduler + py4j), ~0.14s building
+# the DataFrame itself (spark.read.parquet schema/footer IO inside the
+# timed region), remainder the one-partition count. The floor also
+# FALLS ~25% as the JVM JITs (0.29s in a fresh session → 0.22s after
+# heavy queries), so it is position-dependent; measuring it first,
+# with the same discipline, makes it the honest comparator for the
+# cold-measured queries that follow. The r7→r8 uniform ~1.5× bench
+# shift lived entirely in this number (VERDICT r8 item 2) —
+# environment, not plans; now it is printed instead of inferred.
 FLOOR_QUERY = "file_count"
 
 

@@ -427,11 +427,18 @@ def append_ingest_index(admitted_docs: DataFrame, path: str, k: int = 3) -> None
     corpus ∪ admitted (asserted in tests/test_dedup.py's accretion
     test), because both tables are plain row unions with no
     cross-document state."""
+    # coalesce(1): an append sized by ONE shard otherwise lands as
+    # shuffle-partition-many near-empty files, and after N batches the
+    # per-batch index scan pays N×32 file opens + listings — measured
+    # as a growing share of the streaming gate's batch time. One file
+    # per shard per table keeps the index's file count equal to the
+    # shard count (compact_table remains the maintenance op beyond
+    # that).
     ch = admitted_docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("cid"))
-    ch.write.mode("append").parquet(f"{path}/digests")
+    ch.coalesce(1).write.mode("append").parquet(f"{path}/digests")
     shingle_postings(
         admitted_docs, k, doc_col="cid", n_col="c_n_sh", materialize=False
-    ).write.mode("append").parquet(f"{path}/postings")
+    ).coalesce(1).write.mode("append").parquet(f"{path}/postings")
 
 
 def incremental_ingest_indexed(
@@ -448,8 +455,13 @@ def incremental_ingest_indexed(
     direct face by construction (asserted in tests/test_dedup.py).
     ``k`` must match the index's build parameter."""
     spark = new_docs.sparkSession
-    ch = spark.read.parquet(f"{index_path}/digests")
-    ex_c = spark.read.parquet(f"{index_path}/postings")
+    # explicit schemas: the index is read EVERY micro-batch in the
+    # streaming face, and schema inference pays a driver-side footer
+    # read per table per batch — a pure fixed cost on a hot path
+    ch = spark.read.schema("h string, cid long").parquet(f"{index_path}/digests")
+    ex_c = spark.read.schema("cid long, c_n_sh int, sh long").parquet(
+        f"{index_path}/postings"
+    )
     return _ingest_decide(new_docs, ch, ex_c, k, threshold, max_df)
 
 

@@ -1222,9 +1222,27 @@ def banded_hamming_pairs(
     chunks every tiny blob shares) before the self-join — the max_df
     discipline of ngram_jaccard_pairs: a bucket with B docs would
     emit O(B²) candidates at scale. The oracles apply the identical
-    cap. The signature frame is localCheckpoint-ed because it fans
-    into three branches (keyed twice + the hot-bucket scan) and the
-    mapInPandas decode behind it must run exactly once."""
+    cap; its recall cost (a pair agreeing ONLY on a capped chunk is
+    missed) and the bounded-work guarantee are pinned by
+    tests/test_skew.py on a pathological thousands-of-identical-
+    chunks fixture. The signature frame is localCheckpoint-ed because
+    it fans into three branches (keyed twice + the hot-bucket scan)
+    and the mapInPandas decode behind it must run exactly once."""
+    cand = _chunk_candidates(sig, max_bucket)
+    hamming = F.expr(" + ".join(f"bit_count(ab{c} ^ bb{c})" for c in range(4)))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _chunk_candidates(sig: DataFrame, max_bucket: int) -> DataFrame:
+    """The pigeonhole candidate stage of ``banded_hamming_pairs``,
+    exposed so the skew test can count the pairs the equi-joins
+    actually emit (Catalyst fuses the hamming filter into the join,
+    so the fused plan's numOutputRows cannot observe the candidate
+    volume the cap exists to bound)."""
     ph = sig.localCheckpoint()
     chunk_arr = F.array(
         *[
@@ -1259,12 +1277,7 @@ def banded_hamming_pairs(
         )
         .distinct()
     )
-    hamming = F.expr(" + ".join(f"bit_count(ab{c} ^ bb{c})" for c in range(4)))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return cand
 
 
 def phash_near_dups(

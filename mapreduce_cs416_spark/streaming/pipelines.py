@@ -485,18 +485,23 @@ def streaming_ingest_gate(
         # continuous-trigger service would otherwise accumulate one
         # shard's pinned blocks per micro-batch forever.
         b = batch_df.select("doc_id", "text").localCheckpoint()
-        decisions = (
-            dedup.incremental_ingest_indexed(b, index_path, k, threshold, max_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .localCheckpoint()
-        )
+        # batch_id is stamped AFTER the checkpoint: a lit(batch_id)
+        # inside the gate plan is folded into the generated code, so
+        # every micro-batch used to compile a fresh codegen class for
+        # the whole decision tree — measured as the dominant share of
+        # the per-batch latency (VERDICT r8 item 8); with the plan
+        # batch-invariant, batches 2..N reuse batch 1's classes.
+        gated = dedup.incremental_ingest_indexed(
+            b, index_path, k, threshold, max_df
+        ).localCheckpoint()
+        decisions = gated.withColumn("batch_id", F.lit(batch_id))
         try:
-            decisions.write.mode("append").parquet(f"{index_path}/decisions")
+            decisions.coalesce(1).write.mode("append").parquet(f"{index_path}/decisions")
             admitted_ids = decisions.where(F.col("status") == "novel").select("doc_id")
             admitted = b.join(F.broadcast(admitted_ids), "doc_id")
             dedup.append_ingest_index(admitted, index_path, k)
         finally:
-            _unpersist_checkpoint(decisions)
+            _unpersist_checkpoint(gated)
             _unpersist_checkpoint(b)
 
     return (

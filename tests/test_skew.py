@@ -63,3 +63,64 @@ def test_salted_spreads_constant_value_hot_key(spark):
     got = {r["key"]: r["agg_values"] for r in salted_holistic_agg(kv, n_salts=16).collect()}
     want = {r["key"]: r["agg_values"] for r in _direct(kv).collect()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def pathological_signatures(spark):
+    """VERDICT r8 item 7 fixture: 3000 signatures sharing ONE
+    degenerate 16-bit chunk (b0 = 0, the all-black-row dHash every
+    letterboxed frame produces) but pairwise-distant elsewhere, plus
+    two planted near-dup pairs — one recoverable through a COLD chunk,
+    one identical ONLY in the hot chunk."""
+    rows = []
+    for i in range(3000):
+        # b1..b3 distinct per doc → any two hot-bucket docs differ in
+        # ~3*16 bits, far above max_hamming
+        rows.append((i, 0, (i * 7919) % 65536, (i * 104729) % 65536, (i * 1299721) % 65536))
+    # planted near-dup recoverable via cold chunk b1 = 77 (hamming 2)
+    rows.append((100001, 11, 77, 1234, 4321))
+    rows.append((100002, 11 ^ 3, 77, 1234, 4321))
+    # planted pair agreeing ONLY on the hot chunk b0 = 0 (the cap's
+    # documented recall cost: it is MISSED when the cap fires)
+    rows.append((100003, 0, 50000, 50001, 50002))
+    rows.append((100004, 0, 50000 ^ 1, 50001 ^ 2, 50002 ^ 4))
+    return spark.createDataFrame(rows, "doc_id long, b0 int, b1 int, b2 int, b3 int")
+
+
+def test_hot_chunk_cap_bounds_join_work_and_costs_hot_only_recall(
+    pathological_signatures,
+):
+    """The pigeonhole banding's max_bucket cap is what keeps a
+    degenerate chunk bucket from exploding the candidate join: with
+    the cap, the candidate stage emits only the planted pairs; without
+    it, the hot bucket alone emits ~3002²/2 ≈ 4.5M pairs that the
+    hamming filter then discards (counted on the exposed
+    _chunk_candidates stage because Catalyst fuses the hamming filter
+    into the join, hiding the probe volume from join metrics). The
+    cap's recall cost is pinned too: a pair identical ONLY in the
+    capped chunk is missed (so cap sizing is a recall/robustness
+    dial, not a free lunch — callers with letterbox-like degenerate
+    chunks should pre-mask them)."""
+    from mapreduce_cs416_spark.operators.multimodal import (
+        _chunk_candidates,
+        banded_hamming_pairs,
+    )
+
+    sig = pathological_signatures
+
+    capped = banded_hamming_pairs(sig, max_hamming=3, max_bucket=1000)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # cold-chunk pair found; hot-only pair missed (the documented cost)
+    assert (100001, 100002) in got
+    assert (100003, 100004) not in got
+    # candidate work stays bucket-bounded: nowhere near the ~4.5M
+    # all-pairs the hot bucket would emit
+    capped_cand = _chunk_candidates(sig, max_bucket=1000).count()
+    assert capped_cand < 10_000, capped_cand
+
+    uncapped = banded_hamming_pairs(sig, max_hamming=3, max_bucket=10_000_000)
+    got_uncapped = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    # without the cap the hot-only pair IS found — at quadratic cost
+    assert (100003, 100004) in got_uncapped
+    uncapped_cand = _chunk_candidates(sig, max_bucket=10_000_000).count()
+    assert uncapped_cand > 4_000_000, uncapped_cand

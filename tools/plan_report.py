@@ -184,6 +184,16 @@ def main() -> int:
         "aggregate or k-row top-k finisher — the legitimate pattern); 'BULK'",
         "with the measured row count is a real flag.",
         "",
+        "Skew note: every banded/pigeonhole candidate join (minhash bands,",
+        "simhash bands, the fingerprint 16-bit chunk joins, jaccard postings)",
+        "carries a max_df/max_bucket cap that drops degenerate hot keys",
+        "BEFORE the self-join — tests/test_skew.py pins on a pathological",
+        "thousands-of-identical-chunks fixture that the cap bounds candidate",
+        "volume (~4.5M pairs uncapped → planted-only capped) and that its",
+        "recall cost is exactly the pairs agreeing ONLY on a capped key;",
+        "AQE skew-join splitting (enabled in session.py) handles residual",
+        "sub-cap imbalance at runtime.",
+        "",
         "| query | shuffles | joins | aggs | wsc | py | pushdown | cols | anti-patterns |",
         "|---|---|---|---|---|---|---|---|---|",
     ]

@@ -270,11 +270,27 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stream-bench")
     base = tempfile.mkdtemp(prefix="spark_graft_streambench_")
+    # the manifest layer's win is O(snapshot)-vs-O(touched): at sf0.1's
+    # ~150k-row snapshot the full rewrite is already cheap and the
+    # manifest's fixed costs (distinct-buckets collect, per-partition
+    # committer, manifest IO) dominate — so the pair ALSO runs at the
+    # 8× scale point when it exists, where the asymptotics show.
+    scale8 = os.path.join(REPO, ".scale", "sf0.8")
     try:
         results = {
             "ingest_gate": bench_ingest_gate(spark, sf_dir, f"{base}/ingest"),
             "cdc_merge": bench_cdc_merge(spark, sf_dir, f"{base}/cdc"),
             "cdc_merge_manifest": bench_cdc_merge_manifest(spark, sf_dir, f"{base}/cdcm"),
+            **(
+                {
+                    "cdc_merge_8x": bench_cdc_merge(spark, scale8, f"{base}/cdc8"),
+                    "cdc_merge_manifest_8x": bench_cdc_merge_manifest(
+                        spark, scale8, f"{base}/cdcm8"
+                    ),
+                }
+                if os.path.isdir(scale8)
+                else {}
+            ),
             "view_maintenance": bench_view_maintenance(spark, sf_dir, f"{base}/ivm"),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
             "fingerprint_dedup": bench_fingerprint_dedup(spark, sf_dir),
@@ -307,16 +323,28 @@ def main() -> int:
     lines += [
         "",
         "Reading notes: `ingest_gate` batch N gates against the index grown by",
-        "batches 1..N-1, so a flat per-batch profile is the accretion working",
-        "(no from-scratch rescans); `cdc_merge` includes the full snapshot",
+        "batches 1..N-1, so a flat-or-falling per-batch profile is the",
+        "accretion working (no from-scratch rescans). Its per-batch cost",
+        "decomposes (r9 profile) as ~5 fixed-cost Spark actions (batch",
+        "checkpoint, gate checkpoint, decisions write, two index appends,",
+        "~0.2s each) plus the gate compute (~0.5s warm: shard shingling +",
+        "postings join); r9 shaved it by coalescing the three per-batch",
+        "appends to one file each (32 near-empty files/batch made the index",
+        "scan fan-out grow per batch), stamping batch_id AFTER the gate",
+        "checkpoint (keeps the plan batch-invariant for codegen reuse), and",
+        "giving the index reads explicit schemas (no per-batch footer",
+        "inference). `cdc_merge` includes the full snapshot",
         "rewrite per batch (see streaming_cdc_merge's 100 TB honesty note);",
         "`cdc_merge_manifest` is the transactional answer to that note: the",
         "same changelog volume applied as key-local batches through the",
         "versioned-manifest table (sources/manifest.py), rewriting only the",
-        "touched key-partitions per batch + one atomic manifest rename — the",
-        "per-batch ms gap between the two cdc rows is what the manifest layer",
-        "buys (its advantage grows with snapshot size: full-rewrite cost is",
-        "O(snapshot), manifest cost is O(touched partitions)); `tumbling_agg` is",
+        "touched key-partitions per batch + one atomic manifest rename. At",
+        "the sf0.1 snapshot (~150k rows) the manifest's fixed costs (distinct-",
+        "buckets collect, per-partition committer, manifest IO) can exceed the",
+        "already-cheap full rewrite — the `_8x` pair (run when .scale/sf0.8",
+        "exists, ~1.2M-row snapshot, same 10%-churn batches) is where the",
+        "O(snapshot)-vs-O(touched-partitions) asymmetry shows, and it widens",
+        "with every further snapshot doubling; `tumbling_agg` is",
         "the pure state-store path with no sink rewrite. First batches carry",
         "one-time plan/codegen warmup. `view_maintenance` runs the SAME",
         "changelog as `cdc_merge` plus the delta aggregate and view merge, so",
