@@ -1502,6 +1502,29 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.cdc_merge(base, changes, ["o_orderkey"], op_col="op", seq_col="seq")
 
 
+def cdc_merge_orders_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_merge_orders applied through the versioned-manifest table
+    format (sources/manifest.py) instead of a logical DataFrame merge:
+    the snapshot is seeded as a manifest table, the SAME deterministic
+    changelog is merged transactionally (only changelog-touched
+    key-buckets are rewritten, one atomic manifest-rename commit), and
+    the committed snapshot is read back. Sharing CDC_MERGE_SQL as the
+    oracle makes the hash row the claim that the transactional path is
+    ROW-IDENTICAL to the logical merge — the storage layer adds
+    durability semantics, never different answers. The table lives in
+    a per-call temp directory (the read is lazy, so the directory must
+    outlive the query; /tmp hygiene is the harness's)."""
+    import tempfile
+
+    from ..sources import manifest as mf
+
+    base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
+    path = tempfile.mkdtemp(prefix="spark_graft_cdcm_query_")
+    mf.create_table(base, path, ["o_orderkey"])
+    mf.merge_into(spark, path, changes, op_col="op", seq_col="seq")
+    return mf.read_table(spark, path)
+
+
 def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/ivm.py): a per-customer
     (n_rows, revenue) view of the orders snapshot is materialized
@@ -1837,6 +1860,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
+        # r9: the transactional twin of the in-window cdc_merge_orders
+        # — SAME oracle SQL, so the hash row claims manifest-path ≡
+        # logical-merge row identity (sources/manifest.py).
+        QuerySpec("cdc_merge_orders_manifest", cdc_merge_orders_manifest, CDC_MERGE_SQL, cdc_merge_orders_manifest.__doc__, tags=("relational", "cdc", "join", "pipeline", "storage")),
         QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
         QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),

@@ -133,10 +133,14 @@ def _write_buckets(df: DataFrame, path: str, version: int) -> str:
 
 
 def _bucket_dirs(path: str, manifest: dict, buckets: list[int]) -> list[str]:
+    """Every live data directory of the given buckets — a bucket maps
+    to a LIST of version directories (one after a merge/compact, many
+    after appends), exactly the file-list-per-partition shape of the
+    public formats' manifests."""
     return [
-        os.path.join(path, manifest["buckets"][str(b)], f"{_BUCKET_COL}={b}")
+        os.path.join(path, rel, f"{_BUCKET_COL}={b}")
         for b in buckets
-        if str(b) in manifest["buckets"]
+        for rel in manifest["buckets"].get(str(b), [])
     ]
 
 
@@ -158,8 +162,10 @@ def create_table(
         "partition_expr": expr,
         "key_cols": key_cols,
         "columns": df.columns,
-        # bucket → its version DIRECTORY (the hive leaf is appended at
-        # read time); absent buckets are empty.
+        # bucket → LIST of version directories holding its data (the
+        # hive leaf is appended at read time); absent buckets are
+        # empty. One entry after create/merge/compact; appends add
+        # entries until the next compact.
         "buckets": {},
     }
     with_bucket = df.withColumn(_BUCKET_COL, _bucket_col(manifest))
@@ -169,7 +175,7 @@ def create_table(
         for d in os.listdir(os.path.join(path, rel))
         if d.startswith(f"{_BUCKET_COL}=")
     )
-    manifest["buckets"] = {str(b): rel for b in written}
+    manifest["buckets"] = {str(b): [rel] for b in written}
     _commit(path, manifest)
     return manifest
 
@@ -257,10 +263,72 @@ def merge_into(
     buckets = dict(manifest["buckets"])
     for b in touched:
         if b in written:
-            buckets[str(b)] = rel
+            buckets[str(b)] = [rel]  # the merge consolidates the bucket
         else:
             # every row in the bucket was deleted — drop its entry
             buckets.pop(str(b), None)
+    new_manifest = {**manifest, "version": new_version, "buckets": buckets}
+    _commit(path, new_manifest)
+    return new_manifest
+
+
+def append_into(spark: SparkSession, path: str, rows: DataFrame) -> dict:
+    """Transactional APPEND: write the new rows' buckets under one
+    fresh version directory and ADD it to each touched bucket's
+    directory list — no existing file is read, rewritten, or moved
+    (the ingest-sink shape: per-batch cost is O(batch) only). The
+    caller guarantees key-uniqueness against existing data if the
+    table is meant to stay a keyed snapshot (append is the raw-log
+    face; ``merge_into`` is the keyed face). Buckets accumulate one
+    directory per append until ``compact`` folds them."""
+    manifest = read_manifest(path)
+    new_version = manifest["version"] + 1
+    batch = rows.select(*manifest["columns"]).withColumn(
+        _BUCKET_COL, _bucket_col(manifest)
+    )
+    rel = _write_buckets(batch, path, new_version)
+    vdir = os.path.join(path, rel)
+    written = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(vdir)
+        if d.startswith(f"{_BUCKET_COL}=")
+    )
+    if not written:
+        shutil.rmtree(vdir, ignore_errors=True)
+        return manifest  # empty batch: no new version
+    buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
+    for b in written:
+        buckets.setdefault(str(b), []).append(rel)
+    new_manifest = {**manifest, "version": new_version, "buckets": buckets}
+    _commit(path, new_manifest)
+    return new_manifest
+
+
+def compact(spark: SparkSession, path: str) -> dict:
+    """Transactional OPTIMIZE: every bucket whose data spans more than
+    one directory (accumulated appends) is rewritten into a single
+    directory under one new version; single-directory buckets are
+    carried over untouched. Unlike ``sources/io.compact_table``'s
+    two-rename directory swap there is NO unavailability window —
+    readers of the previous version keep reading it until the one
+    manifest rename lands, and it stays readable until ``vacuum``.
+    Returns the (possibly unchanged) manifest."""
+    manifest = read_manifest(path)
+    frag = sorted(
+        int(b) for b, rels in manifest["buckets"].items() if len(rels) > 1
+    )
+    if not frag:
+        return manifest
+    new_version = manifest["version"] + 1
+    df = (
+        spark.read.parquet(*_bucket_dirs(path, manifest, frag))
+        .select(*manifest["columns"])
+        .withColumn(_BUCKET_COL, _bucket_col(manifest))
+    )
+    rel = _write_buckets(df, path, new_version)
+    buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
+    for b in frag:
+        buckets[str(b)] = [rel]
     new_manifest = {**manifest, "version": new_version, "buckets": buckets}
     _commit(path, new_manifest)
     return new_manifest
@@ -272,8 +340,9 @@ def vacuum(path: str) -> int:
     vacuum contract). Returns the number of removed bucket dirs."""
     manifest = read_manifest(path)
     live = {
-        os.path.normpath(os.path.join(path, manifest["buckets"][b], f"{_BUCKET_COL}={b}"))
-        for b in manifest["buckets"]
+        os.path.normpath(os.path.join(path, rel, f"{_BUCKET_COL}={b}"))
+        for b, rels in manifest["buckets"].items()
+        for rel in rels
     }
     removed = 0
     data_root = os.path.join(path, "data")

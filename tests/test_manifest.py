@@ -85,19 +85,19 @@ def test_untouched_partitions_are_never_rewritten(spark, seeded):
     directory, and those files on disk are bit-identical (same paths,
     sizes, mtimes) — the merge never read or wrote them."""
     path, orders, man1 = seeded
-    before = {
-        b: rel for b, rel in man1["buckets"].items()
-    }
+    before = {b: list(rels) for b, rels in man1["buckets"].items()}
 
-    def _files(bucket: str, rel: str):
-        d = os.path.join(path, rel, f"_bucket={bucket}")
-        return {
-            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        }
+    def _files(bucket: str, rels: list[str]):
+        out = {}
+        for rel in rels:
+            d = os.path.join(path, rel, f"_bucket={bucket}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(d, f)
+                    out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+        return out
 
-    snap_before = {b: _files(b, rel) for b, rel in before.items()}
+    snap_before = {b: _files(b, rels) for b, rels in before.items()}
 
     batch = _changelog(orders, 0, 512)
     touched = {
@@ -201,3 +201,69 @@ def test_streaming_manifest_merge_matches_batch_and_bounds_writes(
             continue
         parts = [d for d in os.listdir(os.path.join(data_root, vdir)) if d.startswith("_bucket=")]
         assert 0 < len(parts) <= max_touched
+
+
+def test_append_into_never_touches_existing_files_and_compact_folds(
+    spark, seeded
+):
+    """The append/compact pair: appends add one directory per touched
+    bucket per batch without reading or rewriting ANY existing file;
+    compact folds multi-directory buckets back to one under a single
+    new version with content identical — and, unlike
+    io.compact_table's directory swap, the previous version stays
+    readable throughout (no unavailability window)."""
+    path, orders, man1 = seeded
+
+    # new unique keys that land in EXISTING partitions (1500..1599 →
+    # the tail buckets) so appends visibly accumulate directories
+    extra1 = (
+        orders.orderBy("o_orderkey").limit(50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1500)
+    )
+    extra2 = (
+        orders.orderBy("o_orderkey").limit(50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1550)
+    )
+    man2 = mf.append_into(spark, path, extra1)
+    man3 = mf.append_into(spark, path, extra2)
+    assert man3["version"] == 3
+    # appended buckets accumulated directories; none lost the original
+    grew = [b for b, rels in man3["buckets"].items() if len(rels) > 1]
+    assert grew, man3["buckets"]
+    for b, rels in man1["buckets"].items():
+        assert man3["buckets"][b][0] == rels[0]
+
+    expected = _sorted_rows(
+        mf.read_table(spark, path, version=1).unionByName(extra1).unionByName(extra2)
+    )
+    assert _sorted_rows(mf.read_table(spark, path)) == expected
+
+    man4 = mf.compact(spark, path)
+    assert man4["version"] == 4
+    assert all(len(rels) == 1 for rels in man4["buckets"].values())
+    assert _sorted_rows(mf.read_table(spark, path)) == expected
+    # the pre-compact version is still readable (no swap window)
+    assert _sorted_rows(mf.read_table(spark, path, version=3)) == expected
+    # compact with nothing fragmented is a no-op commit-wise
+    assert mf.compact(spark, path)["version"] == 4
+
+
+def test_merge_consolidates_appended_bucket(spark, seeded):
+    """A merge over a bucket fragmented by appends reads ALL its
+    directories (missing one would resurrect deleted rows or lose
+    appends) and leaves the bucket single-directory again."""
+    path, orders, _ = seeded
+    extra = orders.withColumn("o_orderkey", F.col("o_orderkey") + 128).limit(20)
+    mf.append_into(spark, path, extra)
+    batch = _changelog(orders, 0, 512)
+    expected = cdc.cdc_merge(
+        mf.read_table(spark, path), batch, ["o_orderkey"], op_col="op", seq_col="seq"
+    )
+    man = mf.merge_into(spark, path, batch)
+    assert _sorted_rows(mf.read_table(spark, path)) == _sorted_rows(expected)
+    touched = {
+        str(r[0])
+        for r in batch.selectExpr(f"cast(({RANGE_EXPR}) as long)").distinct().collect()
+    }
+    for b in touched & man["buckets"].keys():
+        assert len(man["buckets"][b]) == 1
