@@ -150,6 +150,7 @@ def create_table(
     key_cols: list[str],
     partition_expr: str | None = None,
     n_buckets: int = 16,
+    aux: dict[str, DataFrame] | None = None,
 ) -> dict:
     """Seed a manifest table from a snapshot DataFrame: compute each
     row's partition via ``partition_expr`` (a deterministic Spark SQL
@@ -176,6 +177,12 @@ def create_table(
         if d.startswith(f"{_BUCKET_COL}=")
     )
     manifest["buckets"] = {str(b): [rel] for b in written}
+    if aux:
+        manifest["aux"] = {}
+        for name, adf in aux.items():
+            aux_rel = os.path.join(rel, f"_aux_{name}")
+            adf.write.mode("overwrite").parquet(os.path.join(path, aux_rel))
+            manifest["aux"][name] = aux_rel
     _commit(path, manifest)
     return manifest
 
@@ -198,6 +205,7 @@ def merge_into(
     changes: DataFrame,
     op_col: str = "op",
     seq_col: str | None = "seq",
+    aux: dict[str, DataFrame] | None = None,
 ) -> dict:
     """Transactional MERGE of a CDC changelog into the table: rewrite
     ONLY key-buckets the changelog touches, commit one new manifest.
@@ -212,7 +220,16 @@ def merge_into(
          entries are carried over UNCHANGED (their files are never
          read, rewritten, or moved);
       5. atomically commit manifest v{N}.
-    """
+
+    ``aux`` commits side tables ATOMICALLY WITH the merge: each named
+    DataFrame is written under the same version directory and the one
+    manifest rename publishes snapshot + aux together — the mechanism
+    that closes streaming_view_maintenance's documented
+    crash-between-two-overwrites window (a crash before the rename
+    leaves BOTH the old snapshot and the old view; a replay then
+    applies the batch exactly once). Aux plans may read the
+    CURRENTLY-committed versions of this table — data files are
+    immutable, so writing the new version never disturbs them."""
     from ..operators import cdc
 
     manifest = read_manifest(path)
@@ -223,53 +240,77 @@ def merge_into(
     touched = sorted(
         r[_BUCKET_COL] for r in batch.select(_BUCKET_COL).distinct().collect()
     )
-    if not touched:
+    if not touched and not aux:
         return manifest  # empty batch: no new version, nothing written
 
-    existing = [b for b in touched if str(b) in manifest["buckets"]]
-    dirs = _bucket_dirs(path, manifest, existing)
-    if dirs:
-        current = (
-            spark.read.parquet(*dirs)
-            .select(*manifest["columns"])
-            .withColumn(_BUCKET_COL, _bucket_col(manifest))
-        )
-        merged = cdc.cdc_merge(
-            current,
-            batch,
-            key_cols + [_BUCKET_COL],  # bucket is key-functional; keeps it in scope
-            op_col=op_col,
-            seq_col=seq_col,
-        )
-    else:
-        # first write into brand-new buckets: still resolve per-key
-        # latest before dropping the op/seq bookkeeping
-        resolved = (
-            cdc.latest_changes(batch, key_cols + [_BUCKET_COL], seq_col)
-            if seq_col
-            else batch
-        )
-        merged = resolved.filter(F.col(op_col) != "D").drop(
-            op_col, *([seq_col] if seq_col else [])
-        )
-    rel = _write_buckets(merged, path, new_version)
-
-    vdir = os.path.join(path, rel)
-    written = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(vdir)
-        if d.startswith(f"{_BUCKET_COL}=")
-    }
     buckets = dict(manifest["buckets"])
-    for b in touched:
-        if b in written:
-            buckets[str(b)] = [rel]  # the merge consolidates the bucket
+    rel = os.path.join("data", f"v{new_version}")
+    if touched:
+        existing = [b for b in touched if str(b) in manifest["buckets"]]
+        dirs = _bucket_dirs(path, manifest, existing)
+        if dirs:
+            current = (
+                spark.read.parquet(*dirs)
+                .select(*manifest["columns"])
+                .withColumn(_BUCKET_COL, _bucket_col(manifest))
+            )
+            merged = cdc.cdc_merge(
+                current,
+                batch,
+                key_cols + [_BUCKET_COL],  # bucket is key-functional; keeps it in scope
+                op_col=op_col,
+                seq_col=seq_col,
+            )
         else:
-            # every row in the bucket was deleted — drop its entry
-            buckets.pop(str(b), None)
+            # first write into brand-new buckets: still resolve per-key
+            # latest before dropping the op/seq bookkeeping
+            resolved = (
+                cdc.latest_changes(batch, key_cols + [_BUCKET_COL], seq_col)
+                if seq_col
+                else batch
+            )
+            merged = resolved.filter(F.col(op_col) != "D").drop(
+                op_col, *([seq_col] if seq_col else [])
+            )
+        rel = _write_buckets(merged, path, new_version)
+
+        vdir = os.path.join(path, rel)
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith(f"{_BUCKET_COL}=")
+        }
+        for b in touched:
+            if b in written:
+                buckets[str(b)] = [rel]  # the merge consolidates the bucket
+            else:
+                # every row in the bucket was deleted — drop its entry
+                buckets.pop(str(b), None)
+
+    # aux side tables land under the SAME version directory, after the
+    # bucket write (whose mode=overwrite would clear the directory) and
+    # BEFORE the manifest rename — data first, commit last.
+    aux_entry = dict(manifest.get("aux", {}))
+    for name, df in (aux or {}).items():
+        aux_rel = os.path.join(rel, f"_aux_{name}")
+        df.write.mode("overwrite").parquet(os.path.join(path, aux_rel))
+        aux_entry[name] = aux_rel
+
     new_manifest = {**manifest, "version": new_version, "buckets": buckets}
+    if aux_entry:
+        new_manifest["aux"] = aux_entry
     _commit(path, new_manifest)
     return new_manifest
+
+
+def read_aux(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read an aux side table at the given (default latest) committed
+    version — e.g. the materialized view committed atomically with its
+    snapshot by ``merge_into(..., aux=...)``."""
+    manifest = read_manifest(path, version)
+    return spark.read.parquet(os.path.join(path, manifest["aux"][name]))
 
 
 def append_into(spark: SparkSession, path: str, rows: DataFrame) -> dict:
@@ -344,6 +385,10 @@ def vacuum(path: str) -> int:
         for b, rels in manifest["buckets"].items()
         for rel in rels
     }
+    live_aux = {
+        os.path.normpath(os.path.join(path, rel))
+        for rel in manifest.get("aux", {}).values()
+    }
     removed = 0
     data_root = os.path.join(path, "data")
     if not os.path.isdir(data_root):
@@ -357,7 +402,13 @@ def vacuum(path: str) -> int:
             if leaf.startswith(f"{_BUCKET_COL}=") and lpath not in live:
                 shutil.rmtree(lpath)
                 removed += 1
-        if not any(d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(vpath)):
+            elif leaf.startswith("_aux_") and lpath not in live_aux:
+                shutil.rmtree(lpath)
+                removed += 1
+        # only parquet-committer droppings (_SUCCESS) left → fold the dir
+        if not any(
+            d.startswith((f"{_BUCKET_COL}=", "_aux_")) for d in os.listdir(vpath)
+        ):
             shutil.rmtree(vpath)
     # older manifests that now reference deleted data are dropped too
     mdir = os.path.join(path, _MANIFEST_DIR)

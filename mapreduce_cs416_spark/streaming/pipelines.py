@@ -679,6 +679,51 @@ def streaming_view_maintenance(
     )
 
 
+def streaming_view_maintenance_manifest(
+    changes: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    measures: dict[str, str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """streaming_view_maintenance on the versioned-manifest table —
+    closing that pipeline's documented crash-between-two-overwrites
+    window: per micro-batch the IVM delta is computed against the
+    COMMITTED snapshot and view, and then the touched-partition
+    snapshot merge AND the new view land under ONE manifest rename
+    (``manifest.merge_into(..., aux={"view": ...})``). A crash
+    anywhere before the rename leaves both tables at the previous
+    version, so the replayed batch applies exactly once — no zero-
+    delta convention needed, though the delta rule still provides it.
+    The table must be seeded with ``manifest.create_table(...,
+    aux={"view": ivm.build_view(...)})`` before the stream starts."""
+    from ..operators import ivm
+    from ..sources import manifest as mf
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        snap = mf.read_table(session, table_path)
+        view = mf.read_aux(session, table_path, "view")
+        delta = ivm.delta_view(
+            snap, batch_df, key_cols, group_cols, measures,
+            op_col=op_col, seq_col=seq_col,
+        )
+        new_view = ivm.merge_deltas(view, delta, group_cols)
+        mf.merge_into(
+            session, table_path, batch_df,
+            op_col=op_col, seq_col=seq_col, aux={"view": new_view},
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{table_path}_view_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_embeddings_replayed(spark: SparkSession, sf_dir: str, copies: int = 2) -> DataFrame:
     """embeddings replayed as ``copies`` identical single-file
     micro-batches (cf. stream_documents_replayed) — the arrival shape

@@ -267,3 +267,96 @@ def test_merge_consolidates_appended_bucket(spark, seeded):
     }
     for b in touched & man["buckets"].keys():
         assert len(man["buckets"][b]) == 1
+
+
+def test_view_commits_atomically_with_snapshot_and_crash_is_invisible(
+    spark, seeded, monkeypatch
+):
+    """The aux-table commit (VERDICT r8 item 5's residual): snapshot
+    merge and materialized view publish under ONE manifest rename. A
+    crash after ALL data is written but before the rename leaves both
+    reads at the previous version; the replayed batch then applies
+    exactly once."""
+    from mapreduce_cs416_spark.operators import ivm
+
+    path, orders, _ = seeded
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    # seed the view atomically with v2 (aux on a no-change merge)
+    view0 = ivm.build_view(orders, group, measures)
+    mf.merge_into(
+        spark, path, orders.limit(0).withColumn("op", F.lit("U")).withColumn("seq", F.lit(1)),
+        aux={"view": view0},
+    )
+    assert "view" in mf.read_manifest(path)["aux"]
+
+    batch = _changelog(orders, 0, 512)
+    snap = mf.read_table(spark, path)
+    delta = ivm.delta_view(snap, batch, ["o_orderkey"], group, measures, op_col="op", seq_col="seq")
+    new_view = ivm.merge_deltas(mf.read_aux(spark, path, "view"), delta, group)
+
+    before_snap = _sorted_rows(mf.read_table(spark, path))
+    before_view = _sorted_rows(mf.read_aux(spark, path, "view"))
+    v_before = mf.read_manifest(path)["version"]
+
+    # crash injection: everything lands on disk, the rename never does
+    def boom(p, m):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(mf, "_commit", boom)
+    with pytest.raises(RuntimeError):
+        mf.merge_into(spark, path, batch, aux={"view": new_view})
+    monkeypatch.undo()
+
+    # both tables still read the OLD version — the torn state is invisible
+    assert mf.read_manifest(path)["version"] == v_before
+    assert _sorted_rows(mf.read_table(spark, path)) == before_snap
+    assert _sorted_rows(mf.read_aux(spark, path, "view")) == before_view
+
+    # the replay applies exactly once and view == recompute-from-snapshot
+    mf.merge_into(spark, path, batch, aux={"view": new_view})
+    merged = mf.read_table(spark, path)
+    got_view = _sorted_rows(mf.read_aux(spark, path, "view"))
+    want_view = _sorted_rows(ivm.build_view(merged, group, measures))
+    assert got_view == want_view
+
+
+def test_streaming_view_maintenance_manifest_matches_recompute(
+    spark, sf_dir, tmp_path
+):
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.streaming import pipelines as sp
+
+    orders = _orders(spark, sf_dir)
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    path = str(tmp_path / "tbl")
+    mf.create_table(
+        orders, path, ["o_orderkey"], partition_expr=RANGE_EXPR,
+        aux={"view": ivm.build_view(orders, group, measures)},
+    )
+
+    batches = [_changelog(orders, i * 256, (i + 1) * 256) for i in range(2)]
+    change_dir = str(tmp_path / "changes")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{change_dir}/bat={i}")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batches[0].schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{change_dir}/bat=*")
+    )
+    q = sp.streaming_view_maintenance_manifest(
+        stream, path, ["o_orderkey"], group, measures
+    )
+    q.awaitTermination()
+
+    merged = mf.read_table(spark, path)
+    got = _sorted_rows(mf.read_aux(spark, path, "view"))
+    want = _sorted_rows(ivm.build_view(merged, group, measures))
+    assert got == want
+    # and the snapshot equals the batch cdc loop
+    expected = orders
+    for b in batches:
+        expected = cdc.cdc_merge(expected, b, ["o_orderkey"], op_col="op", seq_col="seq")
+    assert _sorted_rows(merged) == _sorted_rows(expected)
