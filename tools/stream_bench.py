@@ -233,6 +233,53 @@ def bench_view_maintenance(spark, sf_dir: str, base: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_view_maintenance_manifest(spark, sf_dir: str, base: str) -> dict:
+    """The transactional IVM twin (manifest.merge_into with the view
+    as an aux table — snapshot + view under ONE commit): same
+    key-local changelog fixture as bench_cdc_merge_manifest, so the
+    difference vs that row is the IVM overhead, and the difference vs
+    `view_maintenance` is what the atomic manifest commit costs/saves
+    relative to two full parquet overwrites."""
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.sources import manifest as mf
+
+    orders = load_table(spark, sf_dir, "orders")
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    table = f"{base}/table"
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = max(1024, int(max_key) // 32)
+    mf.create_table(
+        orders, table, ["o_orderkey"],
+        partition_expr=f"floor(o_orderkey / {width})",
+        aux={"view": ivm.build_view(orders, group, measures)},
+    )
+    slice_w = (int(max_key) + 1) // 10
+    changes = (
+        orders.where(F.floor(F.col("o_orderkey") / slice_w) < N_BATCHES)
+        .withColumn("bat", F.floor(F.col("o_orderkey") / slice_w).cast("long"))
+        .withColumn(
+            "op", F.when(F.col("o_orderkey") % 97 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .withColumn("seq", F.col("o_orderkey") * 10 + F.col("bat"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    change_dir = f"{base}/changes"
+    _write_shards(changes, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in changes.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = sp.streaming_view_maintenance_manifest(
+        stream, table, ["o_orderkey"], group, measures, op_col="op", seq_col="seq"
+    )
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
 def bench_tumbling(spark, sf_dir: str) -> dict:
     events = sp.stream_events_replayed(spark, sf_dir, copies=N_REPLAYS)
     agg = sp.streaming_tumbling(events)
@@ -292,6 +339,9 @@ def main() -> int:
                 else {}
             ),
             "view_maintenance": bench_view_maintenance(spark, sf_dir, f"{base}/ivm"),
+            "view_maintenance_manifest": bench_view_maintenance_manifest(
+                spark, sf_dir, f"{base}/ivmm"
+            ),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
             "fingerprint_dedup": bench_fingerprint_dedup(spark, sf_dir),
             "lsh_gate": bench_lsh_gate(spark, sf_dir),
@@ -349,7 +399,11 @@ def main() -> int:
         "one-time plan/codegen warmup. `view_maintenance` runs the SAME",
         "changelog as `cdc_merge` plus the delta aggregate and view merge, so",
         "the per-batch difference between the two rows is the IVM overhead",
-        "over plain snapshot maintenance. Caveat: `rows/batch` is Spark's",
+        "over plain snapshot maintenance; `view_maintenance_manifest` is its",
+        "transactional twin (snapshot merge + view under ONE atomic manifest",
+        "commit via aux tables — the crash window between the two overwrites",
+        "is closed, not narrowed) on the key-local changelog. Caveat:",
+        "`rows/batch` is Spark's",
         "`numInputRows`, which counts SOURCE SCANS — a foreachBatch body that",
         "reads its batch twice (cdc_merge) or three times (view_maintenance)",
         "reports 2-3x the on-disk shard rows.",
