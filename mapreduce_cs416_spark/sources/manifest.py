@@ -41,6 +41,17 @@ new version. ``vacuum`` removes directories unreferenced by the
 latest manifest (older versions are readable until then — cheap time
 travel, same as the public formats).
 
+Beyond merge, the format carries the rest of the lakehouse op set:
+``append_into`` adds one immutable directory per touched bucket
+without reading any existing file (buckets map to LISTS of
+directories — the file-list-per-partition manifest shape);
+``compact`` is the transactional OPTIMIZE, folding fragmented buckets
+under one new version with no unavailability window; and
+``merge_into(..., aux={...})`` commits side tables (e.g. an IVM
+materialized view) ATOMICALLY with the snapshot under the same single
+rename — the multi-table transaction that closes
+streaming_view_maintenance's crash-between-two-overwrites window.
+
 At 1000 executors the bucket count is the write-parallelism knob:
 n_buckets should be ≥ cluster cores for merge throughput and small
 enough that a bucket is a few files (here 16 for test-sized tables).
