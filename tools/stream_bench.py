@@ -388,13 +388,17 @@ def main() -> int:
         "`cdc_merge_manifest` is the transactional answer to that note: the",
         "same changelog volume applied as key-local batches through the",
         "versioned-manifest table (sources/manifest.py), rewriting only the",
-        "touched key-partitions per batch + one atomic manifest rename. At",
-        "the sf0.1 snapshot (~150k rows) the manifest's fixed costs (distinct-",
-        "buckets collect, per-partition committer, manifest IO) can exceed the",
-        "already-cheap full rewrite — the `_8x` pair (run when .scale/sf0.8",
-        "exists, ~1.2M-row snapshot, same 10%-churn batches) is where the",
-        "O(snapshot)-vs-O(touched-partitions) asymmetry shows, and it widens",
-        "with every further snapshot doubling; `tumbling_agg` is",
+        "touched key-partitions per batch + one atomic manifest rename. The",
+        "guaranteed win is WRITE VOLUME, not local wall-clock: per batch the",
+        "full rewrite writes the whole snapshot (~150k rows at sf0.1, ~1.2M",
+        "at the `_8x` pair) while the manifest merge writes only the ~1/10 of",
+        "partitions the key-local batch touches (pinned by",
+        "tests/test_manifest.py's untouched-files-bit-identical test). On",
+        "local[32] with a warm page cache both paths are fixed-cost dominated",
+        "and the times sit within run noise of each other even at 8x; on real",
+        "distributed storage the 10x write-volume gap IS the latency gap, and",
+        "it doubles with every snapshot doubling while the manifest cost",
+        "stays changelog-sized; `tumbling_agg` is",
         "the pure state-store path with no sink rewrite. First batches carry",
         "one-time plan/codegen warmup. `view_maintenance` runs the SAME",
         "changelog as `cdc_merge` plus the delta aggregate and view merge, so",
