@@ -161,6 +161,79 @@ def plant_near_dups(
     return base.unionByName(twins)
 
 
+def margin_mine_pairs(
+    emb: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    side_expr: str = "vec_id % 2",
+) -> DataFrame:
+    """Margin-criterion pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix bitext-mining scorer, the standard way parallel
+    training pairs are extracted from two embedding spaces): split the
+    corpus into sides X/Y by ``side_expr``, score every cross pair,
+    and keep MUTUAL best pairs whose ratio margin
+    ``cos(x,y) / ((topk̄_Y(x) + topk̄_X(y)) / 2)`` clears the
+    threshold — the margin normalizes away hubness (a vector that is
+    everyone's neighbor has a high top-k mean, so its raw cosines
+    stop winning).
+
+    Scale shape: the cross scorer here is the documented O(|X|·|Y|)
+    brute-force baseline (one broadcast nested-loop, the
+    similarity_topk discipline) — at production scale the candidate
+    pairs come from the SAME LSH/IVF bucketing as the near-dup
+    family and only the margin arithmetic changes. Determinism: the
+    top-k means fold the ranked-k cosines in rank order (array_sort
+    on (rn, cos) then a sequential aggregate — never a commutative
+    float sum), ties break on neighbor id, and rounding happens at
+    the output edge only, so the DuckDB twin reproduces scores,
+    margins, and the mutual-best pair set exactly."""
+    p = _prepared(emb).where(F.col("nrm") > 0).withColumn(
+        "side", F.expr(side_expr).cast("int")
+    )
+    x = p.where(F.col("side") == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    y = p.where(F.col("side") == 1).select(
+        F.col("vec_id").alias("y_id"), F.col("v").alias("yv"), F.col("nrm").alias("yn")
+    )
+    dot = F.expr("aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, e) -> acc + e)")
+    scored = x.crossJoin(F.broadcast(y)).select(
+        "x_id", "y_id", (dot / (F.col("xn") * F.col("yn"))).alias("cos")
+    )
+
+    def _topk_mean(df: DataFrame, key: str) -> DataFrame:
+        other = "y_id" if key == "x_id" else "x_id"
+        w = Window.partitionBy(key).orderBy(F.desc("cos"), other)
+        ranked = df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+        folded = F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(rn, cos))), s -> s.cos),"
+            " 0D, (acc, e) -> acc + e)"
+        )
+        return ranked.groupBy(key).agg((folded / F.lit(float(k))).alias(f"k_{key}"))
+
+    enriched = (
+        scored.join(F.broadcast(_topk_mean(scored, "x_id")), "x_id")
+        .join(F.broadcast(_topk_mean(scored, "y_id")), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos",
+            (F.col("cos") / ((F.col("k_x_id") + F.col("k_y_id")) / F.lit(2.0))).alias("margin"),
+        )
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+    best = (
+        enriched.withColumn("bx", F.row_number().over(wx))
+        .withColumn("by", F.row_number().over(wy))
+        .where((F.col("bx") == 1) & (F.col("by") == 1))
+        .where(F.col("margin") >= margin_threshold)
+    )
+    return best.select(
+        "x_id", "y_id", F.round("cos", 6).alias("score"), F.round("margin", 6).alias("margin")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a fixed LCG —
     reproducible across runs with no RNG dependency."""

@@ -791,3 +791,78 @@ def model_quality_score(
         F.round(F.col("raw") / F.col("n_tokens"), 6).alias("score"),
         (F.col("raw") / F.col("n_tokens") >= threshold).alias("keep"),
     )
+
+
+def classifier_eval(
+    docs: DataFrame, threshold: float = 0.0, label_cutoff: float = 0.5
+) -> DataFrame:
+    """Evaluate the bag-of-words quality model AS A QUERY — the
+    measurement every learned data filter ships with: ranking quality
+    (ROC-AUC of ``model_quality_score``'s score against labels from
+    the INDEPENDENT heuristic ``quality_score`` composite ≥
+    ``label_cutoff``) plus the thresholded keep-decision's confusion
+    counts and precision/recall. One row out.
+
+    AUC is the Mann-Whitney rank-sum with midrank tie handling,
+    computed EXACTLY in integers until the single final division:
+    group documents by (6-dp) score, and for each group count
+    documents in strictly-smaller groups via a theta join of the
+    GROUPED table against itself (group-count², never corpus²; the
+    same broadcast band-join strategy as the range joins) — then
+    2U = Σ_g pos_g · (2·n_less_g + cnt_g + 1), AUC = (2U − n₁(n₁+1))
+    / (2·n₁·n₀). Integer arithmetic commutes on any partitioning, so
+    the whole evaluation is hash-exact; AUC is NULL when either class
+    is empty. Zero-token documents (unscorable by the model) are
+    excluded, mirroring the release pipeline's missing-means-dropped
+    contract."""
+    scores = model_quality_score(docs, threshold=threshold).select(
+        "doc_id", "score", "keep"
+    )
+    labels = quality_score(docs).select(
+        "doc_id", (F.col("quality") >= label_cutoff).alias("label")
+    )
+    j = scores.join(labels, "doc_id").where(F.col("label").isNotNull())
+    g = j.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("label").cast("long")).alias("pos"),
+        F.sum((F.col("keep") & F.col("label")).cast("long")).alias("tp"),
+        F.sum((F.col("keep") & ~F.col("label")).cast("long")).alias("fp"),
+        F.sum((~F.col("keep") & F.col("label")).cast("long")).alias("fn"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    less = (
+        a.join(b, F.col("b.score") < F.col("a.score"), "left")
+        .groupBy(F.col("a.score").alias("score"), F.col("a.cnt").alias("cnt"), F.col("a.pos").alias("pos"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("n_less"))
+    )
+    u = less.agg(
+        F.sum(F.col("pos") * (2 * F.col("n_less") + F.col("cnt") + 1)).alias("two_u"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("cnt").alias("n_docs"),
+    )
+    conf = g.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    n1, n0 = F.col("n_pos"), F.col("n_docs") - F.col("n_pos")
+    auc = F.when(
+        (n1 > 0) & (n0 > 0),
+        F.round(
+            (F.col("two_u") - n1 * (n1 + 1)) / (F.lit(2.0) * n1 * n0), 6
+        ),
+    )
+    return (
+        u.crossJoin(F.broadcast(conf))
+        .select(
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.col("n_pos").cast("int").alias("n_pos"),
+            (F.col("n_docs") - F.col("n_pos")).cast("int").alias("n_neg"),
+            auc.alias("auc"),
+            F.col("tp").cast("int").alias("tp"),
+            F.col("fp").cast("int").alias("fp"),
+            F.col("fn").cast("int").alias("fn"),
+            F.when(F.col("tp") + F.col("fp") > 0,
+                   F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6)).alias("precision"),
+            F.when(F.col("tp") + F.col("fn") > 0,
+                   F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6)).alias("recall"),
+        )
+    )

@@ -518,22 +518,92 @@ def similarity_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planted_e_cte_sql(dim: int = 64) -> str:
+def _planted_e_cte_sql(
+    dim: int = 64, every: int | None = None, offset: int | None = None
+) -> str:
     """The eval blocks' source CTE: embeddings ∪ planted twins —
     DuckDB twin of similarity.plant_near_dups (multipliers hoisted to
     a VALUES CTE so the literal list is built once)."""
     from ..operators.similarity import PLANT_EVERY, PLANT_OFFSET, plant_multipliers
 
+    every = PLANT_EVERY if every is None else every
+    offset = PLANT_OFFSET if offset is None else offset
     lits = ", ".join(repr(x) for x in plant_multipliers(dim))
     return f"""pm(m) AS (
         VALUES ([{lits}])
     ), e AS (
         SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
         UNION ALL
-        SELECT vec_id + {PLANT_OFFSET},
+        SELECT vec_id + {offset},
                [embedding[i]::DOUBLE * pm.m[i] FOR i IN range(1, {dim} + 1)]
-        FROM embeddings, pm WHERE vec_id % {PLANT_EVERY} = 0
+        FROM embeddings, pm WHERE vec_id % {every} = 0
     )"""
+
+
+def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining (operators/similarity.
+    margin_mine_pairs — the LASER/CCMatrix bitext-mining scorer) over
+    the corpus split into two 'languages' by vec_id parity, with
+    deterministic twins planted across the split (every 10th vector
+    copies to vec_id+1000001, flipping parity) so the mined set has
+    known true pairs: each twin must surface as a mutual best pair
+    with a dominant margin. Hash-exact end to end — cosines, ranked
+    top-k means folded in rank order, margins, and the mutual-best
+    filter are all replayed by the DuckDB twin."""
+    from ..operators import similarity as sim
+
+    planted = sim.plant_near_dups(_emb(spark, sf_dir), every=10, offset=1_000_001)
+    return sim.margin_mine_pairs(planted, k=4, margin_threshold=1.05)
+
+
+def _margin_mining_sql(k: int = 4, threshold: float = 1.05, dim: int = 64) -> str:
+    """DuckDB twin of similarity_margin_mining: the planted-twin
+    source CTE, the brute-force cross scorer, ranked top-k means
+    folded in rank order (list(cos ORDER BY rn) + list_reduce — the
+    same sequential sum as Spark's array_sort + aggregate), the
+    ratio margin, and the mutual-best filter with id tie-breaks."""
+    return f"""
+WITH {_planted_e_cte_sql(dim, every=10, offset=1_000_001)}, n AS MATERIALIZED (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, e) -> acc + e)) AS nrm
+    FROM e
+    WHERE list_reduce(list_prepend(0.0, [x * x FOR x IN v]), (acc, e) -> acc + e) > 0
+), x AS (SELECT vec_id AS x_id, v AS xv, nrm AS xn FROM n WHERE vec_id % 2 = 0),
+y AS (SELECT vec_id AS y_id, v AS yv, nrm AS yn FROM n WHERE vec_id % 2 = 1),
+scored AS MATERIALIZED (
+    SELECT x_id, y_id,
+           list_reduce(list_prepend(0.0, [xv[i] * yv[i] FOR i IN range(1, {dim} + 1)]),
+                       (acc, e) -> acc + e) / (xn * yn) AS cos
+    FROM x CROSS JOIN y
+), rx AS (
+    SELECT x_id, cos, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rn
+    FROM scored
+), kx AS (
+    SELECT x_id,
+           list_reduce(list_prepend(0.0, list(cos ORDER BY rn)), (acc, e) -> acc + e) / {k} AS kxm
+    FROM rx WHERE rn <= {k} GROUP BY x_id
+), ry AS (
+    SELECT y_id, cos, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rn
+    FROM scored
+), ky AS (
+    SELECT y_id,
+           list_reduce(list_prepend(0.0, list(cos ORDER BY rn)), (acc, e) -> acc + e) / {k} AS kym
+    FROM ry WHERE rn <= {k} GROUP BY y_id
+), m AS MATERIALIZED (
+    SELECT s.x_id, s.y_id, s.cos, s.cos / ((kx.kxm + ky.kym) / 2.0) AS margin
+    FROM scored s JOIN kx USING (x_id) JOIN ky USING (y_id)
+), b AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+           row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS byy
+    FROM m
+)
+SELECT x_id, y_id, round(cos, 6) AS score, round(margin, 6) AS margin
+FROM b WHERE bx = 1 AND byy = 1 AND margin >= {threshold}
+"""
+
+
+SIMILARITY_MARGIN_MINING_SQL = _margin_mining_sql()
 
 
 def _lsh_eval_sql(points=None, dim: int = 64) -> str:
@@ -1286,6 +1356,53 @@ SELECT doc_id,
        (coalesce(sum(wt), 0) * 1.0 / count(*)) >= 0.0 AS keep
 FROM j
 GROUP BY doc_id
+"""
+
+
+def text_model_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation AS A QUERY (operators/textstats.
+    classifier_eval): ROC-AUC of the bag-of-words model's ranking
+    against labels from the independent heuristic composite, plus the
+    keep-decision's confusion counts and precision/recall — the
+    measurement a learned data filter ships with (the similarity
+    family's eval rows, for the text-quality model). Mann-Whitney
+    midrank AUC in exact integer arithmetic until one final division,
+    so the row is hash-checkable."""
+    return textstats.classifier_eval(_docs(spark, sf_dir))
+
+
+TEXT_MODEL_QUALITY_AUC_SQL = f"""
+WITH s AS MATERIALIZED ({TEXT_MODEL_QUALITY_SQL}),
+q AS MATERIALIZED ({TEXT_QUALITY_SQL}),
+jj AS (
+    SELECT s.doc_id, s.score, s.keep, (q.quality >= 0.5) AS label
+    FROM s JOIN q USING (doc_id) WHERE q.quality IS NOT NULL
+), g AS MATERIALIZED (
+    SELECT score, count(*) AS cnt,
+           sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN keep AND label THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN keep AND NOT label THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN NOT keep AND label THEN 1 ELSE 0 END) AS fn
+    FROM jj GROUP BY score
+), l AS (
+    SELECT a.score, a.cnt, a.pos, coalesce(sum(b.cnt), 0) AS n_less
+    FROM g a LEFT JOIN g b ON b.score < a.score
+    GROUP BY a.score, a.cnt, a.pos
+), u AS (
+    SELECT sum(pos * (2 * n_less + cnt + 1)) AS two_u,
+           sum(pos) AS n_pos, sum(cnt) AS n_docs
+    FROM l
+), c AS (SELECT sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn FROM g)
+SELECT CAST(n_docs AS INT) AS n_docs,
+       CAST(n_pos AS INT) AS n_pos,
+       CAST(n_docs - n_pos AS INT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n_docs - n_pos > 0
+            THEN round((two_u - n_pos * (n_pos + 1)) / (2.0 * n_pos * (n_docs - n_pos)), 6)
+       END AS auc,
+       CAST(tp AS INT) AS tp, CAST(fp AS INT) AS fp, CAST(fn AS INT) AS fn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall
+FROM u CROSS JOIN c
 """
 
 
@@ -3490,6 +3607,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("similarity_eval_ivf", similarity_eval_ivf, SIMILARITY_EVAL_SQL, similarity_eval_ivf.__doc__, tags=("northstar", "similarity", "ivf", "eval")),
         QuerySpec("embedding_centroid_scores", embedding_centroid_scores, EMBEDDING_CENTROID_SQL, embedding_centroid_scores.__doc__, headline=True, tags=("northstar", "similarity", "text", "pipeline")),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, LSH_ANN_SQL, similarity.lsh_ann_topk.__doc__, tags=("northstar", "similarity", "lsh")),
+        # r9: margin-criterion bitext/pair mining with planted
+        # cross-side twins as known true pairs — exact oracle.
+        QuerySpec("similarity_margin_mining", similarity_margin_mining, SIMILARITY_MARGIN_MINING_SQL, similarity.margin_mine_pairs.__doc__, tags=("northstar", "similarity", "mining", "pipeline")),
+        # r9: the quality model's eval row — midrank AUC + confusion
+        # counts in exact integer arithmetic, hash-oracled.
+        QuerySpec("text_model_quality_auc", text_model_quality_auc, TEXT_MODEL_QUALITY_AUC_SQL, textstats.classifier_eval.__doc__, tags=("northstar", "text", "model", "eval")),
         # r8: the LSH family gained EXACT oracles (_lsh_near_dup_sql)
         # — the hyperplanes are deterministic plan literals, not
         # engine hashes, so "rows-only" was needlessly weak. The pair

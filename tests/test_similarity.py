@@ -426,3 +426,30 @@ def test_lsh_eval_prod_recall_is_a_number_with_planted_stratum(spark, sf_dir):
     assert prod["candidate_ratio"] <= 0.03, prod
     demo = rows["demo_4x8"]
     assert demo["recall"] is not None and demo["recall"] >= 0.7, demo
+
+
+def test_margin_mining_recovers_planted_cross_side_twins(spark, sf_dir):
+    """Every planted twin (vec_id ↔ vec_id+1000001, parity-flipped so
+    the pair spans the X/Y split) must be mined as a mutual best pair,
+    and their margins must dominate any coincidental pair — the
+    hubness-normalized margin is what separates true pairs from
+    neighbors-of-everything (Artetxe & Schwenk 2019)."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = similarity.plant_near_dups(emb, every=10, offset=1_000_001)
+    mined = similarity.margin_mine_pairs(planted, k=4, margin_threshold=1.05).collect()
+    pairs = {(r["x_id"], r["y_id"]): r for r in mined}
+
+    n_vec = emb.count()
+    expected = {
+        (i, i + 1_000_001) if i % 2 == 0 else (i + 1_000_001, i)
+        for i in range(0, n_vec, 10)
+    }
+    missing = expected - pairs.keys()
+    assert not missing, f"planted pairs not mined: {sorted(missing)[:5]}"
+    twin_margins = [pairs[p]["margin"] for p in expected]
+    other_margins = [r["margin"] for p, r in pairs.items() if p not in expected]
+    assert min(twin_margins) > 1.5  # near-identical vectors dominate their top-k mean
+    if other_margins:
+        assert min(twin_margins) > max(other_margins)
