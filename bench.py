@@ -162,24 +162,37 @@ def main() -> int:
     timings, spreads = time_queries(spark, sf_dir, names)
     minus_floor = {n: round(max(0.0, t - floor), 3) for n, t in timings.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "floor": floor,
-                "queries_minus_floor": minus_floor,
-                "value_minus_floor": round(sum(minus_floor.values()), 3),
-                "stat": "trimmed_mean",
-                "n_runs": N_RUNS,
-                "n_trim": N_TRIM,
-                "sf": _sf_of(sf_dir),
-            }
-        )
+    full = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "floor": floor,
+        "queries_minus_floor": minus_floor,
+        "value_minus_floor": round(sum(minus_floor.values()), 3),
+        "stat": "trimmed_mean",
+        "n_runs": N_RUNS,
+        "n_trim": N_TRIM,
+        "sf": _sf_of(sf_dir),
+    }
+    # The round driver records only the TAIL of stdout (~2000 chars),
+    # which truncated the head of the full dict in r8/r9 (VERDICT r9
+    # item 6) — so the complete artifact goes to BENCH.json in the
+    # repo, and stdout's one line is a LEAN minified dict (no spread /
+    # per-query minus-floor: both derivable or in BENCH.json) that
+    # fits the tail whole even at 50+ queries.
+    bench_json = os.environ.get(
+        "SPARK_GRAFT_BENCH_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
     )
+    with open(bench_json, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    lean = {
+        k: full[k]
+        for k in ("metric", "value", "unit", "floor", "value_minus_floor", "sf", "queries")
+    }
+    print(json.dumps(lean, separators=(",", ":")))
     return 0
 
 

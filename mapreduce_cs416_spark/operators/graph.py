@@ -200,9 +200,17 @@ def kcore(
             break
         surv = deg.where(F.col("d") >= k).select("u")
         prev = edges
+        # surv is NODE-sized (≤ the near-dup node set, orders below
+        # the edge list this peel exists to shrink) but sits behind a
+        # localCheckpoint, whose LogicalRDD carries no size stats —
+        # without the hint Spark planned BOTH semi joins as full
+        # SortMergeJoins every round (found by PLANS.md's r10
+        # ckpt-fragment column). Broadcast pins the node-sized build
+        # side; at extreme node cardinality drop the hint and let the
+        # shuffle semi-join run.
         edges = (
-            edges.join(surv, "u", "left_semi")
-            .join(surv.withColumnRenamed("u", "v"), "v", "left_semi")
+            edges.join(F.broadcast(surv), "u", "left_semi")
+            .join(F.broadcast(surv.withColumnRenamed("u", "v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )

@@ -1836,6 +1836,12 @@ QUERIES: dict[str, QuerySpec] = {
         # slots carry the two NEW r7 families so the driver hashes
         # them: text_pii_redact (northstar) and cdc_merge_orders.
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),
+        # r10 rotation IN (VERDICT r9 item 3): the transactional twin
+        # of cdc_merge_orders — SAME oracle SQL, so the driver hash
+        # row claims manifest-path ≡ logical-merge row identity for
+        # the r9 lakehouse layer (sources/manifest.py). Slot freed by
+        # embedding_dim_stats (plans/northstar.py rotation comment).
+        QuerySpec("cdc_merge_orders_manifest", cdc_merge_orders_manifest, CDC_MERGE_SQL, cdc_merge_orders_manifest.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline", "storage")),
         # late-r7 rotation: pivot_events to EXTRA (its unpivot twin
         # was already there; both keep oracles in pytest) — the slot
         # carries the data-quality audit so the driver hashes the
@@ -1860,10 +1866,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
-        # r9: the transactional twin of the in-window cdc_merge_orders
-        # — SAME oracle SQL, so the hash row claims manifest-path ≡
-        # logical-merge row identity (sources/manifest.py).
-        QuerySpec("cdc_merge_orders_manifest", cdc_merge_orders_manifest, CDC_MERGE_SQL, cdc_merge_orders_manifest.__doc__, tags=("relational", "cdc", "join", "pipeline", "storage")),
         QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
         QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),

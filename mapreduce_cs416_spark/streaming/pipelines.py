@@ -763,7 +763,22 @@ def streaming_lsh_near_dup_gate(
     tests/test_streaming.py asserts stream == batch under doubled
     shard delivery. Corpus accretion (admitting novel vectors into
     the bucketed index) follows streaming_ingest_gate's foreachBatch
-    shape and stays that service's job."""
+    shape and stays that service's job.
+
+    Static-side cost (VERDICT r9 item 5 — the lsh_gate p50 drift):
+    a stream-static join re-plans AND re-scans its static side every
+    micro-batch, so the corpus's 32-hyperplane signature pass (the
+    most expensive expression in the plan) was re-running over the
+    whole corpus per batch. The keyed corpus is therefore snapshotted
+    ONCE with localCheckpoint before the stream starts — per-batch
+    work is then the arriving shard's signatures + the bucket join +
+    the verify cosines, and the corpus pass is paid once per service
+    start, not once per batch (measured at sf0.1: p50 3037ms →
+    2381ms, steady-state batches 1.6-2.0s; the residual per-batch
+    cost is the stateful fold + complete-mode sink rewrite, not the
+    static side — an explicit broadcast of the snapshotted corpus
+    measured no better. Same static-frame snapshot pattern as
+    streaming_source_token_counts)."""
     from ..operators import similarity
 
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
@@ -793,7 +808,7 @@ def streaming_lsh_near_dup_gate(
         )
 
     s = keyed(emb_stream, "new")
-    c = keyed(corpus, "corpus")
+    c = keyed(corpus, "corpus").localCheckpoint()
     dot = F.expr(
         "aggregate(zip_with(new_v, corpus_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     )

@@ -453,3 +453,44 @@ def test_margin_mining_recovers_planted_cross_side_twins(spark, sf_dir):
     assert min(twin_margins) > 1.5  # near-identical vectors dominate their top-k mean
     if other_margins:
         assert min(twin_margins) > max(other_margins)
+
+
+def test_margin_mining_lsh_recovers_planted_pairs_from_sparse_candidates(spark, sf_dir):
+    """The LSH-fed production face (VERDICT r9 item 4): candidates
+    from the 8×4 banded buckets instead of the full cross product.
+    Planted twins sit at cos ≈ 0.9988, far up the S-curve, so the
+    banding must surface EVERY one (recall 1.0) while scoring only a
+    small fraction of cross pairs — the whole point of the path."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = similarity.plant_near_dups(emb, every=10, offset=1_000_001)
+    mined = similarity.margin_mine_pairs_lsh(
+        planted, k=4, margin_threshold=1.05
+    ).collect()
+    pairs = {(r["x_id"], r["y_id"]): r for r in mined}
+
+    n_vec = emb.count()
+    expected = {
+        (i, i + 1_000_001) if i % 2 == 0 else (i + 1_000_001, i)
+        for i in range(0, n_vec, 10)
+    }
+    missing = expected - pairs.keys()
+    assert not missing, f"planted pairs not mined: {sorted(missing)[:5]}"
+    twin_margins = [pairs[p]["margin"] for p in expected]
+    assert min(twin_margins) > 1.5
+
+    # the candidate set is SPARSE: the scored-pair volume at the 8×4
+    # production banding is a small fraction of the |X|·|Y| cross
+    # product the brute-force face pays for (measured ~1.8% of all
+    # pairs on this fixture — allow slack for the planted stratum)
+    from mapreduce_cs416_spark.operators.similarity import (
+        _banded_candidates,
+        _prepared,
+    )
+    from pyspark.sql import functions as F
+
+    p = _prepared(planted).where(F.col("nrm") > 0)
+    n = p.count()
+    n_cand = _banded_candidates(p, n_planes=8, n_tables=4, dim=64).count()
+    assert n_cand < 0.10 * n * (n - 1) / 2

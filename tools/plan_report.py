@@ -18,6 +18,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# PySpark 4: pyspark.sql.DataFrame is a facade; instance method
+# lookup resolves on the CONCRETE classic class, so the capture patch
+# must land there (patching the facade intercepts nothing).
+try:
+    from pyspark.sql.classic.dataframe import DataFrame
+except ImportError:  # pre-4.0 layout
+    from pyspark.sql import DataFrame
+
 from mapreduce_cs416_spark.plans.registry import EXTRA_QUERIES, QUERIES
 from mapreduce_cs416_spark.session import get_spark
 
@@ -161,6 +169,49 @@ def summarize(plan: str, sp_rows: list[int] | None = None) -> dict[str, object]:
     }
 
 
+# --- checkpoint-fragment capture (VERDICT r9 item 8) -----------------
+# localCheckpoint truncates lineage, so the final frame of an iterative
+# query (pagerank's unrolled rounds, bpe_train's merge loop) explains
+# as a bare scan — PLANS.md read "0 shuffles" for exactly the queries
+# with the MOST shuffles. During the measured run, every localCheckpoint
+# call records its receiver's own EXECUTED plan (eager checkpoints run
+# the fragment right there), and the table's last column summarizes the
+# heaviest captured fragment — one representative round, so the audit
+# cannot go blind behind checkpoints.
+_CAPTURED: list[str] = []
+_ORIG_LCP = DataFrame.localCheckpoint
+
+
+def _capturing_lcp(self, eager: bool = True):
+    out = _ORIG_LCP(self, eager)
+    try:
+        _CAPTURED.append(
+            self._jdf.queryExecution().explainString(
+                self.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+    except Exception:  # noqa: BLE001 — capture is best-effort
+        pass
+    return out
+
+
+def _round_fragment_cell() -> str:
+    """Summary of the heaviest checkpointed fragment captured during
+    the measured run — '—' when the query checkpoints nothing."""
+    if not _CAPTURED:
+        return "—"
+    frags = [summarize(p) for p in _CAPTURED]
+    worst = max(frags, key=lambda s: (s["exchanges"], s["aggs"]))
+    joins = (
+        ", ".join(f"{k.replace('Join', '')}×{v}" for k, v in worst["joins"].items())
+        if isinstance(worst["joins"], dict)
+        else "—"
+    )
+    return f"{len(_CAPTURED)} ckpt; worst: {worst['exchanges']} shfl, {joins}, {worst['aggs']} agg"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-report")
@@ -194,33 +245,48 @@ def main() -> int:
         "AQE skew-join splitting (enabled in session.py) handles residual",
         "sub-cap imbalance at runtime.",
         "",
-        "| query | shuffles | joins | aggs | wsc | py | pushdown | cols | anti-patterns |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "",
+        "ckpt-fragments: localCheckpoint truncates lineage, so iterative",
+        "queries' final frames explain as bare scans — the last column",
+        "summarizes the HEAVIEST fragment executed by a localCheckpoint",
+        "during the measured run (count of checkpoints; that fragment's",
+        "shuffles/joins/aggs), i.e. one representative round of the loop",
+        "(VERDICT r9 item 8: the audit can no longer go blind behind",
+        "checkpoints).",
+        "",
+        "| query | shuffles | joins | aggs | wsc | py | pushdown | cols | anti-patterns | ckpt-fragments |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     failures = []
-    for title, qs in (("driver window", QUERIES), ("extras", EXTRA_QUERIES)):
-        lines.append(f"| **— {title} —** | | | | | | | | |")
-        for name, spec in qs.items():
-            try:
-                spec.fn(spark, sf_dir).collect()  # warm run (see _plan)
-                df = spec.fn(spark, sf_dir)
-                plan = _plan(df)
-                s = summarize(plan, _single_partition_rows(df))
-            except Exception as e:  # noqa: BLE001
-                failures.append(name)
-                print(f"✗ {name}: {e}", file=sys.stderr)
-                continue
-            joins = (
-                ", ".join(f"{k.replace('Join', '')}×{v}" for k, v in s["joins"].items())
-                if isinstance(s["joins"], dict)
-                else s["joins"]
-            )
-            anti = ", ".join(s["anti"]) if isinstance(s["anti"], list) else s["anti"]
-            lines.append(
-                f"| {name} | {s['exchanges']} | {joins} | {s['aggs']} | {s['codegen']} "
-                f"| {s['python']} | {s['pushdown']} | {s['scan_cols']} | {anti} |"
-            )
-            print(f"  {name}", file=sys.stderr)
+    DataFrame.localCheckpoint = _capturing_lcp
+    try:
+        for title, qs in (("driver window", QUERIES), ("extras", EXTRA_QUERIES)):
+            lines.append(f"| **— {title} —** | | | | | | | | | |")
+            for name, spec in qs.items():
+                try:
+                    spec.fn(spark, sf_dir).collect()  # warm run (see _plan)
+                    _CAPTURED.clear()  # keep only the measured run's fragments
+                    df = spec.fn(spark, sf_dir)
+                    plan = _plan(df)
+                    s = summarize(plan, _single_partition_rows(df))
+                    ckpt = _round_fragment_cell()
+                except Exception as e:  # noqa: BLE001
+                    failures.append(name)
+                    print(f"✗ {name}: {e}", file=sys.stderr)
+                    continue
+                joins = (
+                    ", ".join(f"{k.replace('Join', '')}×{v}" for k, v in s["joins"].items())
+                    if isinstance(s["joins"], dict)
+                    else s["joins"]
+                )
+                anti = ", ".join(s["anti"]) if isinstance(s["anti"], list) else s["anti"]
+                lines.append(
+                    f"| {name} | {s['exchanges']} | {joins} | {s['aggs']} | {s['codegen']} "
+                    f"| {s['python']} | {s['pushdown']} | {s['scan_cols']} | {anti} | {ckpt} |"
+                )
+                print(f"  {name}", file=sys.stderr)
+    finally:
+        DataFrame.localCheckpoint = _ORIG_LCP
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

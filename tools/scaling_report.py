@@ -83,6 +83,12 @@ _EMBEDDING_QUERIES = {
     # the exact-fed pair above is extras-only O(n²) anchors)
     "graph_triangles_lsh",
     "graph_kcore_lsh",
+    # both margin-mining faces scan embeddings (+ the planted twin
+    # stratum, which grows with them): the brute-force face is the
+    # O(|X|·|Y|) anchor, the LSH-fed face is the scale path whose
+    # exponent should sit with the near-dup family's (r10 item 4)
+    "similarity_margin_mining",
+    "similarity_margin_mining_lsh",
 }
 
 # queries whose actual scan set is NOT what their tags imply (checked
