@@ -773,11 +773,11 @@ def streaming_lsh_near_dup_gate(
     ONCE with localCheckpoint before the stream starts — per-batch
     work is then the arriving shard's signatures + the bucket join +
     the verify cosines, and the corpus pass is paid once per service
-    start, not once per batch (measured at sf0.1: p50 3037ms →
-    2381ms, steady-state batches 1.6-2.0s; the residual per-batch
-    cost is the stateful fold + complete-mode sink rewrite, not the
-    static side — an explicit broadcast of the snapshotted corpus
-    measured no better. Same static-frame snapshot pattern as
+    start, not once per batch (measured at sf0.1, clean machine: p50
+    3037ms → 1399ms, steady-state batches ~1.4s; the residual
+    per-batch cost is the stateful fold + complete-mode sink rewrite,
+    not the static side — an explicit broadcast of the snapshotted
+    corpus measured no better. Same static-frame snapshot pattern as
     streaming_source_token_counts)."""
     from ..operators import similarity
 

@@ -406,7 +406,19 @@ def main() -> int:
         "over plain snapshot maintenance; `view_maintenance_manifest` is its",
         "transactional twin (snapshot merge + view under ONE atomic manifest",
         "commit via aux tables — the crash window between the two overwrites",
-        "is closed, not narrowed) on the key-local changelog. Caveat:",
+        "is closed, not narrowed) on the key-local changelog.",
+        "",
+        "r10 deltas: `lsh_gate` p50 fell 3037→~1400 ms (VERDICT r9 item 5) —",
+        "the stream-static join re-plans AND re-scans its static side every",
+        "micro-batch, so the corpus's 32-hyperplane signature pass was",
+        "re-running per batch; the bucketed corpus is now snapshotted once",
+        "(localCheckpoint) before the stream starts, leaving only the",
+        "arriving shard's signatures + bucket join + stateful fold per batch.",
+        "The manifest rows carry a NEW per-commit cost: write-time per-bucket",
+        "min/max stats collection (one bounded read-back of just-written",
+        "files, powering read_table's range pruning) — ~100-400 ms/batch",
+        "here; at scale it stays O(write volume) and buys O(table)-sized",
+        "read savings on every selective query. Caveat:",
         "`rows/batch` is Spark's",
         "`numInputRows`, which counts SOURCE SCANS — a foreachBatch body that",
         "reads its batch twice (cdc_merge) or three times (view_maintenance)",
