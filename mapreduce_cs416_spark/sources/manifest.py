@@ -284,13 +284,40 @@ def _schema_of(manifest: dict) -> T.StructType | None:
     return T.StructType.fromJson(json.loads(s)) if s else None
 
 
+# SQL single-quoted string literal, with '' as the escaped quote.
+_QUOTE_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_strings(text: str) -> tuple[str, list[str]]:
+    """Replace every quoted string literal with a \\x00N\\x00
+    placeholder so tokenizing / AND-splitting can never be fooled by
+    keywords or operators INSIDE a literal (a predicate like
+    ``c = 'x and k=7'`` must not yield a fake ``k=7`` conjunct)."""
+    lits: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _QUOTE_RE.sub(repl, text), lits
+
+
+def _expr_tokens(expr: str) -> set[str]:
+    """Identifier tokens of a SQL expression: string literals masked
+    out first, and tokens immediately followed by ``(`` excluded —
+    those are function calls, so a column merely NAMED like a
+    function (``floor``, ``month``) is never confused with one."""
+    masked, _ = _mask_strings(expr)
+    return set(re.findall(r"[A-Za-z_]\w*\b(?!\s*\()", masked))
+
+
 def _validate_partition_expr(expr: str, key_cols: list[str], columns: list[str]) -> None:
     """``partition_expr`` must be a pure function of the KEY columns:
     merge computes a row's bucket from the changelog image, so an
     expression over a mutable non-key column would route an update to
     a different bucket than the stored row and resurrect the stale
     copy (ADVICE r9, medium)."""
-    tokens = set(re.findall(r"[A-Za-z_]\w*", expr))
+    tokens = _expr_tokens(expr)
     referenced = tokens & set(columns)
     bad = referenced - set(key_cols)
     if bad:
@@ -313,11 +340,15 @@ _CONJUNCT_RE = re.compile(
 )
 
 
-def _parse_literal(text: str):
+def _parse_literal(text: str, lits: list[str]):
+    """Literal of a masked conjunct: a string placeholder (optionally
+    ``date``/``timestamp``-prefixed) resolves to the unquoted,
+    ``''``-unescaped string; else int, then float; else unparsed."""
     t = text.strip()
-    m = re.match(r"^(?:date|timestamp)?\s*'(.*)'$", t, re.I)
+    m = re.match(r"^(?:date|timestamp)?\s*\x00(\d+)\x00$", t, re.I)
     if m:
-        return m.group(1)
+        raw = lits[int(m.group(1))]
+        return raw[1:-1].replace("''", "'")
     try:
         return int(t)
     except ValueError:
@@ -330,24 +361,52 @@ def _parse_literal(text: str):
 
 def _conjuncts(predicate: str) -> list[tuple[str, str, object]]:
     """Conservatively parse ``predicate`` into (col, op, literal)
-    conjuncts usable for pruning. Anything beyond a top-level AND of
-    simple comparisons (ORs, NOTs, functions, unterminated strings)
-    contributes nothing — pruning silently degrades to a full read,
-    never to a wrong one (the predicate is always re-applied as a row
-    filter)."""
-    if re.search(r"\b(or|not)\b", predicate, re.I):
+    conjuncts usable for pruning. String literals are masked FIRST so
+    an ``and``/``or`` or comparison inside one can never fabricate a
+    conjunct (mis-parsing must degrade pruning to a full read, never
+    produce a wrong prune — the predicate is always re-applied as a
+    row filter, but a filter cannot restore rows from a directory
+    that was never read). Anything beyond a top-level AND of simple
+    comparisons contributes nothing."""
+    masked, lits = _mask_strings(predicate)
+    if re.search(r"\b(or|not)\b", masked, re.I):
         return []
     out = []
-    for part in re.split(r"\band\b", predicate, flags=re.I):
+    for part in re.split(r"\band\b", masked, flags=re.I):
         m = _CONJUNCT_RE.match(part)
         if not m:
             continue
         col, op, lit_text = m.groups()
-        lit = _parse_literal(lit_text)
+        lit = _parse_literal(lit_text, lits)
         if lit is _UNPARSED:
             continue
         out.append((col, "=" if op == "==" else op, lit))
     return out
+
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _literal_type_ok(lit, dtype) -> bool:
+    """Pruning decisions are only taken when the literal's Python type
+    and the column's Spark type compare the same way Spark's row
+    filter will. Spark coerces the COLUMN to the literal's type in
+    mixed comparisons (a numeric literal against a string column
+    compares as double, so '05' == 5), while our bucket replay casts
+    the LITERAL to the column type — mismatched classes could prune a
+    bucket whose rows the filter would keep. Same-class comparisons
+    (and string literals against temporal columns, which Spark casts
+    literal-side) are safe."""
+    if isinstance(lit, bool):
+        return False
+    if isinstance(lit, (int, float)):
+        return isinstance(dtype, _NUMERIC_TYPES)
+    if isinstance(lit, str):
+        return isinstance(dtype, (T.StringType, T.DateType, T.TimestampType))
+    return False
 
 
 def _resolve_equality_bucket(
@@ -356,31 +415,63 @@ def _resolve_equality_bucket(
     """If equality conjuncts pin EVERY key column the partition
     expression references, replay the expression over the literals
     (cast to the persisted column types, so hash functions see the
-    stored type exactly) and return the single candidate bucket."""
+    stored type exactly) and return the single candidate bucket.
+    Skipped entirely (None → no pruning) when any literal's type
+    class doesn't match its column's (see _literal_type_ok)."""
     schema = _schema_of(manifest)
     if schema is None:
         return None
-    expr = manifest["partition_expr"]
-    ref = [c for c in manifest["key_cols"] if re.search(rf"\b{re.escape(c)}\b", expr)]
+    tokens = _expr_tokens(manifest["partition_expr"])
+    ref = [c for c in manifest["key_cols"] if c in tokens]
     eq = {c: v for c, op, v in conjs if op == "="}
     if not ref or not all(c in eq for c in ref):
         return None
     by_name = {f.name: f for f in schema.fields}
+    if not all(_literal_type_ok(eq[c], by_name[c].dataType) for c in ref):
+        return None
     row = spark.range(1).select(
         *[F.lit(eq[c]).cast(by_name[c].dataType).alias(c) for c in ref]
     )
-    return row.select(F.expr(expr).cast("long").alias("b")).first()["b"]
+    return row.select(F.expr(manifest["partition_expr"]).cast("long").alias("b")).first()["b"]
 
 
-def _stats_keep(stats: dict, conjs: list[tuple[str, str, object]]) -> bool:
+def _temporal(value):
+    """ISO text → datetime for order-faithful temporal comparison
+    ('T' vs ' ' separators and date-vs-timestamp literals all
+    normalize; a bare date becomes midnight, exactly Spark's cast)."""
+    import datetime as _dt
+
+    if not isinstance(value, str):
+        raise TypeError(f"not a temporal literal: {value!r}")
+    return _dt.datetime.fromisoformat(value.replace("T", " ").strip())
+
+
+def _stats_keep(
+    stats: dict, conjs: list[tuple[str, str, object]], dtypes: dict
+) -> bool:
     """True unless some conjunct provably excludes every row of a
-    directory given its [min, max] stats. Type mismatches (unorderable
-    comparison) keep the directory — pruning must never be wrong."""
+    directory given its [min, max] stats. Comparisons are taken ONLY
+    when literal and column types compare the way Spark's row filter
+    will (numeric/numeric, string/string, ISO-normalized temporal) —
+    anything else keeps the directory, because pruning must never be
+    wrong (lexicographic '2020-01-01T..' vs '2020-01-01 ..' was a
+    real mis-prune, r10 review)."""
     for col, op, lit in conjs:
         if col not in stats:
             continue
+        dt = dtypes.get(col)
         mn, mx = stats[col]
         try:
+            if isinstance(dt, (T.DateType, T.TimestampType)):
+                mn, mx, lit = _temporal(mn), _temporal(mx), _temporal(lit)
+            elif isinstance(dt, T.StringType):
+                if not isinstance(lit, str):
+                    continue
+            elif isinstance(dt, _NUMERIC_TYPES):
+                if isinstance(lit, (str, bool)) or isinstance(mn, str):
+                    continue
+            else:
+                continue
             if op == "=" and not (mn <= lit <= mx):
                 return False
             if op == "<" and not (mn < lit):
@@ -391,7 +482,7 @@ def _stats_keep(stats: dict, conjs: list[tuple[str, str, object]]) -> bool:
                 return False
             if op == ">=" and not (mx >= lit):
                 return False
-        except TypeError:
+        except (TypeError, ValueError):
             continue
     return True
 
@@ -401,24 +492,33 @@ def resolve_read_dirs(
     path: str,
     predicate: str | None = None,
     version: int | None = None,
+    manifest: dict | None = None,
 ) -> list[str]:
     """The exact data directories a ``read_table`` with this predicate
     will open — the pruning contract, exposed so tests can pin that a
     point lookup touches ONLY its bucket (the PartitionFilters
-    discipline of tests/test_layout.py)."""
-    manifest = read_manifest(path, version)
+    discipline of tests/test_layout.py). Pass ``manifest`` to pin a
+    snapshot already resolved by the caller (read_table does — one
+    version decides schema, directories, and pruning together)."""
+    if manifest is None:
+        manifest = read_manifest(path, version)
     candidates = sorted(int(b) for b in manifest["buckets"])
-    conjs = _conjuncts(predicate) if predicate else []
+    schema = _schema_of(manifest)
+    # without the persisted schema, literal types can't be matched to
+    # column types, and a type-coerced comparison could prune wrongly
+    # — pre-r10 manifests therefore read unpruned
+    conjs = _conjuncts(predicate) if predicate and schema is not None else []
     if conjs:
         b = _resolve_equality_bucket(spark, manifest, conjs)
         if b is not None:
             candidates = [b] if str(b) in manifest["buckets"] else []
+    dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
     all_stats = manifest.get("stats", {})
     dirs = []
     for b in candidates:
         for rel in manifest["buckets"].get(str(b), []):
             st = all_stats.get(rel, {}).get(str(b), {})
-            if not conjs or _stats_keep(st, conjs):
+            if not conjs or _stats_keep(st, conjs, dtypes):
                 dirs.append(os.path.join(path, rel, f"{_BUCKET_COL}={b}"))
     return dirs
 
@@ -487,9 +587,11 @@ def read_table(
     — and the predicate is re-applied as a row filter, so the result
     equals an unpruned read + filter by construction. An empty table
     (all buckets empty, or everything pruned) returns an empty frame
-    with the persisted schema."""
+    with the persisted schema. The version is resolved ONCE — schema,
+    directory set, and pruning all come from the same snapshot even
+    if a writer commits mid-call."""
     manifest = read_manifest(path, version)
-    dirs = resolve_read_dirs(spark, path, predicate, version)
+    dirs = resolve_read_dirs(spark, path, predicate, manifest=manifest)
     if not dirs:
         schema = _schema_of(manifest)
         if schema is None:
@@ -624,10 +726,23 @@ def _merge_once(
         df.write.mode("overwrite").parquet(os.path.join(path, aux_rel))
         aux_entry[name] = aux_rel
 
+    # keep only stats for directories some bucket still references —
+    # superseded rels' entries would otherwise accumulate forever and
+    # every commit/read would pay O(all versions ever) of JSON
+    live_rels = {r for rels in buckets.values() for r in rels}
+    stats = {r: s for r, s in stats.items() if r in live_rels}
+
     new_manifest = {**manifest, "version": new_version, "buckets": buckets, "stats": stats}
     if aux_entry:
         new_manifest["aux"] = aux_entry
-    _commit(path, new_manifest)
+    try:
+        _commit(path, new_manifest)
+    except CommitConflict:
+        # a losing merge's data was computed against a superseded
+        # snapshot — useless to the retry; reclaim it now rather than
+        # leaving it for vacuum's age-gated orphan sweep
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        raise
     return new_manifest
 
 
@@ -651,27 +766,35 @@ def append_into(
     The caller guarantees key-uniqueness against existing data if the
     table is meant to stay a keyed snapshot (append is the raw-log
     face; ``merge_into`` is the keyed face). Buckets accumulate one
-    directory per append until ``compact`` folds them. A losing
-    version race retries against the new latest manifest; the data
-    directory is reused (it references no version-dependent state)."""
+    directory per append until ``compact`` folds them. The batch is
+    written ONCE; a losing version race retries only the manifest
+    build against the new latest version, reusing the already-written
+    data directory (append data references no version-dependent
+    state — unlike a losing merge, which must recompute)."""
+    first = read_manifest(path)
+    batch = rows.select(*first["columns"]).withColumn(_BUCKET_COL, _bucket_col(first))
+    rel = _new_rel(first["version"] + 1)  # the uuid token is the identity; the
+    # version prefix is just a human-readable hint of when it was staged
+    _write_buckets(batch, path, rel)
+    written = _written_buckets(path, rel)
+    if not written:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        return first  # empty batch: no new version
+    rel_stats = _collect_stats(spark, path, rel)
+
     last: CommitConflict | None = None
-    for _ in range(max(1, conflict_retries + 1)):
-        manifest = read_manifest(path)
+    manifest = first
+    for attempt in range(max(1, conflict_retries + 1)):
+        if attempt:
+            manifest = read_manifest(path)
         new_version = manifest["version"] + 1
-        batch = rows.select(*manifest["columns"]).withColumn(
-            _BUCKET_COL, _bucket_col(manifest)
-        )
-        rel = _new_rel(new_version)
-        _write_buckets(batch, path, rel)
-        written = _written_buckets(path, rel)
-        if not written:
-            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
-            return manifest  # empty batch: no new version
         buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
         for b in written:
             buckets.setdefault(str(b), []).append(rel)
         stats = dict(manifest.get("stats", {}))
-        stats[rel] = _collect_stats(spark, path, rel)
+        stats[rel] = rel_stats
+        live_rels = {r for rels in buckets.values() for r in rels}
+        stats = {r: s for r, s in stats.items() if r in live_rels}
         new_manifest = {
             **manifest, "version": new_version, "buckets": buckets, "stats": stats,
         }
@@ -680,7 +803,7 @@ def append_into(
             return new_manifest
         except CommitConflict as exc:
             last = exc
-            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
     raise last
 
 
@@ -715,6 +838,8 @@ def compact(spark: SparkSession, path: str, conflict_retries: int = 3) -> dict:
             buckets[str(b)] = [rel]
         stats = dict(manifest.get("stats", {}))
         stats[rel] = _collect_stats(spark, path, rel)
+        live_rels = {r for rels in buckets.values() for r in rels}
+        stats = {r: s for r, s in stats.items() if r in live_rels}
         new_manifest = {
             **manifest, "version": new_version, "buckets": buckets, "stats": stats,
         }
@@ -727,16 +852,27 @@ def compact(spark: SparkSession, path: str, conflict_retries: int = 3) -> dict:
     raise last
 
 
-def vacuum(path: str, keep_versions: int = 1) -> int:
+def vacuum(path: str, keep_versions: int = 1, orphan_min_age_s: float = 3600.0) -> int:
     """Delete data directories unreferenced by the newest
     ``keep_versions`` committed manifests, and drop older manifests —
     time travel stays available for exactly the retained versions
     (VERDICT r9 item 7: the public formats gate deletion with a
     retention window so a reader mid-scan on an advertised old
     version isn't broken; ``keep_versions=1`` is the aggressive
-    storage-reclaim setting and ends time travel). Orphan directories
-    from losing commit races are reclaimed here too. Returns the
-    number of removed directories."""
+    storage-reclaim setting and ends time travel).
+
+    Directories referenced by NO manifest at all are either losing
+    commit races or an IN-FLIGHT writer's staged-but-not-yet-published
+    data — indistinguishable from the outside, so such orphans are
+    reclaimed only once older than ``orphan_min_age_s`` (the public
+    formats' modification-time retention threshold; r10 review: an
+    unguarded sweep deleted a concurrent writer's staging mid-commit,
+    and the subsequent publish referenced missing files). Directories
+    referenced by a SUPERSEDED manifest are safe immediately — no
+    future commit can reference them. Returns the number of removed
+    directories."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     mdir = os.path.join(path, _MANIFEST_DIR)
@@ -750,18 +886,24 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
     kept = versions[-keep_versions:]
     live: set[str] = set()
     live_aux: set[str] = set()
-    for v in kept:
+    referenced: set[str] = set()  # by ANY still-present manifest
+    for v in versions:
         manifest = read_manifest(path, v)
-        live |= {
+        dirs = {
             os.path.normpath(os.path.join(path, rel, f"{_BUCKET_COL}={b}"))
             for b, rels in manifest["buckets"].items()
             for rel in rels
         }
-        live_aux |= {
+        auxes = {
             os.path.normpath(os.path.join(path, rel))
             for rel in manifest.get("aux", {}).values()
         }
+        referenced |= dirs | auxes
+        if v in kept:
+            live |= dirs
+            live_aux |= auxes
     removed = 0
+    now = time.time()
     data_root = os.path.join(path, "data")
     if not os.path.isdir(data_root):
         return 0
@@ -769,19 +911,39 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
         vpath = os.path.join(data_root, vdir)
         if not os.path.isdir(vpath):
             continue
+        dropped_leaf = False
         for leaf in os.listdir(vpath):
             lpath = os.path.normpath(os.path.join(vpath, leaf))
-            if leaf.startswith(f"{_BUCKET_COL}=") and lpath not in live:
-                shutil.rmtree(lpath)
-                removed += 1
-            elif leaf.startswith("_aux_") and lpath not in live_aux:
-                shutil.rmtree(lpath)
-                removed += 1
-        # only parquet-committer droppings (_SUCCESS) left → fold the dir
-        if not any(
-            d.startswith((f"{_BUCKET_COL}=", "_aux_")) for d in os.listdir(vpath)
-        ):
-            shutil.rmtree(vpath)
+            keepers = live if leaf.startswith(f"{_BUCKET_COL}=") else (
+                live_aux if leaf.startswith("_aux_") else None
+            )
+            if keepers is None or lpath in keepers:
+                continue
+            if lpath not in referenced:
+                # true orphan: maybe an in-flight writer — age-gate it
+                try:
+                    age = now - os.path.getmtime(lpath)
+                except OSError:
+                    continue
+                if age < orphan_min_age_s:
+                    continue
+            shutil.rmtree(lpath)
+            removed += 1
+            dropped_leaf = True
+        # fold the version dir once no payload leaves remain — but a
+        # leafless dir we did NOT just empty may be an in-flight
+        # writer's staging area (parquet's _temporary lives there
+        # before any bucket leaf exists), so those are age-gated too
+        try:
+            leafless = not any(
+                d.startswith((f"{_BUCKET_COL}=", "_aux_")) for d in os.listdir(vpath)
+            )
+            if leafless and (
+                dropped_leaf or (now - os.path.getmtime(vpath)) >= orphan_min_age_s
+            ):
+                shutil.rmtree(vpath)
+        except OSError:
+            pass
     for v in versions:
         if v not in kept:
             os.remove(_manifest_path(path, v))

@@ -543,3 +543,139 @@ def test_null_keys_are_rejected(spark, seeded):
         mf.append_into(spark, path, bad.drop("op", "seq"))
     assert mf.current_version(path) == v_before
     assert _sorted_rows(mf.read_table(spark, path)) == before
+
+
+# --- r10 review fixes: parser safety, type gating, retention --------
+
+
+def test_conjunct_parser_is_not_fooled_by_string_literals():
+    """A comparison INSIDE a quoted literal must not fabricate a
+    conjunct (a fake key-equality would pin the scan to the wrong
+    bucket — a wrong prune, not a harmless no-prune), and SQL ''
+    escapes must resolve to the real string."""
+    conjs = mf._conjuncts("o_comment = 'x and o_orderkey=7 and y'")
+    assert conjs == [("o_comment", "=", "x and o_orderkey=7 and y")]
+    assert mf._conjuncts("name = 'O''Brien'") == [("name", "=", "O'Brien")]
+    # OR/NOT inside a literal must not disable pruning either
+    assert mf._conjuncts("c = 'a or b' and k = 5") == [
+        ("c", "=", "a or b"), ("k", "=", 5),
+    ]
+    # top-level OR still disables everything
+    assert mf._conjuncts("k = 5 or k = 6") == []
+
+
+def test_numeric_literal_on_string_key_does_not_prune(spark, sf_dir, tmp_path):
+    """Spark's row filter coerces a string COLUMN to the numeric
+    literal's type ('05' = 5 is true), while bucket replay would cast
+    the literal to string and pin xxhash64('5')'s bucket only —
+    mismatched type classes must disable pruning entirely."""
+    orders = _orders(spark, sf_dir).withColumn(
+        "okey", F.col("o_orderkey").cast("string")
+    ).drop("o_orderkey")
+    path = str(tmp_path / "str_tbl")
+    mf.create_table(orders, path, ["okey"])
+    key = orders.select("okey").first()[0]
+    pred = f"okey = {int(key)}"  # numeric literal against the string key
+    assert mf.resolve_read_dirs(spark, path, pred) == mf.resolve_read_dirs(spark, path)
+    got = mf.read_table(spark, path, predicate=pred)
+    want = mf.read_table(spark, path).where(pred)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # the same lookup with a STRING literal does prune to one bucket
+    assert len(mf.resolve_read_dirs(spark, path, f"okey = '{key}'")) == 1
+
+
+def test_temporal_stats_prune_is_format_insensitive(spark, sf_dir, tmp_path):
+    """Timestamp stats are ISO 'YYYY-MM-DD HH:MM:SS'; predicates may
+    spell the same instant with a 'T' separator or as a bare date —
+    lexicographic comparison mis-pruned these (r10 review); datetime
+    normalization must keep results oracle-equal AND still prune."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "ev_tbl")
+    mf.create_table(
+        events, path, ["event_id"], partition_expr="floor(event_id / 64)"
+    )
+    hi = events.agg(F.max("ts")).first()[0]
+    iso_t = hi.strftime("%Y-%m-%dT%H:%M:%S")
+    pred = f"ts >= timestamp '{iso_t}'"
+    got = mf.read_table(spark, path, predicate=pred)
+    want = mf.read_table(spark, path).where(pred)
+    assert got.count() >= 1
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # and a top-of-range scan still prunes some directories
+    pruned = mf.resolve_read_dirs(spark, path, pred)
+    assert 0 < len(pruned) < len(mf.resolve_read_dirs(spark, path))
+
+
+def test_partition_expr_validation_ignores_function_names(spark, sf_dir, tmp_path):
+    """A non-key COLUMN named like a SQL function must not falsely
+    reject the module's own recommended expression shape."""
+    orders = _orders(spark, sf_dir).withColumn("floor", F.lit(1))
+    man = mf.create_table(
+        orders, str(tmp_path / "fn_tbl"), ["o_orderkey"],
+        partition_expr="floor(o_orderkey / 256)",
+    )
+    assert man["version"] == 1
+
+
+def test_manifest_stats_stay_bounded_by_live_directories(spark, seeded):
+    """Superseded version directories' stats entries must not
+    accumulate across commits — every commit and read would pay
+    O(all versions ever) of JSON otherwise."""
+    path, orders, _ = seeded
+    for i in range(3):
+        mf.merge_into(spark, path, _changelog(orders, i * 128, (i + 1) * 128))
+    man = mf.read_manifest(path)
+    live = {rel for rels in man["buckets"].values() for rel in rels}
+    assert set(man["stats"]) <= live
+
+
+def test_vacuum_age_gates_unreferenced_orphans(spark, seeded):
+    """A directory referenced by NO manifest may be an in-flight
+    writer's staging area (indistinguishable from a losing race) —
+    vacuum must leave young ones alone and reclaim them only past
+    the retention age; SUPERSEDED directories (referenced by an old
+    manifest) are reclaimed immediately."""
+    path, orders, _ = seeded
+    mf.merge_into(spark, path, _changelog(orders, 0, 256))
+    staged = os.path.join(path, "data", "v99-deadbeef", "_bucket=0")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "w") as fh:
+        fh.write("in-flight")
+    removed = mf.vacuum(path)  # default retention: superseded v1 dirs go
+    assert removed > 0
+    assert os.path.isdir(staged)  # the young orphan survives
+    assert mf.vacuum(path, orphan_min_age_s=0) > 0
+    assert not os.path.exists(staged)
+
+
+def test_append_conflict_retry_reuses_written_data(spark, seeded, monkeypatch):
+    """Append data is version-independent: a losing version race must
+    retry only the manifest build, not re-write the parquet batch
+    (the docstring's promise; r10 review found the code rewrote)."""
+    path, orders, _ = seeded
+    extra = orders.orderBy("o_orderkey").limit(20).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 777_000
+    )
+    before = {d for d in os.listdir(os.path.join(path, "data"))}
+
+    real = mf._commit
+    raced = {"done": False}
+
+    def racing(p, m):
+        if not raced["done"]:
+            raced["done"] = True
+            latest = mf.read_manifest(p)
+            real(p, {**latest, "version": latest["version"] + 1})
+        real(p, m)
+
+    monkeypatch.setattr(mf, "_commit", racing)
+    man = mf.append_into(spark, path, extra)
+    monkeypatch.undo()
+
+    after = {d for d in os.listdir(os.path.join(path, "data"))}
+    assert len(after - before) == 1  # exactly ONE new data directory
+    assert man["version"] == 3  # seed=1, racer=2, retried append=3
+    got = mf.read_table(spark, path)
+    assert got.where(F.col("o_orderkey") >= 777_000).count() == 20
