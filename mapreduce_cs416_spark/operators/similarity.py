@@ -187,8 +187,15 @@ def margin_mine_pairs(
     aggregate — never a commutative float sum), ties break on
     neighbor id, and rounding happens at the output edge only, so the
     DuckDB twin reproduces scores, margins, and the mutual-best pair
-    set exactly."""
-    p = _prepared(emb).where(F.col("nrm") > 0).withColumn(
+    set exactly. _spread: the embeddings parquet is a couple of row
+    groups, so without a fan-out repartition the cross scorer AND
+    both ranked-window passes inherit 2-task parallelism — at the 8×
+    scale point that was a >20-minute single query (r10 scaling run);
+    spread, it uses every core (values unchanged — the plan is
+    order-independent)."""
+    from .dedup import _spread
+
+    p = _spread(_prepared(emb)).where(F.col("nrm") > 0).withColumn(
         "side", F.expr(side_expr).cast("int")
     )
     x = p.where(F.col("side") == 0).select(

@@ -65,11 +65,17 @@ Beyond merge, the format carries the rest of the lakehouse op set:
 without reading any existing file (buckets map to LISTS of
 directories — the file-list-per-partition manifest shape);
 ``compact`` is the transactional OPTIMIZE, folding fragmented buckets
-under one new version with no unavailability window; and
+under one new version with no unavailability window;
 ``merge_into(..., aux={...})`` commits side tables (e.g. an IVM
 materialized view) ATOMICALLY with the snapshot under the same single
 publish — the multi-table transaction that closes
-streaming_view_maintenance's crash-between-two-overwrites window.
+streaming_view_maintenance's crash-between-two-overwrites window;
+``history``/``read_table(as_of=...)`` are the DESCRIBE HISTORY and
+timestamp-time-travel faces (every commit stamps its op and
+wall-clock); and ``read_changes(from, to)`` is the change data feed —
+a cdc_merge-applicable changelog diffed from ONLY the buckets whose
+directory lists differ between the two manifests, so its I/O is
+bounded by changed buckets exactly like the write side.
 
 At 1000 executors the bucket count is the write-parallelism knob:
 n_buckets should be ≥ cluster cores for merge throughput and small
@@ -161,6 +167,53 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def _versions(path: str) -> list[int]:
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def history(path: str) -> list[dict]:
+    """The table's commit log over the still-present manifests (older
+    entries disappear with ``vacuum``'s retention): one dict per
+    version with the op that produced it, its commit wall-clock, and
+    its bucket count — the DESCRIBE HISTORY face of the format."""
+    out = []
+    for v in _versions(path):
+        m = read_manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": m.get("op", "?"),
+                "committed_at": m.get("committed_at"),
+                "n_buckets": len(m["buckets"]),
+            }
+        )
+    return out
+
+
+def version_at(path: str, as_of: float) -> int:
+    """Newest still-present version committed at or before the given
+    unix timestamp — the timestamp face of time travel. Raises if
+    every retained version is newer (the as-of point was vacuumed or
+    precedes the table)."""
+    best = 0
+    for v in _versions(path):
+        ts = read_manifest(path, v).get("committed_at")
+        if ts is not None and ts <= as_of:
+            best = max(best, v)
+    if best == 0:
+        raise FileNotFoundError(
+            f"no retained version committed at or before {as_of} under {path}"
+        )
+    return best
+
+
 def _commit(path: str, manifest: dict) -> None:
     """Stage the manifest JSON then publish it put-if-absent — the
     entire transaction. ``os.link`` fails with EEXIST when the target
@@ -170,6 +223,9 @@ def _commit(path: str, manifest: dict) -> None:
     manifest — the silent lost update VERDICT r9 flagged.) A reader
     listing _manifests either sees the new version complete or not at
     all."""
+    import time
+
+    manifest["committed_at"] = time.time()  # history / as-of metadata
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     staged = os.path.join(mdir, f".staged-{uuid.uuid4().hex}.json")
@@ -359,28 +415,37 @@ def _parse_literal(text: str, lits: list[str]):
         return _UNPARSED
 
 
+_IN_RE = re.compile(r"^\s*\(?\s*([A-Za-z_]\w*)\s+in\s*\(([^()]*)\)\s*\)?\s*$", re.I)
+
+
 def _conjuncts(predicate: str) -> list[tuple[str, str, object]]:
     """Conservatively parse ``predicate`` into (col, op, literal)
-    conjuncts usable for pruning. String literals are masked FIRST so
-    an ``and``/``or`` or comparison inside one can never fabricate a
+    conjuncts usable for pruning — op is a comparison, or ``"in"``
+    with a literal list. String literals are masked FIRST so an
+    ``and``/``or`` or comparison inside one can never fabricate a
     conjunct (mis-parsing must degrade pruning to a full read, never
     produce a wrong prune — the predicate is always re-applied as a
     row filter, but a filter cannot restore rows from a directory
     that was never read). Anything beyond a top-level AND of simple
-    comparisons contributes nothing."""
+    comparisons / IN-lists contributes nothing."""
     masked, lits = _mask_strings(predicate)
-    if re.search(r"\b(or|not)\b", masked, re.I):
+    if re.search(r"\bor\b|\bnot\b", masked, re.I):
         return []
     out = []
     for part in re.split(r"\band\b", masked, flags=re.I):
         m = _CONJUNCT_RE.match(part)
-        if not m:
+        if m:
+            col, op, lit_text = m.groups()
+            lit = _parse_literal(lit_text, lits)
+            if lit is not _UNPARSED:
+                out.append((col, "=" if op == "==" else op, lit))
             continue
-        col, op, lit_text = m.groups()
-        lit = _parse_literal(lit_text, lits)
-        if lit is _UNPARSED:
-            continue
-        out.append((col, "=" if op == "==" else op, lit))
+        m = _IN_RE.match(part)
+        if m:
+            col, body = m.groups()
+            vals = [_parse_literal(v, lits) for v in body.split(",")]
+            if vals and not any(v is _UNPARSED for v in vals):
+                out.append((col, "in", vals))
     return out
 
 
@@ -409,30 +474,67 @@ def _literal_type_ok(lit, dtype) -> bool:
     return False
 
 
-def _resolve_equality_bucket(
+_MAX_KEY_COMBOS = 64
+
+
+def _resolve_candidate_buckets(
     spark: SparkSession, manifest: dict, conjs: list[tuple[str, str, object]]
-) -> int | None:
-    """If equality conjuncts pin EVERY key column the partition
-    expression references, replay the expression over the literals
-    (cast to the persisted column types, so hash functions see the
-    stored type exactly) and return the single candidate bucket.
-    Skipped entirely (None → no pruning) when any literal's type
-    class doesn't match its column's (see _literal_type_ok)."""
+) -> list[int] | None:
+    """If equality / IN-list conjuncts pin EVERY key column the
+    partition expression references, replay the expression over each
+    key combination (literals cast to the persisted column types, so
+    hash functions see the stored type exactly) and return the
+    candidate bucket set. None → no bucket pruning: a column left
+    unpinned, a literal whose type class doesn't match its column's
+    (see _literal_type_ok), or a combination blow-up past
+    ``_MAX_KEY_COMBOS`` (one tiny local job resolves ALL combos; an
+    unbounded IN-list should just scan)."""
+    import itertools
+
     schema = _schema_of(manifest)
     if schema is None:
         return None
     tokens = _expr_tokens(manifest["partition_expr"])
     ref = [c for c in manifest["key_cols"] if c in tokens]
-    eq = {c: v for c, op, v in conjs if op == "="}
-    if not ref or not all(c in eq for c in ref):
+    pinned: dict[str, list] = {}
+    for col, op, lit in conjs:
+        if op == "=":
+            pinned.setdefault(col, []).append([lit])
+        elif op == "in":
+            pinned.setdefault(col, []).append(list(lit))
+    # a column constrained twice (k = 5 AND k IN (5, 6)) must satisfy
+    # BOTH: intersect the value lists
+    values: dict[str, list] = {}
+    for col, lists in pinned.items():
+        vals = lists[0]
+        for other in lists[1:]:
+            vals = [v for v in vals if v in other]
+        values[col] = vals
+    if not ref or not all(c in values for c in ref):
         return None
     by_name = {f.name: f for f in schema.fields}
-    if not all(_literal_type_ok(eq[c], by_name[c].dataType) for c in ref):
+    for c in ref:
+        if not all(_literal_type_ok(v, by_name[c].dataType) for v in values[c]):
+            return None
+    combos = list(itertools.product(*[values[c] for c in ref]))
+    if not combos:
+        return []  # contradictory conjuncts: provably empty
+    if len(combos) > _MAX_KEY_COMBOS:
         return None
-    row = spark.range(1).select(
-        *[F.lit(eq[c]).cast(by_name[c].dataType).alias(c) for c in ref]
+    rows = None
+    for combo in combos:
+        row = spark.range(1).select(
+            *[F.lit(v).cast(by_name[c].dataType).alias(c) for c, v in zip(ref, combo)]
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return sorted(
+        {
+            r["b"]
+            for r in rows.select(
+                F.expr(manifest["partition_expr"]).cast("long").alias("b")
+            ).collect()
+        }
     )
-    return row.select(F.expr(manifest["partition_expr"]).cast("long").alias("b")).first()["b"]
 
 
 def _temporal(value):
@@ -461,26 +563,30 @@ def _stats_keep(
             continue
         dt = dtypes.get(col)
         mn, mx = stats[col]
+        lits = lit if op == "in" else [lit]
         try:
             if isinstance(dt, (T.DateType, T.TimestampType)):
-                mn, mx, lit = _temporal(mn), _temporal(mx), _temporal(lit)
+                mn, mx = _temporal(mn), _temporal(mx)
+                lits = [_temporal(v) for v in lits]
             elif isinstance(dt, T.StringType):
-                if not isinstance(lit, str):
+                if not all(isinstance(v, str) for v in lits):
                     continue
             elif isinstance(dt, _NUMERIC_TYPES):
-                if isinstance(lit, (str, bool)) or isinstance(mn, str):
+                if isinstance(mn, str) or any(
+                    isinstance(v, (str, bool)) for v in lits
+                ):
                     continue
             else:
                 continue
-            if op == "=" and not (mn <= lit <= mx):
+            if op in ("=", "in") and not any(mn <= v <= mx for v in lits):
                 return False
-            if op == "<" and not (mn < lit):
+            if op == "<" and not (mn < lits[0]):
                 return False
-            if op == "<=" and not (mn <= lit):
+            if op == "<=" and not (mn <= lits[0]):
                 return False
-            if op == ">" and not (mx > lit):
+            if op == ">" and not (mx > lits[0]):
                 return False
-            if op == ">=" and not (mx >= lit):
+            if op == ">=" and not (mx >= lits[0]):
                 return False
         except (TypeError, ValueError):
             continue
@@ -509,9 +615,9 @@ def resolve_read_dirs(
     # — pre-r10 manifests therefore read unpruned
     conjs = _conjuncts(predicate) if predicate and schema is not None else []
     if conjs:
-        b = _resolve_equality_bucket(spark, manifest, conjs)
-        if b is not None:
-            candidates = [b] if str(b) in manifest["buckets"] else []
+        pinned = _resolve_candidate_buckets(spark, manifest, conjs)
+        if pinned is not None:
+            candidates = [b for b in pinned if str(b) in manifest["buckets"]]
     dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
     all_stats = manifest.get("stats", {})
     dirs = []
@@ -545,6 +651,7 @@ def create_table(
         raise ValueError(f"manifest table already exists under {path}")
     manifest = {
         "version": 1,
+        "op": "create",
         "partition_expr": expr,
         "key_cols": key_cols,
         "columns": df.columns,
@@ -577,6 +684,7 @@ def read_table(
     path: str,
     version: int | None = None,
     predicate: str | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Snapshot read at the given (default latest) committed version:
     exactly the manifest's directories, nothing discovered by listing.
@@ -589,7 +697,14 @@ def read_table(
     (all buckets empty, or everything pruned) returns an empty frame
     with the persisted schema. The version is resolved ONCE — schema,
     directory set, and pruning all come from the same snapshot even
-    if a writer commits mid-call."""
+    if a writer commits mid-call. ``as_of`` (a unix timestamp) reads
+    the newest version committed at or before that instant — the
+    timestamp face of time travel; mutually exclusive with
+    ``version``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_at(path, as_of)
     manifest = read_manifest(path, version)
     dirs = resolve_read_dirs(spark, path, predicate, manifest=manifest)
     if not dirs:
@@ -732,7 +847,10 @@ def _merge_once(
     live_rels = {r for rels in buckets.values() for r in rels}
     stats = {r: s for r, s in stats.items() if r in live_rels}
 
-    new_manifest = {**manifest, "version": new_version, "buckets": buckets, "stats": stats}
+    new_manifest = {
+        **manifest, "version": new_version, "op": "merge",
+        "buckets": buckets, "stats": stats,
+    }
     if aux_entry:
         new_manifest["aux"] = aux_entry
     try:
@@ -744,6 +862,62 @@ def _merge_once(
         shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
         raise
     return new_manifest
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Change feed between two committed versions — the CDF face of
+    the format (the public lakehouse designs expose the same thing):
+    a changelog of ``(columns..., op)`` rows with op ``"U"`` for every
+    row present in ``to_version`` but not byte-identical-present in
+    ``from_version`` (inserts AND new images of updates) and ``"D"``
+    for keys that disappeared. Applying it with
+    ``operators/cdc.cdc_merge(snapshot@from, changes, key_cols,
+    seq_col=None)`` reconstructs ``snapshot@to`` exactly — the
+    round-trip contract tests/test_manifest.py pins.
+
+    I/O is bounded by CHANGED buckets only: manifests name each
+    bucket's directories, so buckets whose directory lists are equal
+    between the two versions are never read (the read-side mirror of
+    the bounded-write merge). Within changed buckets the diff is one
+    ``exceptAll`` + one left-anti join — shuffles sized by the
+    changed-bucket data, never the table. Requires both manifests to
+    still be retained (``vacuum`` retention) and the persisted schema
+    (any r10+ table)."""
+    m0 = read_manifest(path, from_version)
+    m1 = read_manifest(path, to_version)
+    if m1["version"] < m0["version"]:
+        raise ValueError(
+            f"to_version v{m1['version']} precedes from_version v{m0['version']}"
+        )
+    cols = m1["columns"]
+    key_cols = m1["key_cols"]
+    schema = _schema_of(m1)
+    if schema is None:
+        raise FileNotFoundError("read_changes needs the persisted schema (r10+ table)")
+    changed = sorted(
+        int(b)
+        for b in set(m0["buckets"]) | set(m1["buckets"])
+        if m0["buckets"].get(b) != m1["buckets"].get(b)
+    )
+
+    def _side(man: dict) -> DataFrame:
+        dirs = _bucket_dirs(path, man, [b for b in changed if str(b) in man["buckets"]])
+        if not dirs:
+            return spark.createDataFrame([], schema).select(*cols)
+        return spark.read.parquet(*dirs).select(*cols)
+
+    old, new = _side(m0), _side(m1)
+    upserts = new.exceptAll(old).withColumn(op_col, F.lit("U"))
+    deletes = old.join(new.select(*key_cols), key_cols, "left_anti").withColumn(
+        op_col, F.lit("D")
+    )
+    return upserts.unionByName(deletes)
 
 
 def read_aux(
@@ -796,7 +970,8 @@ def append_into(
         live_rels = {r for rels in buckets.values() for r in rels}
         stats = {r: s for r, s in stats.items() if r in live_rels}
         new_manifest = {
-            **manifest, "version": new_version, "buckets": buckets, "stats": stats,
+            **manifest, "version": new_version, "op": "append",
+            "buckets": buckets, "stats": stats,
         }
         try:
             _commit(path, new_manifest)
@@ -841,7 +1016,8 @@ def compact(spark: SparkSession, path: str, conflict_retries: int = 3) -> dict:
         live_rels = {r for rels in buckets.values() for r in rels}
         stats = {r: s for r, s in stats.items() if r in live_rels}
         new_manifest = {
-            **manifest, "version": new_version, "buckets": buckets, "stats": stats,
+            **manifest, "version": new_version, "op": "compact",
+            "buckets": buckets, "stats": stats,
         }
         try:
             _commit(path, new_manifest)

@@ -679,3 +679,77 @@ def test_append_conflict_retry_reuses_written_data(spark, seeded, monkeypatch):
     assert man["version"] == 3  # seed=1, racer=2, retried append=3
     got = mf.read_table(spark, path)
     assert got.where(F.col("o_orderkey") >= 777_000).count() == 20
+
+
+# --- r10 late additions: IN pruning, history/as-of, change feed -----
+
+
+def test_in_list_predicate_prunes_to_key_buckets(spark, seeded):
+    """`k IN (a, b, c)` resolves through partition_expr to the union
+    of the keys' buckets — the multi-point lookup face of equality
+    pruning; results stay oracle-equal and contradictions (empty
+    intersection with an equality) prove emptiness without reading."""
+    path, orders, _ = seeded
+    keys = [r[0] for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(3).collect()]
+    far = orders.agg(F.max("o_orderkey")).first()[0]
+    pred = f"o_orderkey in ({keys[0]}, {keys[1]}, {far})"
+    dirs = mf.resolve_read_dirs(spark, path, pred)
+    expect_buckets = {k // 256 for k in (keys[0], keys[1], far)}
+    assert len(dirs) == len(expect_buckets)
+    got = mf.read_table(spark, path, predicate=pred)
+    want = mf.read_table(spark, path).where(pred)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() == 3
+    # equality AND a disjoint IN-list is provably empty: zero dirs read
+    assert mf.resolve_read_dirs(
+        spark, path, f"o_orderkey = {keys[0]} and o_orderkey in ({far})"
+    ) == []
+    assert mf.read_table(
+        spark, path, predicate=f"o_orderkey = {keys[0]} and o_orderkey in ({far})"
+    ).count() == 0
+
+
+def test_history_and_timestamp_time_travel(spark, seeded):
+    """Every commit stamps its op and wall-clock into the manifest:
+    history() is the DESCRIBE HISTORY face, and read_table(as_of=ts)
+    resolves the newest version committed at or before ts."""
+    path, orders, _ = seeded
+    v1_rows = _sorted_rows(mf.read_table(spark, path, version=1))
+    mf.merge_into(spark, path, _changelog(orders, 0, 256))
+    hist = mf.history(path)
+    assert [h["op"] for h in hist] == ["create", "merge"]
+    assert all(h["committed_at"] is not None for h in hist)
+    t1 = hist[0]["committed_at"]
+    assert mf.version_at(path, t1) == 1
+    assert _sorted_rows(mf.read_table(spark, path, as_of=t1)) == v1_rows
+    latest = _sorted_rows(mf.read_table(spark, path))
+    assert _sorted_rows(mf.read_table(spark, path, as_of=hist[1]["committed_at"])) == latest
+    with pytest.raises(FileNotFoundError):
+        mf.version_at(path, t1 - 1000)
+    with pytest.raises(ValueError):
+        mf.read_table(spark, path, version=1, as_of=t1)
+
+
+def test_change_feed_round_trips_through_cdc_merge(spark, seeded):
+    """The CDF contract: read_changes(v_from, v_to) applied to
+    snapshot@v_from via the standard cdc_merge reconstructs
+    snapshot@v_to exactly — across a merge (updates + deletes +
+    inserts) and an append."""
+    path, orders, _ = seeded
+    mf.merge_into(spark, path, _changelog(orders, 0, 512))        # v2
+    extra = orders.orderBy("o_orderkey").limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 555_000
+    )
+    mf.append_into(spark, path, extra)                            # v3
+    for v_from, v_to in ((1, 2), (2, 3), (1, 3)):
+        snap_from = mf.read_table(spark, path, version=v_from)
+        snap_to = _sorted_rows(mf.read_table(spark, path, version=v_to))
+        changes = mf.read_changes(spark, path, v_from, v_to)
+        rebuilt = cdc.cdc_merge(
+            snap_from, changes, ["o_orderkey"], op_col="op", seq_col=None
+        )
+        assert _sorted_rows(rebuilt) == snap_to, (v_from, v_to)
+    # the feed is bucket-bounded: a no-op pair yields zero rows
+    assert mf.read_changes(spark, path, 3, 3).count() == 0
+    with pytest.raises(ValueError):
+        mf.read_changes(spark, path, 3, 1)
