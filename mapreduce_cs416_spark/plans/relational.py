@@ -1525,6 +1525,67 @@ def cdc_merge_orders_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mf.read_table(spark, path)
 
 
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table format's CHANGE DATA FEED as a query
+    (sources/manifest.read_changes): seed the orders snapshot as a
+    manifest table (v1), merge the shared deterministic CDC changelog
+    (v2), and emit the row-level diff between the two committed
+    versions — op 'U' rows are v2's new images (inserts and updated
+    rows), op 'D' rows are v1 images whose keys disappeared. The
+    oracle recomputes the same diff set-theoretically in DuckDB
+    (merged EXCEPT ALL base + an anti-join for deletes), so the hash
+    row proves the bucket-bounded physical diff (only buckets whose
+    directory lists differ between the manifests are read) equals the
+    logical definition; tests/test_manifest.py additionally pins that
+    cdc_merge-applying the feed onto v1 reconstructs v2 exactly."""
+    import tempfile
+
+    from ..sources import manifest as mf
+
+    base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
+    path = tempfile.mkdtemp(prefix="spark_graft_cdf_query_")
+    mf.create_table(base, path, ["o_orderkey"])
+    mf.merge_into(spark, path, changes, op_col="op", seq_col="seq")
+    return mf.read_changes(spark, path, 1, 2)
+
+
+CDC_CHANGE_FEED_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+changes AS (
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+           'U' AS op, 1 AS seq
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority, 'U', 1
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, NULL, NULL, NULL, 'D', 2
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+latest AS (
+    SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+),
+merged AS MATERIALIZED (
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM latest WHERE op <> 'D'
+),
+ups AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM base)
+SELECT *, 'U' AS op FROM ups
+UNION ALL
+SELECT b.*, 'D' AS op FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.o_orderkey = b.o_orderkey)
+"""
+
+
 def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/ivm.py): a per-customer
     (n_rows, revenue) view of the orders snapshot is materialized
@@ -1867,6 +1928,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
+        # r10: the manifest format's change data feed, exactly oracled
+        # against the set-theoretic diff of the two snapshots — the
+        # read-side completion of the transactional layer.
+        QuerySpec("cdc_change_feed", cdc_change_feed, CDC_CHANGE_FEED_SQL, cdc_change_feed.__doc__, tags=("relational", "cdc", "storage", "pipeline")),
         QuerySpec("q5_local_supplier", q5_local_supplier, Q5_SQL, q5_local_supplier.__doc__, headline=True, tags=("relational", "join")),
         QuerySpec("grouping_variants", grouping_variants, GROUPING_VARIANTS_SQL, grouping_variants.__doc__, tags=("relational", "agg")),
         QuerySpec("percentile_suite", percentile_suite, PERCENTILE_SUITE_SQL, percentile_suite.__doc__, tags=("relational", "agg", "approx")),
