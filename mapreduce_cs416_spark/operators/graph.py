@@ -166,6 +166,7 @@ def kcore(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 24,
+    broadcast_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """(node, core_degree): the k-core of the undirected graph — the
     maximal subgraph where every node keeps degree >= k — by the
@@ -194,8 +195,13 @@ def kcore(
     )
     for _ in range(max_rounds):
         deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
-        n_victims = deg.where(F.col("d") < k).count()  # node-sized scalar probe
-        if n_victims == 0:
+        # one node-sized job yields BOTH the fixpoint probe and the
+        # survivor cardinality that gates the broadcast hint below
+        probe = deg.agg(
+            F.count(F.when(F.col("d") < k, 1)).alias("n_victims"),
+            F.count(F.when(F.col("d") >= k, 1)).alias("n_surv"),
+        ).collect()[0]
+        if probe["n_victims"] == 0:
             _unpersist_checkpoint(deg)
             break
         surv = deg.where(F.col("d") >= k).select("u")
@@ -206,11 +212,16 @@ def kcore(
         # without the hint Spark planned BOTH semi joins as full
         # SortMergeJoins every round (found by PLANS.md's r10
         # ckpt-fragment column). Broadcast pins the node-sized build
-        # side; at extreme node cardinality drop the hint and let the
-        # shuffle semi-join run.
+        # side; above ``broadcast_max_nodes`` survivors the hint is
+        # dropped (executor/driver memory, ADVICE r10) and the
+        # shuffle semi-join runs instead — the gate is measured, not
+        # guessed, since n_surv rides the fixpoint probe for free.
+        hint = (
+            F.broadcast if probe["n_surv"] <= broadcast_max_nodes else (lambda df: df)
+        )
         edges = (
-            edges.join(F.broadcast(surv), "u", "left_semi")
-            .join(F.broadcast(surv.withColumnRenamed("u", "v")), "v", "left_semi")
+            edges.join(hint(surv), "u", "left_semi")
+            .join(hint(surv.withColumnRenamed("u", "v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )

@@ -16,6 +16,8 @@ Determinism rules used throughout (driver hash-compares vs DuckDB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1455,6 +1457,31 @@ FROM ({APPROX_DISTINCT_SQL})
 
 
 # ------------------------------------------------------------------ CDC
+def _query_scratch(name: str) -> str:
+    """Per-process scratch directory for queries that materialize a
+    manifest table (cdc_merge_orders_manifest & friends): ONE root per
+    process, removed at interpreter exit, and the per-query subdir is
+    CLEARED on each invocation — so bench/parity loops that call a
+    query many times reuse one table-sized footprint instead of
+    leaking a fresh mkdtemp per call (ADVICE r10). The result
+    DataFrame is lazy, so the directory must outlive the call — it
+    does: only the NEXT invocation of the SAME query clears it."""
+    import atexit
+    import shutil as _sh
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(_sh.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
+    _sh.rmtree(path, ignore_errors=True)
+    return path
+
+
+_SCRATCH_ROOT: str | None = None
+
+
 def _cdc_orders_feed(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The deterministic (snapshot, changelog) CDC fixture shared by
     cdc_merge_orders and ivm_orders_revenue: base = orders outside
@@ -1512,14 +1539,13 @@ def cdc_merge_orders_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle makes the hash row the claim that the transactional path is
     ROW-IDENTICAL to the logical merge — the storage layer adds
     durability semantics, never different answers. The table lives in
-    a per-call temp directory (the read is lazy, so the directory must
-    outlive the query; /tmp hygiene is the harness's)."""
-    import tempfile
-
+    a per-process scratch subdir cleared on each re-invocation (the
+    read is lazy, so the directory outlives the call; see
+    _query_scratch)."""
     from ..sources import manifest as mf
 
     base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
-    path = tempfile.mkdtemp(prefix="spark_graft_cdcm_query_")
+    path = _query_scratch("cdc_merge_orders_manifest")
     mf.create_table(base, path, ["o_orderkey"])
     mf.merge_into(spark, path, changes, op_col="op", seq_col="seq")
     return mf.read_table(spark, path)
@@ -1538,12 +1564,10 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory lists differ between the manifests are read) equals the
     logical definition; tests/test_manifest.py additionally pins that
     cdc_merge-applying the feed onto v1 reconstructs v2 exactly."""
-    import tempfile
-
     from ..sources import manifest as mf
 
     base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
-    path = tempfile.mkdtemp(prefix="spark_graft_cdf_query_")
+    path = _query_scratch("cdc_change_feed")
     mf.create_table(base, path, ["o_orderkey"])
     mf.merge_into(spark, path, changes, op_col="op", seq_col="seq")
     return mf.read_changes(spark, path, 1, 2)

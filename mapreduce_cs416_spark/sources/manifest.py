@@ -568,6 +568,18 @@ def _stats_keep(
             if isinstance(dt, (T.DateType, T.TimestampType)):
                 mn, mx = _temporal(mn), _temporal(mx)
                 lits = [_temporal(v) for v in lits]
+                if isinstance(dt, T.DateType):
+                    # Spark casts the LITERAL to DATE — dropping any
+                    # time-of-day — before comparing against a date
+                    # column, so the stats comparison must truncate
+                    # too: a '2020-01-05 10:00:00' literal matches
+                    # rows with d = 2020-01-05, but comparing the
+                    # 10:00 datetime against the midnight min/max
+                    # dropped that directory (ADVICE r10, high).
+                    lits = [
+                        v.replace(hour=0, minute=0, second=0, microsecond=0)
+                        for v in lits
+                    ]
             elif isinstance(dt, T.StringType):
                 if not all(isinstance(v, str) for v in lits):
                     continue

@@ -608,6 +608,41 @@ def test_temporal_stats_prune_is_format_insensitive(spark, sf_dir, tmp_path):
     assert 0 < len(pruned) < len(mf.resolve_read_dirs(spark, path))
 
 
+def test_date_column_vs_timestamp_literal_never_misprunes(spark, sf_dir, tmp_path):
+    """The date-column mirror of the format-insensitivity test (ADVICE
+    r11, high): Spark casts a datetime-formatted string literal to
+    DATE (dropping the time-of-day) before comparing against a DATE
+    column, so ``d = '2020-01-05 10:00:00'`` matches rows with
+    d = 2020-01-05 — but _stats_keep compared the parsed 10:00
+    datetime against the midnight min/max and dropped the directory,
+    silently losing rows. Pins pruned-read ≡ full-read+filter for =,
+    IN, and >= with time-of-day literals, and that pruning still
+    happens."""
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_totalprice"
+    )
+    path = str(tmp_path / "od_tbl")
+    mf.create_table(orders, path, ["o_orderkey"], partition_expr="floor(o_orderkey / 256)")
+    hi = orders.agg(F.max("o_orderdate")).first()[0]
+    noon = hi.strftime("%Y-%m-%d") + " 10:00:00"
+    for pred in (
+        f"o_orderdate = '{noon}'",
+        f"o_orderdate IN ('{noon}')",
+        f"o_orderdate >= '{noon}'",
+    ):
+        got = mf.read_table(spark, path, predicate=pred)
+        want = mf.read_table(spark, path).where(pred)
+        assert want.count() >= 1, "fixture must exercise matching rows"
+        assert _sorted_rows(got) == _sorted_rows(want)
+    # stats pruning on the date column still fires for a range scan
+    lo_pred = f"o_orderdate < '{orders.agg(F.min('o_orderdate')).first()[0]}'"
+    assert len(mf.resolve_read_dirs(spark, path, lo_pred)) < len(
+        mf.resolve_read_dirs(spark, path)
+    )
+
+
 def test_partition_expr_validation_ignores_function_names(spark, sf_dir, tmp_path):
     """A non-key COLUMN named like a SQL function must not falsely
     reject the module's own recommended expression shape."""

@@ -182,8 +182,11 @@ _CAPTURED: list[str] = []
 _ORIG_LCP = DataFrame.localCheckpoint
 
 
-def _capturing_lcp(self, eager: bool = True):
-    out = _ORIG_LCP(self, eager)
+def _capturing_lcp(self, *args, **kwargs):
+    # pass-through signature: PySpark 4's classic localCheckpoint also
+    # takes storageLevel; a positional/keyword mirror would TypeError
+    # on any future call site using it (ADVICE r11)
+    out = _ORIG_LCP(self, *args, **kwargs)
     try:
         _CAPTURED.append(
             self._jdf.queryExecution().explainString(
