@@ -340,6 +340,105 @@ def _schema_of(manifest: dict) -> T.StructType | None:
     return T.StructType.fromJson(json.loads(s)) if s else None
 
 
+def _reader(spark: SparkSession, manifest: dict):
+    """Parquet reader pinned to the manifest's persisted schema, so a
+    version whose buckets span a schema-evolution boundary reads
+    uniformly: files written before an add-column return typed NULLs,
+    and files written before a type widening are up-cast by the
+    parquet reader (int32→long, float→double — Spark 4 widening
+    promotions, verified in tests). Without the explicit schema a
+    mixed-version read would take whichever file's footer Spark
+    sampled first. Pre-r10 manifests (no persisted schema) fall back
+    to footer inference, as before."""
+    schema = _schema_of(manifest)
+    return spark.read.schema(schema) if schema is not None else spark.read
+
+
+# --- schema evolution --------------------------------------------------
+
+# Safe widening promotions: every chain the parquet reader can apply
+# to OLD files at read time (verified in tests/test_manifest.py), so
+# widening a column never requires rewriting committed data.
+_WIDENS_TO: dict[str, tuple[str, ...]] = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
+
+def _widens(frm: T.DataType, to: T.DataType) -> bool:
+    return to.typeName() in _WIDENS_TO.get(frm.typeName(), ())
+
+
+def evolve_schema(
+    old: T.StructType, incoming: T.StructType, key_cols: list[str]
+) -> T.StructType:
+    """The table schema after accepting a write with ``incoming`` data
+    columns (bookkeeping columns already stripped) — the add-column /
+    type-widening contract of the format (VERDICT r10 item 1; the
+    public lakehouse formats' mergeSchema semantics):
+
+    - a column absent from ``old`` is APPENDED, nullable — existing
+      files return typed NULLs for it via the pinned-schema reader;
+    - a column whose incoming type safely WIDENS its stored type
+      (int chain, float→double) evolves to the wider type — old files
+      up-cast at read time, nothing is rewritten;
+    - an incoming type NARROWER than the stored type keeps the stored
+      type — the write itself is up-cast (``_conform``), lossless;
+    - KEY columns must keep their exact stored type: the partition
+      expression hashes the key's runtime type (xxhash64(int) !=
+      xxhash64(long)), so widening a key would re-route every
+      existing row's bucket. Narrower incoming keys are fine — they
+      are up-cast BEFORE bucketing;
+    - anything else (string↔numeric, double→float, …) raises — an
+      unsafe narrowing or type change must never be committed
+      silently.
+
+    Columns of ``old`` absent from ``incoming`` are kept: a write may
+    omit trailing columns, whose values are NULL in the written rows
+    (the changelog's full-row-image contract makes that explicit)."""
+    by_name = {f.name: f for f in incoming.fields}
+    fields: list[T.StructField] = []
+    for f in old.fields:
+        inc = by_name.pop(f.name, None)
+        if inc is None or inc.dataType == f.dataType:
+            fields.append(f)
+        elif _widens(inc.dataType, f.dataType):
+            fields.append(f)  # narrower write: up-cast by _conform
+        elif f.name in key_cols:
+            raise ValueError(
+                f"key column {f.name!r} cannot change type "
+                f"({f.dataType.simpleString()} → {inc.dataType.simpleString()}): "
+                "the partition hash replays the stored type"
+            )
+        elif _widens(f.dataType, inc.dataType):
+            fields.append(T.StructField(f.name, inc.dataType, True))
+        else:
+            raise ValueError(
+                f"unsafe schema change for column {f.name!r}: "
+                f"{f.dataType.simpleString()} → {inc.dataType.simpleString()} "
+                "is not a supported widening"
+            )
+    for name, f in ((f.name, f) for f in incoming.fields if f.name in by_name):
+        fields.append(T.StructField(name, f.dataType, True))  # add-column
+    return T.StructType(fields)
+
+
+def _conform(df: DataFrame, schema: T.StructType, keep: list[str]) -> DataFrame:
+    """Project ``df`` onto the evolved schema (casting up-cast-safe
+    columns, typed NULLs for columns the write omitted), carrying the
+    ``keep`` bookkeeping columns (op/seq) through untouched. Runs
+    BEFORE the bucket expression is attached, so an up-cast key is
+    hashed at its stored type."""
+    have = set(df.columns)
+    cols = [
+        (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols, *[F.col(c) for c in keep if c in have])
+
+
 # SQL single-quoted string literal, with '' as the escaped quote.
 _QUOTE_RE = re.compile(r"'(?:[^']|'')*'")
 
@@ -727,7 +826,7 @@ def read_table(
                 "and persists no schema (pre-r10 manifest)"
             )
         return spark.createDataFrame([], schema).select(*manifest["columns"])
-    df = spark.read.parquet(*dirs).select(*manifest["columns"])
+    df = _reader(spark, manifest).parquet(*dirs).select(*manifest["columns"])
     return df.filter(predicate) if predicate else df
 
 
@@ -791,6 +890,23 @@ def _merge_once(
     key_cols = manifest["key_cols"]
     new_version = manifest["version"] + 1
 
+    # schema evolution (VERDICT r10 item 1): validate the changelog's
+    # data columns against the persisted schema and evolve it
+    # (add-column / safe widening) under the SAME put-if-absent commit
+    # as the data; unsafe changes raise before anything is written.
+    manifest = dict(manifest)
+    old_schema = _schema_of(manifest)
+    bookkeeping = [op_col] + ([seq_col] if seq_col else [])
+    if old_schema is not None:
+        incoming = T.StructType(
+            [f for f in changes.schema.fields if f.name not in bookkeeping]
+        )
+        evolved = evolve_schema(old_schema, incoming, key_cols)
+        changes = _conform(changes, evolved, keep=bookkeeping)
+        if evolved != old_schema:
+            manifest["schema"] = evolved.json()
+            manifest["columns"] = [f.name for f in evolved.fields]
+
     batch = changes.withColumn(_BUCKET_COL, _bucket_col(manifest))
     touched = sorted(
         (r[_BUCKET_COL] for r in batch.select(_BUCKET_COL).distinct().collect()),
@@ -802,7 +918,9 @@ def _merge_once(
             "partition expression evaluated to NULL (null key column?)"
         )
     if not touched and not aux:
-        return manifest  # empty batch: no new version, nothing written
+        # empty batch: no new version, nothing written — return the
+        # COMMITTED manifest, not the locally-evolved dict
+        return read_manifest(path)
 
     buckets = dict(manifest["buckets"])
     stats = dict(manifest.get("stats", {}))
@@ -812,7 +930,7 @@ def _merge_once(
         dirs = _bucket_dirs(path, manifest, existing)
         if dirs:
             current = (
-                spark.read.parquet(*dirs)
+                _reader(spark, manifest).parquet(*dirs)
                 .select(*manifest["columns"])
                 .withColumn(_BUCKET_COL, _bucket_col(manifest))
             )
@@ -919,10 +1037,15 @@ def read_changes(
     )
 
     def _side(man: dict) -> DataFrame:
+        # both sides read with the NEWER version's schema, so a feed
+        # spanning a schema-evolution boundary yields old images
+        # projected to the evolved shape (added columns → NULL,
+        # widened columns → up-cast) — exactly what applying the feed
+        # onto the evolved from-snapshot needs
         dirs = _bucket_dirs(path, man, [b for b in changed if str(b) in man["buckets"]])
         if not dirs:
             return spark.createDataFrame([], schema).select(*cols)
-        return spark.read.parquet(*dirs).select(*cols)
+        return spark.read.schema(schema).parquet(*dirs).select(*cols)
 
     old, new = _side(m0), _side(m1)
     upserts = new.exceptAll(old).withColumn(op_col, F.lit("U"))
@@ -958,7 +1081,16 @@ def append_into(
     data directory (append data references no version-dependent
     state — unlike a losing merge, which must recompute)."""
     first = read_manifest(path)
-    batch = rows.select(*first["columns"]).withColumn(_BUCKET_COL, _bucket_col(first))
+    first_schema = _schema_of(first)
+    if first_schema is not None:
+        # same evolution contract as merge_into: validate, evolve,
+        # up-cast the batch before bucketing (key types replay)
+        written_schema = evolve_schema(first_schema, rows.schema, first["key_cols"])
+        batch = _conform(rows, written_schema, keep=[])
+    else:
+        written_schema = None
+        batch = rows.select(*first["columns"])
+    batch = batch.withColumn(_BUCKET_COL, _bucket_col(first))
     rel = _new_rel(first["version"] + 1)  # the uuid token is the identity; the
     # version prefix is just a human-readable hint of when it was staged
     _write_buckets(batch, path, rel)
@@ -985,6 +1117,17 @@ def append_into(
             **manifest, "version": new_version, "op": "append",
             "buckets": buckets, "stats": stats,
         }
+        if written_schema is not None:
+            # a racing winner may itself have evolved the schema —
+            # re-merge the written files' schema into the LATEST one
+            # (both are committed facts; evolve is associative over
+            # add-column/widening, and key types are immutable)
+            latest = evolve_schema(
+                _schema_of(manifest), written_schema, manifest["key_cols"]
+            )
+            if latest != _schema_of(manifest):
+                new_manifest["schema"] = latest.json()
+                new_manifest["columns"] = [f.name for f in latest.fields]
         try:
             _commit(path, new_manifest)
             return new_manifest
@@ -1013,7 +1156,7 @@ def compact(spark: SparkSession, path: str, conflict_retries: int = 3) -> dict:
             return manifest
         new_version = manifest["version"] + 1
         df = (
-            spark.read.parquet(*_bucket_dirs(path, manifest, frag))
+            _reader(spark, manifest).parquet(*_bucket_dirs(path, manifest, frag))
             .select(*manifest["columns"])
             .withColumn(_BUCKET_COL, _bucket_col(manifest))
         )
