@@ -393,6 +393,47 @@ def incremental_ingest(
     return _ingest_decide(new_docs, ch, ex_c, k, threshold, max_df)
 
 
+_DIGESTS_DDL = "h string, cid long"
+_POSTINGS_DDL = "cid long, c_n_sh int, sh long"
+_DECISIONS_DDL = "doc_id long, status string, best_match long, jaccard double, batch_id long"
+
+
+def _is_tx_index(path: str) -> bool:
+    import os
+
+    return os.path.isdir(os.path.join(path, "_manifests"))
+
+
+def _index_digests(docs: DataFrame) -> DataFrame:
+    return docs.select(F.md5("text").alias("h"), F.col("doc_id").alias("cid"))
+
+
+def write_ingest_index_tx(corpus_docs: DataFrame, path: str, k: int = 3) -> None:
+    """``write_ingest_index`` on the transactional manifest store
+    (sources/manifest.create_aux_logs): digests, postings, and an
+    empty decisions log are committed as three aux LOG tables under
+    one manifest, so every subsequent gate batch can grow ALL of them
+    with ONE write job + ONE put-if-absent commit
+    (``append_aux_logs`` — VERDICT r10 item 6: the legacy layout's
+    three separate parquet appends left a torn-index crash window and
+    ~1s of per-batch fixed action cost). ``incremental_ingest_indexed``
+    and ``append_ingest_index`` auto-detect the layout."""
+    from ..sources import manifest as mf
+
+    spark = corpus_docs.sparkSession
+    mf.create_aux_logs(
+        spark,
+        path,
+        {
+            "digests": _index_digests(corpus_docs),
+            "postings": shingle_postings(
+                corpus_docs, k, doc_col="cid", n_col="c_n_sh", materialize=False
+            ),
+            "decisions": spark.createDataFrame([], _DECISIONS_DDL),
+        },
+    )
+
+
 def write_ingest_index(corpus_docs: DataFrame, path: str, k: int = 3) -> None:
     """Materialize the corpus-side dedup index ``incremental_ingest``
     otherwise re-derives per shard: the exact-dup digest table
@@ -427,6 +468,20 @@ def append_ingest_index(admitted_docs: DataFrame, path: str, k: int = 3) -> None
     corpus ∪ admitted (asserted in tests/test_dedup.py's accretion
     test), because both tables are plain row unions with no
     cross-document state."""
+    if _is_tx_index(path):
+        from ..sources import manifest as mf
+
+        mf.append_aux_logs(
+            admitted_docs.sparkSession,
+            path,
+            {
+                "digests": _index_digests(admitted_docs),
+                "postings": shingle_postings(
+                    admitted_docs, k, doc_col="cid", n_col="c_n_sh", materialize=False
+                ),
+            },
+        )
+        return
     # coalesce(1): an append sized by ONE shard otherwise lands as
     # shuffle-partition-many near-empty files, and after N batches the
     # per-batch index scan pays N×32 file opens + listings — measured
@@ -458,10 +513,14 @@ def incremental_ingest_indexed(
     # explicit schemas: the index is read EVERY micro-batch in the
     # streaming face, and schema inference pays a driver-side footer
     # read per table per batch — a pure fixed cost on a hot path
-    ch = spark.read.schema("h string, cid long").parquet(f"{index_path}/digests")
-    ex_c = spark.read.schema("cid long, c_n_sh int, sh long").parquet(
-        f"{index_path}/postings"
-    )
+    if _is_tx_index(index_path):
+        from ..sources import manifest as mf
+
+        ch = mf.read_aux(spark, index_path, "digests", schema=_DIGESTS_DDL)
+        ex_c = mf.read_aux(spark, index_path, "postings", schema=_POSTINGS_DDL)
+    else:
+        ch = spark.read.schema(_DIGESTS_DDL).parquet(f"{index_path}/digests")
+        ex_c = spark.read.schema(_POSTINGS_DDL).parquet(f"{index_path}/postings")
     return _ingest_decide(new_docs, ch, ex_c, k, threshold, max_df)
 
 

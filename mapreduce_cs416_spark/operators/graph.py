@@ -240,6 +240,7 @@ def pagerank(
     dst: str = "v",
     n_iter: int = 10,
     damping: float = 0.85,
+    broadcast_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list: (node, rank) for every node
     appearing as source or target, after ``n_iter`` power iterations
@@ -273,27 +274,58 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select(F.col("u").alias("node"), F.lit(0.0).alias("rank"))
-    deg = e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint()
-    ranks = nodes.select("u", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # static per-round inputs, joined ONCE outside the loop: the
+    # edge⋈outdeg frame (saves a join per round) and the node set
+    # carrying a dangling flag (no out-edges), so the per-round
+    # dangling-mass aggregate is a plain scan of the checkpointed
+    # ranks — no join at all (VERDICT r10 item 4).
+    ew = (
+        e.join(deg, "u")
+        .select("u", "v", "outdeg")
+        .localCheckpoint()
+    )
+    nodes_f = (
+        nodes.join(deg, "u", "left")
+        .select("u", F.col("outdeg").isNull().cast("int").alias("_dangf"))
+        .localCheckpoint()
+    )
+    ranks = nodes_f.select("u", "_dangf", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # ranks and the per-target contribution sums are NODE-sized but
+    # sit behind localCheckpoints (no size stats — the kcore SMJ
+    # lesson): without the hint both per-round joins plan as
+    # SortMergeJoins that re-shuffle the EDGE frame every round.
+    # Gate on the known node count (executor memory escape hatch).
+    hint = F.broadcast if n <= broadcast_max_nodes else (lambda df: df)
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(deg, "u", "left_anti").agg(F.sum("rank").alias("s")).collect()[0]["s"]
-        ) or 0.0
-        contribs = (
-            e.join(ranks, "u")
-            .join(deg, "u")
-            .select(F.col("v").alias("u"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        # the dangling-mass scalar rides the round's OWN job as a
+        # one-row broadcast side frame over the already-materialized
+        # previous ranks — no per-round driver collect. Same float
+        # evaluation order as the literal it replaces:
+        # (base + d·dang/n) + d·s.
+        dang = ranks.agg(
+            F.coalesce(F.sum(F.col("rank") * F.col("_dangf")), F.lit(0.0)).alias("_dang")
+        )
+        contribs = ew.join(hint(ranks), "u").select(
+            F.col("v").alias("u"), (F.col("rank") / F.col("outdeg")).alias("c")
         )
         summed = contribs.groupBy("u").agg(F.sum("c").alias("s"))
-        base = (1.0 - damping) / n + damping * dangling / n
         prev = ranks
         ranks = (
-            nodes.join(summed, "u", "left")
-            .select("u", (F.lit(base) + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
+            nodes_f.join(hint(summed), "u", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "u",
+                "_dangf",
+                (
+                    (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
             .localCheckpoint()
         )
         _unpersist_checkpoint(prev)
-    for df in (e, nodes, deg):
+    for df in (e, nodes, ew, nodes_f):
         _unpersist_checkpoint(df)
     return ranks.select(F.col("u").alias("node"), "rank")
 
@@ -306,6 +338,7 @@ def pagerank_fixed(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**9,
+    broadcast_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """PageRank in SCALED-INTEGER fixed-point arithmetic — the
     exactly-oracle-able twin of ``pagerank``. Ranks are BIGINTs
@@ -337,35 +370,48 @@ def pagerank_fixed(
     n = nodes.count()
     if n == 0:
         return nodes.select(F.col("u").alias("node"), F.lit(0).cast("long").alias("rank_fp"))
-    deg = e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # the same nesting the oracle uses: ((den-num)*scale // den) // n
     base = ((damping_den - damping_num) * scale // damping_den) // n
-    ranks = nodes.select("u", F.lit(scale // n).cast("long").alias("r")).localCheckpoint()
+    # static inputs pre-joined once (VERDICT r10 item 4): edge⋈outdeg
+    # saves a per-round join; the dangling flag makes the per-round
+    # dangling aggregate a plain scan of the checkpointed ranks —
+    # integer sums commute, so the round stays bit-identical to the
+    # unrolled DuckDB oracle.
+    ew = e.join(deg, "u").select("u", "v", "outdeg").localCheckpoint()
+    nodes_f = (
+        nodes.join(deg, "u", "left")
+        .select("u", F.col("outdeg").isNull().cast("long").alias("_dangf"))
+        .localCheckpoint()
+    )
+    ranks = nodes_f.select("u", "_dangf", F.lit(scale // n).cast("long").alias("r")).localCheckpoint()
+    # node-sized build sides behind checkpoints: broadcast-pin (gated
+    # on the known node count) or both round joins SMJ-shuffle the
+    # edge frame every round — see pagerank's comment
+    hint = F.broadcast if n <= broadcast_max_nodes else (lambda df: df)
     for _ in range(n_iter):
-        dangling = int(
-            ranks.join(deg, "u", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
-            or 0
+        dang = ranks.agg(
+            F.coalesce(F.sum(F.col("r") * F.col("_dangf")), F.lit(0)).cast("long").alias("_dang")
         )
-        dang_share = dangling // n
-        contribs = (
-            e.join(ranks, "u")
-            .join(deg, "u")
-            .select(F.col("v").alias("u"), F.expr("r div outdeg").alias("c"))
+        contribs = ew.join(hint(ranks), "u").select(
+            F.col("v").alias("u"), F.expr("r div outdeg").alias("c")
         )
         summed = contribs.groupBy("u").agg(F.sum("c").alias("s"))
         prev = ranks
         ranks = (
-            nodes.join(summed, "u", "left")
+            nodes_f.join(hint(summed), "u", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "u",
+                "_dangf",
                 F.expr(
-                    f"CAST({base} + ({damping_num} * (coalesce(s, 0) + {dang_share})) div {damping_den} AS LONG)"
+                    f"CAST({base} + ({damping_num} * (coalesce(s, 0) + (_dang div {n}))) div {damping_den} AS LONG)"
                 ).alias("r"),
             )
             .localCheckpoint()
         )
         _unpersist_checkpoint(prev)
-    for df in (e, nodes, deg):
+    for df in (e, nodes, ew, nodes_f):
         _unpersist_checkpoint(df)
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_fp"))
 

@@ -118,6 +118,104 @@ def merge_deltas(
     return merged.where(F.col("_n") > 0)
 
 
+def seed_cdf_view(
+    spark,
+    source_path: str,
+    view_path: str,
+    group_cols: list[str],
+    measures: dict[str, str],
+    n_buckets: int = 8,
+) -> int:
+    """Seed the change-data-feed view consumer (VERDICT r10 item 2):
+    materialize ``build_view`` of the source manifest table's CURRENT
+    committed snapshot as its OWN manifest table keyed by the group
+    columns, with the source-version CURSOR committed as an aux frame
+    of the same atomic publish. Returns the seeded cursor version."""
+    from ..sources import manifest as mf
+
+    v = mf.current_version(source_path)
+    view = build_view(mf.read_table(spark, source_path, version=v), group_cols, measures)
+    cursor = spark.createDataFrame([(v,)], "version int")
+    mf.create_table(view, view_path, group_cols, n_buckets=n_buckets, aux={"cursor": cursor})
+    return v
+
+
+def cdf_view_step(
+    spark,
+    source_path: str,
+    view_path: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    measures: dict[str, str],
+    op_col: str = "op",
+) -> int:
+    """ONE advance of the streaming change-data-feed consumer: tail
+    the source table's own CDF from the persisted version cursor
+    (never the raw changelog — the decoupling Delta's readChangeFeed
+    streaming gives downstream consumers), fold the delta into the
+    materialized view, and commit view + advanced cursor under ONE
+    put-if-absent manifest publish. Returns the number of source
+    versions consumed (0 = nothing new).
+
+    Exactly-once without a batch ledger: the cursor rides the same
+    atomic commit as the view data, so a crash anywhere before the
+    publish leaves both at the previous state and the rerun applies
+    the range exactly once; a re-delivered trigger finds cursor ==
+    latest and is absorbed with ZERO delta and zero data I/O
+    (test-pinned). I/O per advance is bounded end to end:
+    ``read_changes`` reads only buckets whose directory lists differ
+    between cursor and latest, the old-image retraction joins the
+    cursor-version snapshot once, and the view merge rewrites only
+    delta-touched view buckets. Retention contract: the cursor
+    version must stay vacuum-retained on the source (keep_versions >
+    consumer lag), exactly the public formats' CDF retention rule."""
+    from ..sources import manifest as mf
+
+    cursor = int(mf.read_aux(spark, view_path, "cursor").first()["version"])
+    latest = mf.current_version(source_path)
+    if latest <= cursor:
+        return 0
+    feed = mf.read_changes(spark, source_path, cursor, latest, op_col=op_col)
+    base = mf.read_table(spark, source_path, version=cursor)
+    delta = delta_view(
+        base, feed, key_cols, group_cols, measures, op_col=op_col, seq_col=None
+    )
+    nonzero = F.col("_n") != 0
+    for m in measures:
+        nonzero = nonzero | (F.col(m) != 0)
+    delta = delta.where(nonzero)
+    old_view = mf.read_table(spark, view_path)
+    # delta-sized view changelog: per touched group, new = old + delta;
+    # groups whose maintained count reaches zero become 'D' rows —
+    # EXACTLY merge_deltas' drop rule, expressed as keyed CDC
+    upd = (
+        delta.alias("d")
+        .join(old_view.alias("v"), group_cols, "left")
+        .select(
+            *group_cols,
+            (F.coalesce(F.col("v._n"), F.lit(0)) + F.col("d._n")).alias("_n"),
+            *[
+                # cast back to the view's stored decimal type: the add
+                # widens precision, and an ever-widening schema would
+                # pointlessly evolve the view table on every batch
+                (F.coalesce(F.col(f"v.{m}"), F.lit(0).cast(DEC)) + F.col(f"d.{m}"))
+                .cast(old_view.schema[m].dataType)
+                .alias(m)
+                for m in measures
+            ],
+        )
+    )
+    changelog = upd.withColumn(
+        op_col, F.when(F.col("_n") > 0, F.lit("U")).otherwise(F.lit("D"))
+    )
+    new_cursor = spark.createDataFrame([(latest,)], "version int")
+    mf.merge_into(
+        spark, view_path, changelog, op_col=op_col, seq_col=None,
+        aux={"cursor": new_cursor},
+    )
+    return latest - cursor
+
+
 def finalize(view: DataFrame, group_cols: list[str]) -> DataFrame:
     """Publish the view: counts as BIGINT ``n_rows``, measure sums
     cast back to double (the decimal_sum output convention)."""

@@ -3637,7 +3637,10 @@ QUERIES: dict[str, QuerySpec] = {
         # moves to extras — its slot goes to the transactional-table
         # CDC face in plans/relational.py (cdc_merge_orders_manifest).
         QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, embedding_standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
-        QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
+        # r11 rotation: text_model_quality (hashed green since late-r7;
+        # the text/model family keeps text_model_quality_auc in-window)
+        # moves to extras — its slot goes to the manifest delete face
+        # in plans/relational.py (manifest_delete_from).
     ]
 }
 
@@ -3647,6 +3650,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
         QuerySpec("corpus_chunk_documents", corpus_chunk_documents, CORPUS_CHUNK_SQL, corpus_chunk_documents.__doc__, tags=("northstar", "packing", "pipeline")),
         QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),
         QuerySpec("corpus_stratified_sample", corpus_stratified_sample, CORPUS_STRATIFIED_SQL, corpus_stratified_sample.__doc__, tags=("northstar", "sampling", "pipeline")),

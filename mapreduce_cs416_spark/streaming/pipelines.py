@@ -476,12 +476,15 @@ def streaming_ingest_gate(
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.graph import _unpersist_checkpoint
 
+        tx = dedup._is_tx_index(index_path)
         # the batch feeds the gate AND the admitted-docs filter; the
-        # decisions feed the parquet sink AND the admission filter —
+        # decisions feed the sink AND the admission filter —
         # checkpoint both so (a) nothing recomputes per reference and
-        # (b) the decision plan's index scan is fully executed BEFORE
-        # append_ingest_index adds new files to the same directories.
-        # Both checkpoints are freed before the batch returns: a
+        # (b) in the legacy layout the decision plan's index scan is
+        # fully executed BEFORE append_ingest_index adds new files to
+        # the same directories (the tx layout is hazard-free there:
+        # its scans read manifest-pinned immutable directories). Both
+        # checkpoints are freed before the batch returns: a
         # continuous-trigger service would otherwise accumulate one
         # shard's pinned blocks per micro-batch forever.
         b = batch_df.select("doc_id", "text").localCheckpoint()
@@ -496,10 +499,33 @@ def streaming_ingest_gate(
         ).localCheckpoint()
         decisions = gated.withColumn("batch_id", F.lit(batch_id))
         try:
-            decisions.coalesce(1).write.mode("append").parquet(f"{index_path}/decisions")
             admitted_ids = decisions.where(F.col("status") == "novel").select("doc_id")
             admitted = b.join(F.broadcast(admitted_ids), "doc_id")
-            dedup.append_ingest_index(admitted, index_path, k)
+            if tx:
+                # transactional store (VERDICT r10 item 6): decisions +
+                # both index tables land in ONE tagged-union write and
+                # ONE put-if-absent commit — no torn-index crash
+                # window, one action instead of three appends
+                from ..operators.dedup import shingle_postings
+                from ..sources import manifest as mf
+
+                mf.append_aux_logs(
+                    b.sparkSession,
+                    index_path,
+                    {
+                        "decisions": decisions,
+                        "digests": dedup._index_digests(admitted),
+                        "postings": shingle_postings(
+                            admitted, k, doc_col="cid", n_col="c_n_sh",
+                            materialize=False,
+                        ),
+                    },
+                )
+            else:
+                decisions.coalesce(1).write.mode("append").parquet(
+                    f"{index_path}/decisions"
+                )
+                dedup.append_ingest_index(admitted, index_path, k)
         finally:
             _unpersist_checkpoint(gated)
             _unpersist_checkpoint(b)
@@ -719,6 +745,51 @@ def streaming_view_maintenance_manifest(
     return (
         changes.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", f"{table_path}_view_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_view_maintenance_cdf(
+    changes: DataFrame,
+    source_path: str,
+    view_path: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    measures: dict[str, str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """streaming_view_maintenance fed from the source table's OWN
+    change data feed (VERDICT r10 item 2 — Delta's readChangeFeed
+    streaming shape): the upstream writer merges each micro-batch into
+    the SOURCE manifest table, and the downstream consumer then
+    advances on ``read_changes`` via a PERSISTED version cursor — it
+    never sees the raw changelog, so any number of independent
+    consumers can tail the same table without coordinating with its
+    writers.
+
+    The consumer (operators/ivm.cdf_view_step) commits view + cursor
+    under one put-if-absent publish: exactly-once without a batch-id
+    ledger, re-delivered triggers absorbed at cursor == latest with
+    zero delta and zero data I/O, crash anywhere leaves both at the
+    previous state. Per-trigger I/O is changed-bucket-bounded on the
+    read side and delta-bucket-bounded on the view side. Seed with
+    ``manifest.create_table`` (source) + ``ivm.seed_cdf_view``
+    before starting; source vacuum must retain the cursor version."""
+    from ..operators import ivm
+    from ..sources import manifest as mf
+
+    def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        mf.merge_into(session, source_path, batch_df, op_col=op_col, seq_col=seq_col)
+        ivm.cdf_view_step(
+            session, source_path, view_path, key_cols, group_cols, measures
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", f"{view_path}_cdf_stream_checkpoint")
         .trigger(availableNow=True)
         .start()
     )

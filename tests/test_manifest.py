@@ -560,8 +560,20 @@ def test_conjunct_parser_is_not_fooled_by_string_literals():
     assert mf._conjuncts("c = 'a or b' and k = 5") == [
         ("c", "=", "a or b"), ("k", "=", 5),
     ]
-    # top-level OR still disables everything
-    assert mf._conjuncts("k = 5 or k = 6") == []
+    # a same-column OR-of-equalities is the IN-list (r11 rewrite) —
+    # whether parenthesized, top-level, or alongside AND conjuncts
+    assert mf._conjuncts("k = 5 or k = 6") == [("k", "in", [5, 6])]
+    assert mf._conjuncts("(k = 5 or k = 6) and v > 3") == [
+        ("k", "in", [5, 6]), ("v", ">", 3),
+    ]
+    # any OTHER or-shape still disables everything
+    assert mf._conjuncts("k = 5 or v = 6") == []
+    assert mf._conjuncts("k = 5 or k > 6") == []
+    assert mf._conjuncts("k = 5 or (k = 6 and v = 2)") == []
+    # BETWEEN is two range conjuncts; NOT BETWEEN degrades whole
+    assert mf._conjuncts("k between 2 and 8") == [("k", ">=", 2), ("k", "<=", 8)]
+    assert mf._conjuncts("k not between 2 and 8") == []
+    assert mf._conjuncts("not (k = 5)") == []
 
 
 def test_numeric_literal_on_string_key_does_not_prune(spark, sf_dir, tmp_path):
@@ -949,3 +961,303 @@ def test_schema_evolution_narrower_write_upcasts(spark, sf_dir, tmp_path):
     got = mf.read_table(spark, path)
     assert got.count() == orders.count()  # updated in place, not duplicated
     assert got.where("o_totalprice = 42.5").count() == 3
+
+
+# --- delete_from + OR/BETWEEN pruning (VERDICT r10 items 3 & 5) -------
+def _disk_snapshot(path, manifest):
+    out = {}
+    for b, rels in manifest["buckets"].items():
+        for rel in rels:
+            d = os.path.join(path, rel, f"_bucket={b}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(d, f)
+                    out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+    return out
+
+
+def test_delete_from_prunes_and_keeps_untouched_files(spark, seeded):
+    """DELETE with a range predicate rewrites ONLY the overlapping
+    bucket directories; everything else stays byte-identical, the
+    result equals read-minus-matching, and the pre-delete version
+    stays time-travel readable."""
+    path, orders, man1 = seeded
+    snap = _disk_snapshot(path, man1)
+    pred = "o_orderkey >= 256 and o_orderkey < 512"
+    n_match = orders.where(pred).count()
+    assert n_match > 0
+    man2 = mf.delete_from(spark, path, pred)
+    assert man2["op"] == "delete" and man2["version"] == 2
+    # only partition 1 (floor(k/256) == 1) was rewritten
+    changed = {b for b in man1["buckets"] if man2["buckets"].get(b) != man1["buckets"][b]}
+    assert changed == {"1"}
+    for b in set(man1["buckets"]) - changed:
+        for rel in man1["buckets"][b]:
+            d = os.path.join(path, rel, f"_bucket={b}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(d, f)
+                    assert (os.path.getsize(fp), os.path.getmtime(fp)) == snap[fp]
+    got = mf.read_table(spark, path)
+    want = orders.where(f"not ({pred})")
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert _sorted_rows(mf.read_table(spark, path, version=1)) == _sorted_rows(orders)
+
+
+def test_delete_from_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    are KEPT (a plain NOT(pred) filter would drop them)."""
+    path = str(tmp_path / "null_tbl")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    mf.create_table(df, path, ["k"], partition_expr="pmod(k, 4)")
+    mf.delete_from(spark, path, "v > 15")
+    got = _sorted_rows(mf.read_table(spark, path))
+    assert got == [(1, 10.0), (2, None)]
+
+
+def test_delete_from_no_match_commits_nothing(spark, seeded):
+    path, _, man1 = seeded
+    man = mf.delete_from(spark, path, "o_orderkey = -17")
+    assert man["version"] == man1["version"]
+    assert mf.current_version(path) == 1
+
+
+def test_delete_from_rewrites_only_matching_segments_of_a_bucket(spark, seeded):
+    """Directory-granular deletes: a bucket holding two appended
+    segments with disjoint o_totalprice stats rewrites only the
+    segment the predicate can match — the other segment directory is
+    carried over byte-identical (write amplification bounded by the
+    matching segments, measured here, not the whole bucket)."""
+    path, orders, _ = seeded
+    # same keys (append is the raw-log face — duplicates allowed), so
+    # the new segment lands in the SAME buckets as the seed, with a
+    # disjoint o_totalprice range for the stats to separate
+    seg2 = orders.where("o_orderkey < 100").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 1_000_000.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    man2 = mf.append_into(spark, path, seg2)
+    assert any(len(rels) == 2 for rels in man2["buckets"].values())
+    n_before = mf.read_table(spark, path).count()
+    pred = "o_totalprice >= 1000000"
+    man3 = mf.delete_from(spark, path, pred)
+    # every seed (v1) directory survived in place — the delete only
+    # rewrote the appended segment of the shared bucket
+    v1_rels = {r for rels in mf.read_manifest(path, 1)["buckets"].values() for r in rels}
+    survived = {r for rels in man3["buckets"].values() for r in rels if r in v1_rels}
+    assert survived == v1_rels  # no seed directory was rewritten
+    got = mf.read_table(spark, path)
+    assert got.count() == n_before - seg2.count()
+    assert got.where(pred).count() == 0
+
+
+def test_between_and_or_equalities_prune(spark, seeded):
+    path, orders, _ = seeded
+    n_all = len(mf.resolve_read_dirs(spark, path))
+    between = "o_orderkey between 256 and 511"
+    assert len(mf.resolve_read_dirs(spark, path, between)) < n_all
+    got = mf.read_table(spark, path, predicate=between)
+    assert _sorted_rows(got) == _sorted_rows(orders.where(between))
+    or_eq = "(o_orderkey = 100 or o_orderkey = 700)"
+    dirs = mf.resolve_read_dirs(spark, path, or_eq)
+    assert len(dirs) == 2  # partitions 0 and 2 exactly
+    got = mf.read_table(spark, path, predicate=or_eq)
+    assert _sorted_rows(got) == _sorted_rows(orders.where(or_eq))
+    # mixed-column OR still degrades to a full scan — but never errs
+    mixed = "o_orderkey = 100 or o_custkey = 7"
+    assert len(mf.resolve_read_dirs(spark, path, mixed)) == n_all
+    # NOT BETWEEN degrades whole (no mangled rewrite)
+    nb = "o_orderkey not between 256 and 511"
+    assert len(mf.resolve_read_dirs(spark, path, nb)) == n_all
+    assert _sorted_rows(mf.read_table(spark, path, predicate=nb)) == _sorted_rows(
+        orders.where(nb)
+    )
+
+
+def test_pruned_read_equals_full_read_fuzz(spark, seeded):
+    """Property pin over random predicate shapes (VERDICT r10 item 5):
+    for every generated predicate, pruned read ≡ full read + filter —
+    the 'pruning can never change results' contract under BETWEEN,
+    OR-chains, IN, ranges, string literals containing keywords, NOT,
+    and unparseable noise."""
+    import random
+
+    path, orders, _ = seeded
+    rng = random.Random(416)
+    full = mf.read_table(spark, path)
+
+    def lit_key():
+        return rng.randrange(0, 1200)
+
+    shapes = [
+        lambda: f"o_orderkey = {lit_key()}",
+        lambda: f"o_orderkey between {lit_key()} and {lit_key()}",
+        lambda: f"(o_orderkey = {lit_key()} or o_orderkey = {lit_key()} or o_orderkey = {lit_key()})",
+        lambda: f"o_orderkey in ({lit_key()}, {lit_key()})",
+        lambda: f"o_orderkey >= {lit_key()} and o_totalprice < {rng.uniform(0, 300000):.2f}",
+        lambda: f"o_orderstatus = 'F' and o_orderkey < {lit_key()}",
+        lambda: "o_orderstatus = 'x and o_orderkey = 3'",
+        lambda: f"not (o_orderkey = {lit_key()})",
+        lambda: f"o_orderkey not between {lit_key()} and {lit_key()}",
+        lambda: f"o_orderkey % 7 = {rng.randrange(7)}",
+        lambda: f"o_custkey = {rng.randrange(0, 200)} or o_orderkey = {lit_key()}",
+        lambda: f"o_orderkey between {lit_key()} and {lit_key()} and o_orderstatus in ('O', 'F')",
+    ]
+    for i in range(36):
+        pred = shapes[i % len(shapes)]()
+        got = mf.read_table(spark, path, predicate=pred)
+        want = full.where(pred)
+        assert _sorted_rows(got) == _sorted_rows(want), pred
+
+
+def test_one_row_delete_amplification_is_one_bucket_dir(spark, seeded):
+    """Pin the documented write-amplification of copy-on-write
+    deletes: deleting ONE row rewrites exactly its one bucket
+    directory — amplification == that directory's byte size, not the
+    table (deletion vectors are the production refinement; see
+    delete_from's docstring)."""
+    path, orders, man1 = seeded
+    key = orders.where("o_orderkey >= 256 and o_orderkey < 512").first()[0]
+    total_bytes = sum(sz for sz, _ in _disk_snapshot(path, man1).values())
+    man2 = mf.delete_from(spark, path, f"o_orderkey = {key}")
+    changed = {b for b in man1["buckets"] if man2["buckets"].get(b) != man1["buckets"][b]}
+    assert changed == {"1"}  # one bucket directory rewritten
+    new_rel = man2["buckets"]["1"][0]
+    d = os.path.join(path, new_rel, "_bucket=1")
+    rewritten_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    # amplification is bucket-sized: far below the table, far above 1 row
+    assert 0 < rewritten_bytes < total_bytes / 2
+    assert mf.read_table(spark, path).where(f"o_orderkey = {key}").count() == 0
+    assert mf.read_table(spark, path).count() == orders.count() - 1
+
+
+# --- z-ordered compaction (VERDICT r10 item 8) ------------------------
+def test_zorder_compact_improves_range_pruning(spark, sf_dir, tmp_path):
+    """After a z-ordered compact on o_totalprice, a selective range
+    predicate opens STRICTLY FEWER directories than before (the
+    append-ordered layout gives every directory the full value range,
+    so nothing prunes), results stay hash-equal, and vacuum
+    understands the sliced layout."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "z_tbl")
+    # hash buckets ensure o_totalprice is uniformly spread per bucket
+    mf.create_table(orders, path, ["o_orderkey"], n_buckets=4)
+    # two appends fragment every bucket with the same wide value range
+    for shift in (20_000_000, 40_000_000):
+        mf.append_into(
+            spark, path,
+            orders.limit(400).withColumn(
+                "o_orderkey", F.col("o_orderkey") + shift
+            ),
+        )
+    before_all = _sorted_rows(mf.read_table(spark, path))
+    lo = orders.agg(F.expr("percentile(o_totalprice, 0.1)")).first()[0]
+    pred = f"o_totalprice < {lo}"
+    dirs_before = len(mf.resolve_read_dirs(spark, path, pred))
+    n_dirs_before = len(mf.resolve_read_dirs(spark, path))
+    assert dirs_before == n_dirs_before  # appends: nothing prunes
+
+    man = mf.compact(spark, path, zorder_by=["o_totalprice"], n_slices=4)
+    assert man["op"] == "compact"
+    assert _sorted_rows(mf.read_table(spark, path)) == before_all  # hash-equal
+    dirs_after = len(mf.resolve_read_dirs(spark, path, pred))
+    assert dirs_after < len(mf.resolve_read_dirs(spark, path))
+    assert dirs_after < dirs_before
+    got = mf.read_table(spark, path, predicate=pred)
+    assert _sorted_rows(got) == _sorted_rows(
+        mf.read_table(spark, path).where(pred)
+    )
+    # vacuum reclaims the superseded layout but never the sliced live one
+    removed = mf.vacuum(path, keep_versions=1, orphan_min_age_s=0.0)
+    assert removed > 0
+    assert _sorted_rows(mf.read_table(spark, path)) == before_all
+
+
+def test_zorder_compact_two_columns_prunes_both(spark, sf_dir, tmp_path):
+    """Two-column Z-order: range predicates on EITHER clustered column
+    prune after compaction (the property a lexicographic sort cannot
+    give the second column)."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "z2_tbl")
+    mf.create_table(orders, path, ["o_orderkey"], n_buckets=2)
+    mf.append_into(spark, path, orders.limit(300).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 30_000_000))
+    before = _sorted_rows(mf.read_table(spark, path))
+    mf.compact(spark, path, zorder_by=["o_custkey", "o_totalprice"], n_slices=8)
+    assert _sorted_rows(mf.read_table(spark, path)) == before
+    n_all = len(mf.resolve_read_dirs(spark, path))
+    for col in ("o_custkey", "o_totalprice"):
+        mx = mf.read_table(spark, path).agg(F.max(col)).first()[0]
+        pred = f"{col} > {mx * 0.95}"
+        assert len(mf.resolve_read_dirs(spark, path, pred)) < n_all, col
+        got = mf.read_table(spark, path, predicate=pred)
+        assert _sorted_rows(got) == _sorted_rows(
+            mf.read_table(spark, path).where(pred)
+        )
+
+
+# --- streaming CDF consumer (VERDICT r10 item 2) ----------------------
+def test_streaming_view_maintenance_cdf_matches_recompute(spark, sf_dir, tmp_path):
+    """The view consumer fed from the table's OWN change data feed:
+    stream==batch for the maintained view, exactly-once via the
+    atomic view+cursor commit, and replay absorption — a re-delivered
+    trigger at cursor==latest consumes nothing and commits nothing."""
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.streaming import pipelines as sp
+
+    orders = _orders(spark, sf_dir)
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    src = str(tmp_path / "src_tbl")
+    vw = str(tmp_path / "view_tbl")
+    mf.create_table(orders, src, ["o_orderkey"], partition_expr=RANGE_EXPR)
+    seeded_at = ivm.seed_cdf_view(spark, src, vw, group, measures)
+    assert seeded_at == 1
+
+    batches = [_changelog(orders, i * 256, (i + 1) * 256) for i in range(2)]
+    change_dir = str(tmp_path / "changes")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{change_dir}/bat={i}")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batches[0].schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{change_dir}/bat=*")
+    )
+    q = sp.streaming_view_maintenance_cdf(
+        stream, src, vw, ["o_orderkey"], group, measures
+    )
+    q.awaitTermination()
+
+    merged = mf.read_table(spark, src)
+    got = _sorted_rows(ivm.finalize(mf.read_table(spark, vw), group))
+    want = _sorted_rows(ivm.finalize(ivm.build_view(merged, group, measures), group))
+    assert got == want
+    # cursor advanced to the source head
+    assert int(mf.read_aux(spark, vw, "cursor").first()["version"]) == mf.current_version(src)
+
+    # replay absorption: nothing new → zero versions consumed, zero
+    # commits, view byte-stable
+    v_before = mf.current_version(vw)
+    assert ivm.cdf_view_step(spark, src, vw, ["o_orderkey"], group, measures) == 0
+    assert mf.current_version(vw) == v_before
+    assert _sorted_rows(ivm.finalize(mf.read_table(spark, vw), group)) == want
+
+    # a fresh source commit advances the consumer by exactly one range
+    extra = _changelog(orders, 512, 768)
+    mf.merge_into(spark, src, extra)
+    consumed = ivm.cdf_view_step(spark, src, vw, ["o_orderkey"], group, measures)
+    assert consumed == 1
+    merged2 = mf.read_table(spark, src)
+    got2 = _sorted_rows(ivm.finalize(mf.read_table(spark, vw), group))
+    assert got2 == _sorted_rows(
+        ivm.finalize(ivm.build_view(merged2, group, measures), group)
+    )

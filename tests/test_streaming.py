@@ -529,3 +529,94 @@ def test_streaming_lsh_gate_matches_batch_and_absorbs_replays(spark, sf_dir):
     # one ledger row per arriving vector, replays absorbed
     ids = [r[0] for r in got]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_ingest_gate_tx_matches_legacy_and_has_no_torn_window(
+    spark, sf_dir, tmp_path_factory
+):
+    """The transactional ingest gate (manifest aux-log store, ONE
+    tagged-union write + ONE commit per batch — VERDICT r10 item 6)
+    must produce exactly the legacy layout's decisions over the same
+    shard sequence, and a crash before the commit must leave ALL
+    THREE logs at the previous version together (no torn index)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_cs416_spark.operators import dedup
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(docs["doc_id"] % 3 == 0)
+    shards = [docs.where(docs["doc_id"] % 3 == 1), docs.where(docs["doc_id"] % 3 == 2)]
+
+    base = str(tmp_path_factory.mktemp("stream_ingest_tx"))
+    index = f"{base}/index"
+    dedup.write_ingest_index_tx(corpus, index, k=3)
+    assert dedup._is_tx_index(index)
+
+    shard_dir = f"{base}/shards"
+    os.makedirs(shard_dir)
+    for i, shard in enumerate(shards):
+        p = f"{shard_dir}/shard{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(shard.toPandas()), p)
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+    )
+    q = sp.streaming_ingest_gate(stream, index, k=3, threshold=0.2, max_df=1000)
+    q.awaitTermination()
+
+    got = mf.read_aux(spark, index, "decisions", schema=dedup._DECISIONS_DDL)
+    batch_ids = sorted(r["batch_id"] for r in got.select("batch_id").distinct().collect())
+    assert len(batch_ids) == 2
+    # one commit per batch: create + 2 aux_appends
+    assert mf.current_version(index) == 3
+    assert [h["op"] for h in mf.history(index)] == ["create", "aux_append", "aux_append"]
+
+    # legacy twin over the same shard order → identical decisions
+    index2 = f"{base}/index2"
+    dedup.write_ingest_index(corpus, index2, k=3)
+    shard1_ids = {r["doc_id"] for r in got.where(got["batch_id"] == batch_ids[0]).collect()}
+    ordered = shards if shard1_ids == {r["doc_id"] for r in shards[0].collect()} else shards[::-1]
+    want = []
+    for bid, shard in zip(batch_ids, ordered):
+        rows = dedup.incremental_ingest_indexed(
+            shard, index2, k=3, threshold=0.2, max_df=1000
+        ).collect()
+        want += [tuple(r) + (bid,) for r in rows]
+        admitted = [r["doc_id"] for r in rows if r["status"] == "novel"]
+        dedup.append_ingest_index(shard.where(shard["doc_id"].isin(admitted)), index2, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+
+    # crash window: a commit that dies AFTER the data write leaves the
+    # manifest — and therefore every log — exactly where it was
+    before_ver = mf.current_version(index)
+    before_dec = sorted(map(tuple, got.collect()))
+    before_dig = mf.read_aux(spark, index, "digests", schema=dedup._DIGESTS_DDL).count()
+    real_commit = mf._commit
+
+    def boom(path, manifest):
+        raise RuntimeError("simulated crash before publish")
+
+    mf._commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            mf.append_aux_logs(
+                spark, index,
+                {"decisions": got.limit(1), "digests": mf.read_aux(
+                    spark, index, "digests", schema=dedup._DIGESTS_DDL).limit(1)},
+            )
+    finally:
+        mf._commit = real_commit
+    assert mf.current_version(index) == before_ver
+    assert sorted(map(tuple, mf.read_aux(
+        spark, index, "decisions", schema=dedup._DECISIONS_DDL).collect())) == before_dec
+    assert mf.read_aux(spark, index, "digests", schema=dedup._DIGESTS_DDL).count() == before_dig
+    # the orphaned staging dir is age-gated vacuum food, not a reader hazard
+    assert mf.vacuum(index, keep_versions=1, orphan_min_age_s=1e9) >= 0

@@ -104,7 +104,9 @@ def bench_ingest_gate(spark, sf_dir: str, base: str) -> dict:
         "shard", (F.col("doc_id") % (N_SHARDS + 1)).cast("long")
     )
     index = f"{base}/index"
-    dedup.write_ingest_index(corpus, index, k=3)
+    # transactional store (r11): per batch, decisions + both index
+    # tables land in ONE tagged-union write and ONE manifest commit
+    dedup.write_ingest_index_tx(corpus, index, k=3)
     shard_dir = f"{base}/shards"
     _write_shards(shards.select("doc_id", "text", "shard"), shard_dir, N_SHARDS, "shard")
     stream = (
@@ -280,6 +282,54 @@ def bench_view_maintenance_manifest(spark, sf_dir: str, base: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_view_maintenance_cdf(spark, sf_dir: str, base: str) -> dict:
+    """The change-data-feed consumer (VERDICT r10 item 2): same
+    changelog fixture as view_maintenance_manifest, but per trigger
+    the writer merges into the SOURCE table and the view advances by
+    tailing the table's OWN read_changes with a persisted cursor —
+    the difference vs `view_maintenance_manifest` is what the CDF
+    decoupling (diff two versions + separate view-table commit)
+    costs relative to folding the view into the writer's commit."""
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.sources import manifest as mf
+
+    orders = load_table(spark, sf_dir, "orders")
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    src = f"{base}/src"
+    vw = f"{base}/view"
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = max(1024, int(max_key) // 32)
+    mf.create_table(
+        orders, src, ["o_orderkey"], partition_expr=f"floor(o_orderkey / {width})"
+    )
+    ivm.seed_cdf_view(spark, src, vw, group, measures)
+    slice_w = (int(max_key) + 1) // 10
+    changes = (
+        orders.where(F.floor(F.col("o_orderkey") / slice_w) < N_BATCHES)
+        .withColumn("bat", F.floor(F.col("o_orderkey") / slice_w).cast("long"))
+        .withColumn(
+            "op", F.when(F.col("o_orderkey") % 97 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .withColumn("seq", F.col("o_orderkey") * 10 + F.col("bat"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    change_dir = f"{base}/changes"
+    _write_shards(changes, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in changes.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = sp.streaming_view_maintenance_cdf(
+        stream, src, vw, ["o_orderkey"], group, measures, op_col="op", seq_col="seq"
+    )
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
 def bench_tumbling(spark, sf_dir: str) -> dict:
     events = sp.stream_events_replayed(spark, sf_dir, copies=N_REPLAYS)
     agg = sp.streaming_tumbling(events)
@@ -341,6 +391,9 @@ def main() -> int:
             "view_maintenance": bench_view_maintenance(spark, sf_dir, f"{base}/ivm"),
             "view_maintenance_manifest": bench_view_maintenance_manifest(
                 spark, sf_dir, f"{base}/ivmm"
+            ),
+            "view_maintenance_cdf": bench_view_maintenance_cdf(
+                spark, sf_dir, f"{base}/ivmcdf"
             ),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
             "fingerprint_dedup": bench_fingerprint_dedup(spark, sf_dir),
