@@ -436,7 +436,19 @@ def main() -> int:
         "scan fan-out grow per batch), stamping batch_id AFTER the gate",
         "checkpoint (keeps the plan batch-invariant for codegen reuse), and",
         "giving the index reads explicit schemas (no per-batch footer",
-        "inference). `cdc_merge` includes the full snapshot",
+        "inference). r11 moved the store onto manifest aux LOGS",
+        "(`write_ingest_index_tx`): decisions + digests + postings land in",
+        "ONE tagged-union write and ONE put-if-absent commit per batch — the",
+        "torn-index crash window is gone (test-pinned) and the three append",
+        "actions became one; the remaining steady-state cost is the gate",
+        "compute itself (shard shingling + df-cap + postings join, ~1.0-1.5s",
+        "warm), which IS the admission service. `view_maintenance_cdf` is",
+        "the change-data-feed consumer: per trigger it pays the writer's",
+        "source merge PLUS read_changes(cursor→head) PLUS the view-table",
+        "commit — the documented price of decoupling consumers from writers",
+        "(any number of independent consumers can tail the same table);",
+        "`view_maintenance_manifest` remains the fused-writer shape for a",
+        "single coupled consumer. `cdc_merge` includes the full snapshot",
         "rewrite per batch (see streaming_cdc_merge's 100 TB honesty note);",
         "`cdc_merge_manifest` is the transactional answer to that note: the",
         "same changelog volume applied as key-local batches through the",
