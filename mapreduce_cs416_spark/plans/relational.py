@@ -1700,6 +1700,32 @@ WHERE NOT (o_orderkey BETWEEN 2048 AND 3071)
 """
 
 
+def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manifest_delete_from in DELETION-VECTOR mode (VERDICT r10 item
+    3's named production form; the Delta / Iceberg-v3 design): the
+    same two deletes are committed as (relative file path, parquet
+    row index) tombstones — zero data files touched, write
+    amplification = the tombstones themselves — and the read merges
+    them back with one broadcast anti join. Sharing
+    MANIFEST_DELETE_SQL with the copy-on-write face makes the hash
+    row the claim that the two deletion strategies are
+    answer-identical; tests additionally pin that DV deletes leave
+    every data directory byte-identical, that merges/compaction fold
+    and clear tombstones, and that duplicate-key rows delete
+    individually (row-position identity, which key-based tombstones
+    could not guarantee)."""
+    from ..sources import manifest as mf
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _query_scratch("manifest_delete_dv")
+    mf.create_table(
+        orders, path, ["o_orderkey"], partition_expr="floor(o_orderkey / 1024)"
+    )
+    mf.delete_from(spark, path, "o_orderkey between 2048 and 3071", mode="dv")
+    mf.delete_from(spark, path, "o_orderstatus = 'F' and o_orderkey < 1024", mode="dv")
+    return mf.read_table(spark, path)
+
+
 def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/ivm.py): a per-customer
     (n_rows, revenue) view of the orders snapshot is materialized
@@ -2051,6 +2077,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
+        # r11: deletion-vector twin of the in-window delete face (same
+        # oracle SQL — the answer-identity claim), parity-checked.
+        QuerySpec("manifest_delete_dv", manifest_delete_dv, MANIFEST_DELETE_SQL, manifest_delete_dv.__doc__, tags=("relational", "storage", "delete", "dv", "pipeline")),
         # r11 rotation OUT (driver-hashed green multi-round; families
         # stay in-window — see the QUERIES comment):
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),

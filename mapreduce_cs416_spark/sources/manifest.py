@@ -895,7 +895,10 @@ def read_table(
                 "and persists no schema (pre-r10 manifest)"
             )
         return spark.createDataFrame([], schema).select(*manifest["columns"])
-    df = _reader(spark, manifest).parquet(*dirs).select(*manifest["columns"])
+    read_buckets = sorted({int(d.rsplit("=", 1)[1]) for d in dirs})
+    df = _apply_dvs(
+        spark, path, manifest, _reader(spark, manifest).parquet(*dirs), read_buckets
+    ).select(*manifest["columns"])
     return df.filter(predicate) if predicate else df
 
 
@@ -999,7 +1002,10 @@ def _merge_once(
         dirs = _bucket_dirs(path, manifest, existing)
         if dirs:
             current = (
-                _reader(spark, manifest).parquet(*dirs)
+                _apply_dvs(  # deleted rows must not resurrect through a merge
+                    spark, path, manifest,
+                    _reader(spark, manifest).parquet(*dirs), existing,
+                )
                 .select(*manifest["columns"])
                 .withColumn(_BUCKET_COL, _bucket_col(manifest))
             )
@@ -1030,6 +1036,11 @@ def _merge_once(
                 # every row in the bucket was deleted — drop its entry
                 buckets.pop(str(b), None)
         stats[rel] = _collect_stats(spark, path, rel)
+    # a merged bucket is fully rewritten with its deletion vectors
+    # already applied — clear them
+    dvs = {b: list(rels) for b, rels in manifest.get("dvs", {}).items()}
+    for b in touched:
+        dvs.pop(str(b), None)
 
     # aux side tables land under the SAME version directory, after the
     # bucket write (whose mode=overwrite would clear the directory) and
@@ -1048,7 +1059,7 @@ def _merge_once(
 
     new_manifest = {
         **manifest, "version": new_version, "op": "merge",
-        "buckets": buckets, "stats": stats,
+        "buckets": buckets, "stats": stats, "dvs": dvs,
     }
     if aux_entry:
         new_manifest["aux"] = aux_entry
@@ -1103,6 +1114,9 @@ def read_changes(
         int(b)
         for b in set(m0["buckets"]) | set(m1["buckets"])
         if m0["buckets"].get(b) != m1["buckets"].get(b)
+        # a DV-mode delete changes a bucket's visible rows without
+        # touching its directory list — the feed must diff it too
+        or m0.get("dvs", {}).get(b) != m1.get("dvs", {}).get(b)
     )
 
     def _side(man: dict) -> DataFrame:
@@ -1110,11 +1124,15 @@ def read_changes(
         # spanning a schema-evolution boundary yields old images
         # projected to the evolved shape (added columns → NULL,
         # widened columns → up-cast) — exactly what applying the feed
-        # onto the evolved from-snapshot needs
-        dirs = _bucket_dirs(path, man, [b for b in changed if str(b) in man["buckets"]])
+        # onto the evolved from-snapshot needs; each side applies ITS
+        # OWN deletion vectors before diffing
+        side_buckets = [b for b in changed if str(b) in man["buckets"]]
+        dirs = _bucket_dirs(path, man, side_buckets)
         if not dirs:
             return spark.createDataFrame([], schema).select(*cols)
-        return spark.read.schema(schema).parquet(*dirs).select(*cols)
+        return _apply_dvs(
+            spark, path, man, spark.read.schema(schema).parquet(*dirs), side_buckets
+        ).select(*cols)
 
     old, new = _side(m0), _side(m1)
     upserts = new.exceptAll(old).withColumn(op_col, F.lit("U"))
@@ -1344,8 +1362,57 @@ def append_into(
     raise last
 
 
+_DV_SCHEMA = "_dv_file string, _dv_pos long"
+# a data file's identity RELATIVE to the table root (manifests store
+# relative paths so tables relocate; absolute _metadata.file_path
+# would pin tombstones to one mount point)
+_DV_FILE_EXPR = "regexp_extract(_metadata.file_path, '(data/v.*)$', 1)"
+
+
+def _dv_dirs(path: str, manifest: dict, buckets: list[int]) -> list[str]:
+    dv_map = manifest.get("dvs", {})
+    return [
+        os.path.join(path, rel, f"{_BUCKET_COL}={b}")
+        for b in buckets
+        for rel in dv_map.get(str(b), [])
+    ]
+
+
+def _apply_dvs(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    scan: DataFrame,
+    buckets: list[int],
+) -> DataFrame:
+    """Filter a RAW file scan through the deletion vectors of the
+    given buckets: tombstones identify rows by (relative file path,
+    parquet row index) — ``_metadata.row_index``, the stable row
+    identity the public formats' DVs use — so duplicate-key rows
+    (append-log tables) delete individually, which key-based
+    tombstones could not guarantee. One broadcast anti join; DV
+    frames are as small as the deletes themselves, and every
+    bucket-rewriting op folds + clears them, bounding their count.
+    Must run on the scan BEFORE projection (``_metadata`` is only
+    available on the file source)."""
+    dirs = _dv_dirs(path, manifest, buckets)
+    if not dirs:
+        return scan
+    dv = spark.read.schema(_DV_SCHEMA).parquet(*dirs)
+    keyed = scan.withColumn("_dv_file", F.expr(_DV_FILE_EXPR)).withColumn(
+        "_dv_pos", F.col("_metadata.row_index")
+    )
+    return keyed.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti").drop(
+        "_dv_file", "_dv_pos"
+    )
+
+
 def delete_from(
-    spark: SparkSession, path: str, predicate: str, conflict_retries: int = 3
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    conflict_retries: int = 3,
+    mode: str = "copy-on-write",
 ) -> dict:
     """Transactional row-level DELETE (VERDICT r10 item 3): remove
     every row where ``predicate`` is TRUE (SQL DELETE semantics —
@@ -1366,27 +1433,41 @@ def delete_from(
     (harmless — its rows are filtered by the same predicate Spark's
     row filter evaluates), never toward skipping one.
 
-    Write amplification, honestly: deletion is copy-on-write at
-    directory granularity — a 1-row delete rewrites its whole bucket
-    directory (bucket_size bytes for 1 row). The production-scale
-    refinement for small scattered deletes is DELETION VECTORS
-    (Delta/Iceberg v3 publish per-file tombstone bitmaps and merge
-    them at read time); this layer documents rather than implements
-    that trade, and ``tests/test_manifest.py`` measures the
-    amplification so the cost is pinned, not hidden. An unparseable
-    predicate degrades to rewriting every directory — a full-table
-    logical copy, same answers."""
+    Write amplification: the default ``copy-on-write`` mode rewrites
+    at directory granularity — a 1-row delete rewrites its whole
+    bucket directory (bucket_size bytes for 1 row; measured and
+    pinned in tests). ``mode="dv"`` is the production form for small
+    scattered deletes: DELETION VECTORS (the Delta / Iceberg-v3
+    design) — matching rows are recorded as (relative file path,
+    parquet row index) tombstones under the same pruning, committed
+    put-if-absent WITHOUT touching any data file, and merged back at
+    read time by one broadcast anti join. A 1-row DV delete writes a
+    1-row tombstone file; every bucket-rewriting op (merge, compact,
+    copy-on-write delete) folds the bucket's DVs into the rewrite and
+    clears them, so read-side DV cost is bounded by deletes since the
+    last rewrite. Both modes give identical answers (test-pinned
+    against each other and the DuckDB oracle). An unparseable
+    predicate degrades to scanning every directory — same answers."""
+    if mode not in ("copy-on-write", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     last: CommitConflict | None = None
     for _ in range(max(1, conflict_retries + 1)):
         try:
+            if mode == "dv":
+                return _delete_dv_once(spark, path, predicate)
             return _delete_once(spark, path, predicate)
         except CommitConflict as exc:
             last = exc
     raise last
 
 
-def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
-    manifest = read_manifest(path)
+def _delete_targets(
+    spark: SparkSession, path: str, manifest: dict, predicate: str
+) -> dict[int, list[str]]:
+    """bucket → directories that may contain predicate-matching rows,
+    via the same pruning as reads (keep-on-uncertainty: a wrongly
+    kept directory is re-filtered, a wrongly skipped one would leave
+    rows undeleted — so every decision errs toward keeping)."""
     schema = _schema_of(manifest)
     conjs = _conjuncts(predicate) if schema is not None else []
     candidates = sorted(int(b) for b in manifest["buckets"])
@@ -1396,7 +1477,7 @@ def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
             candidates = [b for b in pinned if str(b) in manifest["buckets"]]
     dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
     all_stats = manifest.get("stats", {})
-    touched: dict[int, list[str]] = {}  # bucket → rels that may match
+    touched: dict[int, list[str]] = {}
     for b in candidates:
         rels_in = [
             r
@@ -1406,6 +1487,61 @@ def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
         ]
         if rels_in:
             touched[b] = rels_in
+    return touched
+
+
+def _delete_dv_once(spark: SparkSession, path: str, predicate: str) -> dict:
+    manifest = read_manifest(path)
+    touched = _delete_targets(spark, path, manifest, predicate)
+    if not touched:
+        return manifest
+    new_version = manifest["version"] + 1
+    rel = _new_rel(new_version)
+    dirs = [
+        os.path.join(path, r, f"{_BUCKET_COL}={b}")
+        for b, rels in touched.items()
+        for r in rels
+    ]
+    # the row identity is materialized BEFORE any join — _metadata is
+    # a file-source pseudo-column and does not survive transformations
+    keyed = (
+        _reader(spark, manifest).parquet(*dirs)
+        .withColumn("_dv_file", F.expr(_DV_FILE_EXPR))
+        .withColumn("_dv_pos", F.col("_metadata.row_index"))
+    )
+    dv_dirs = _dv_dirs(path, manifest, sorted(touched))
+    if dv_dirs:  # already-tombstoned rows must not re-match
+        dv = spark.read.schema(_DV_SCHEMA).parquet(*dv_dirs)
+        keyed = keyed.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti")
+    tombstones = keyed.where(F.coalesce(F.expr(predicate), F.lit(False))).select(
+        "_dv_file", "_dv_pos", _bucket_col(manifest)
+    )
+    _write_buckets(tombstones, path, rel)
+    written = set(_written_buckets(path, rel))
+    if not written:  # predicate matched no live row: no new version
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        return manifest
+    dvs = {b: list(rels) for b, rels in manifest.get("dvs", {}).items()}
+    for b in written:
+        dvs.setdefault(str(b), []).append(rel)
+    new_manifest = {
+        **manifest, "version": new_version, "op": "delete-dv", "dvs": dvs,
+    }
+    try:
+        _commit(path, new_manifest)
+    except CommitConflict:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        raise
+    return new_manifest
+
+
+def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
+    manifest = read_manifest(path)
+    touched = _delete_targets(spark, path, manifest, predicate)
+    # buckets carrying deletion vectors but no stats match must still
+    # rewrite IF their directories could match — they can't add rows,
+    # so the pruned target set already covers every row the predicate
+    # can delete; DVs of rewritten buckets are folded + cleared below
     if not touched:
         return manifest  # provably no matching row: no new version
 
@@ -1420,7 +1556,10 @@ def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
     # filter is NOT(coalesce(pred, false)) — plain NOT(pred) would
     # silently delete NULL-predicate rows
     remaining = (
-        _reader(spark, manifest).parquet(*dirs)
+        _apply_dvs(
+            spark, path, manifest,
+            _reader(spark, manifest).parquet(*dirs), sorted(touched),
+        )
         .select(*manifest["columns"])
         .where(~F.coalesce(F.expr(predicate), F.lit(False)))
         .withColumn(_BUCKET_COL, _bucket_col(manifest))
@@ -1430,6 +1569,7 @@ def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
     if not written:  # every touched directory was fully deleted
         shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
     buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
+    dvs = {b: list(rels) for b, rels in manifest.get("dvs", {}).items()}
     for b, rels_in in touched.items():
         keep_rels = [r for r in manifest["buckets"][str(b)] if r not in rels_in]
         if b in written:
@@ -1438,6 +1578,10 @@ def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
             buckets[str(b)] = keep_rels
         else:
             buckets.pop(str(b), None)
+        if not keep_rels or rels_in == manifest["buckets"][str(b)]:
+            # the bucket was FULLY rewritten (or emptied): its DVs are
+            # folded into the rewrite — clear them
+            dvs.pop(str(b), None)
     stats = dict(manifest.get("stats", {}))
     if written:
         stats[rel] = _collect_stats(spark, path, rel)
@@ -1445,7 +1589,7 @@ def _delete_once(spark: SparkSession, path: str, predicate: str) -> dict:
     stats = {r: s for r, s in stats.items() if r in live_rels}
     new_manifest = {
         **manifest, "version": new_version, "op": "delete",
-        "buckets": buckets, "stats": stats,
+        "buckets": buckets, "stats": stats, "dvs": dvs,
     }
     try:
         _commit(path, new_manifest)
@@ -1490,20 +1634,33 @@ def compact(
         if zorder_by:
             target = sorted(int(b) for b in manifest["buckets"])
         else:
+            # fragmented buckets AND buckets carrying deletion vectors
+            # (compaction is the op that folds tombstones back into
+            # plain files)
+            dv_map = manifest.get("dvs", {})
             target = sorted(
-                int(b) for b, rels in manifest["buckets"].items() if len(rels) > 1
+                int(b)
+                for b, rels in manifest["buckets"].items()
+                if len(rels) > 1 or dv_map.get(b)
             )
         if not target:
             return manifest
         new_version = manifest["version"] + 1
         df = (
-            _reader(spark, manifest).parquet(*_bucket_dirs(path, manifest, target))
+            _apply_dvs(
+                spark, path, manifest,
+                _reader(spark, manifest).parquet(*_bucket_dirs(path, manifest, target)),
+                target,
+            )
             .select(*manifest["columns"])
             .withColumn(_BUCKET_COL, _bucket_col(manifest))
         )
         rel = _new_rel(new_version)
         buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
         stats = dict(manifest.get("stats", {}))
+        dvs = {b: list(rels) for b, rels in manifest.get("dvs", {}).items()}
+        for b in target:
+            dvs.pop(str(b), None)
         if zorder_by:
             by_bucket = _write_zorder_slices(spark, df, path, rel, zorder_by, n_slices)
             for b in target:
@@ -1514,15 +1671,21 @@ def compact(
                 stats[srel] = _collect_stats(spark, path, srel)
         else:
             _write_buckets(df, path, rel)
-            _written_buckets(path, rel)
+            written = set(_written_buckets(path, rel))
             for b in target:
-                buckets[str(b)] = [rel]
-            stats[rel] = _collect_stats(spark, path, rel)
+                if b in written:
+                    buckets[str(b)] = [rel]
+                else:
+                    # every surviving row was tombstoned away: the
+                    # folded bucket is empty — drop its entry
+                    buckets.pop(str(b), None)
+            if written:
+                stats[rel] = _collect_stats(spark, path, rel)
         live_rels = {r for rels in buckets.values() for r in rels}
         stats = {r: s for r, s in stats.items() if r in live_rels}
         new_manifest = {
             **manifest, "version": new_version, "op": "compact",
-            "buckets": buckets, "stats": stats,
+            "buckets": buckets, "stats": stats, "dvs": dvs,
         }
         try:
             _commit(path, new_manifest)
@@ -1631,7 +1794,8 @@ def vacuum(path: str, keep_versions: int = 1, orphan_min_age_s: float = 3600.0) 
         manifest = read_manifest(path, v)
         dirs = {
             os.path.normpath(os.path.join(path, rel, f"{_BUCKET_COL}={b}"))
-            for b, rels in manifest["buckets"].items()
+            for key in ("buckets", "dvs")
+            for b, rels in manifest.get(key, {}).items()
             for rel in rels
         }
         auxes = {

@@ -574,6 +574,22 @@ def test_conjunct_parser_is_not_fooled_by_string_literals():
     assert mf._conjuncts("k between 2 and 8") == [("k", ">=", 2), ("k", "<=", 8)]
     assert mf._conjuncts("k not between 2 and 8") == []
     assert mf._conjuncts("not (k = 5)") == []
+    # adversarial shapes (r11 review sweep)
+    assert mf._conjuncts("c = 'x between 1 and 2' and k = 3") == [
+        ("c", "=", "x between 1 and 2"), ("k", "=", 3),
+    ]
+    assert mf._conjuncts("(k = 1 or k = 2) and (v = 3 or v = 4)") == [
+        ("k", "in", [1, 2]), ("v", "in", [3, 4]),
+    ]
+    assert mf._conjuncts("k between 1 and 2 or v = 3") == []  # true OR: whole degrades
+    assert mf._conjuncts("k = 1 or k in (2, 3)") == []  # only pure =-chains rewrite
+    assert mf._conjuncts("c = 'or' and k = 5") == [("c", "=", "or"), ("k", "=", 5)]
+    # a column-valued bound drops ITS conjunct only; the other half
+    # still prunes (conjunction semantics keep this sound)
+    assert mf._conjuncts("k between v and 7") == [("k", "<=", 7)]
+    assert mf._conjuncts(
+        "ts between timestamp '2020-01-01' and timestamp '2020-02-01 10:00:00'"
+    ) == [("ts", ">=", "2020-01-01"), ("ts", "<=", "2020-02-01 10:00:00")]
 
 
 def test_numeric_literal_on_string_key_does_not_prune(spark, sf_dir, tmp_path):
@@ -1261,3 +1277,113 @@ def test_streaming_view_maintenance_cdf_matches_recompute(spark, sf_dir, tmp_pat
     assert got2 == _sorted_rows(
         ivm.finalize(ivm.build_view(merged2, group, measures), group)
     )
+
+
+# --- deletion vectors (the production delete form) --------------------
+def test_dv_delete_touches_no_data_file_and_equals_copy_on_write(spark, seeded, tmp_path):
+    """mode='dv': tombstones only — every data directory stays
+    byte-identical, the visible rows equal the copy-on-write result,
+    time travel still sees the pre-delete image, and the tombstone
+    write is measured tiny (the 1-row-delete amplification fix)."""
+    path, orders, man1 = seeded
+    snap = _disk_snapshot(path, man1)
+    pred = "o_orderkey >= 256 and o_orderkey < 512"
+    man2 = mf.delete_from(spark, path, pred, mode="dv")
+    assert man2["op"] == "delete-dv"
+    assert man2["buckets"] == man1["buckets"]  # no data entry changed
+    assert _disk_snapshot(path, man2) == snap  # no data file touched
+    got = _sorted_rows(mf.read_table(spark, path))
+    assert got == _sorted_rows(orders.where(f"not ({pred})"))
+    assert _sorted_rows(mf.read_table(spark, path, version=1)) == _sorted_rows(orders)
+    # copy-on-write twin on a second table: identical answers
+    path2 = str(tmp_path / "cow_twin")
+    mf.create_table(orders, path2, ["o_orderkey"], partition_expr=RANGE_EXPR)
+    mf.delete_from(spark, path2, pred)
+    assert got == _sorted_rows(mf.read_table(spark, path2))
+    # amplification: the DV rel holds only tombstone-sized files
+    dv_rel = man2["dvs"]["1"][0]
+    d = os.path.join(path, dv_rel, "_bucket=1")
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    data_bytes = sum(sz for sz, _ in snap.values())
+    assert 0 < dv_bytes < data_bytes / 10
+
+
+def test_dv_one_row_delete_writes_one_tombstone(spark, seeded):
+    path, orders, man1 = seeded
+    key = orders.where("o_orderkey >= 256 and o_orderkey < 512").first()[0]
+    man2 = mf.delete_from(spark, path, f"o_orderkey = {key}", mode="dv")
+    assert man2["buckets"] == man1["buckets"]
+    dv = spark.read.schema(mf._DV_SCHEMA).parquet(
+        *mf._dv_dirs(path, man2, [1])
+    )
+    assert dv.count() == 1
+    assert mf.read_table(spark, path).count() == orders.count() - 1
+
+
+def test_dv_deletes_duplicate_rows_individually(spark, tmp_path):
+    """Row-position identity: on an append-log table with DUPLICATE
+    key rows, a predicate delete removes exactly the matching rows —
+    key-based tombstones would have removed all copies."""
+    path = str(tmp_path / "dup_tbl")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    mf.create_table(df, path, ["k"], partition_expr="pmod(k, 2)")
+    mf.append_into(
+        spark, path, spark.createDataFrame([(1, 99.0), (2, 20.0)], "k long, v double")
+    )
+    mf.delete_from(spark, path, "v = 99", mode="dv")
+    assert _sorted_rows(mf.read_table(spark, path)) == [
+        (1, 10.0), (2, 20.0), (2, 20.0),
+    ]
+    # and deleting v = 20 removes BOTH copies (each its own tombstone)
+    mf.delete_from(spark, path, "v = 20", mode="dv")
+    assert _sorted_rows(mf.read_table(spark, path)) == [(1, 10.0)]
+
+
+def test_dv_merge_and_compact_fold_and_clear_tombstones(spark, seeded):
+    """A deleted row must not resurrect through a merge; rewriting ops
+    fold DVs into plain files and clear the bucket's tombstone list;
+    a DV-only bucket is a compaction target even with one directory."""
+    path, orders, _ = seeded
+    pred = "o_orderkey >= 256 and o_orderkey < 300"
+    man2 = mf.delete_from(spark, path, pred, mode="dv")
+    assert man2["dvs"]
+    want_after_delete = _sorted_rows(mf.read_table(spark, path))
+    # merge a changelog into the SAME bucket range: deleted keys stay
+    # gone unless the changelog re-inserts them
+    batch = _changelog(orders, 300, 512)
+    expected = cdc.cdc_merge(
+        mf.read_table(spark, path), batch, ["o_orderkey"], op_col="op", seq_col="seq"
+    )
+    man3 = mf.merge_into(spark, path, batch)
+    assert _sorted_rows(mf.read_table(spark, path)) == _sorted_rows(expected)
+    assert "1" not in man3.get("dvs", {})  # bucket 1 rewritten → cleared
+    # fresh DV then plain compact folds it
+    mf.delete_from(spark, path, "o_orderkey = 600", mode="dv")
+    n = mf.read_table(spark, path).count()
+    man4 = mf.compact(spark, path)
+    assert man4["op"] == "compact" and not man4.get("dvs")
+    assert mf.read_table(spark, path).count() == n
+    # vacuum reclaims superseded versions, current image intact
+    latest = _sorted_rows(mf.read_table(spark, path))
+    mf.vacuum(path, keep_versions=1, orphan_min_age_s=0.0)
+    assert _sorted_rows(mf.read_table(spark, path)) == latest
+
+
+def test_dv_change_feed_sees_tombstoned_rows_as_deletes(spark, seeded):
+    """read_changes across a DV-only commit: the bucket's directory
+    list is unchanged, but the feed must still emit 'D' rows for the
+    tombstoned keys and round-trip through cdc_merge."""
+    path, orders, _ = seeded
+    pred = "o_orderkey >= 256 and o_orderkey < 300"
+    mf.delete_from(spark, path, pred, mode="dv")
+    feed = mf.read_changes(spark, path, 1, 2).localCheckpoint()
+    assert feed.where("op = 'U'").count() == 0
+    n_del = orders.where(pred).count()
+    assert feed.where("op = 'D'").count() == n_del
+    replayed = cdc.cdc_merge(
+        mf.read_table(spark, path, version=1), feed, ["o_orderkey"],
+        op_col="op", seq_col=None,
+    )
+    assert _sorted_rows(replayed) == _sorted_rows(mf.read_table(spark, path))
