@@ -163,27 +163,50 @@ def cdf_view_step(
     the range exactly once; a re-delivered trigger finds cursor ==
     latest and is absorbed with ZERO delta and zero data I/O
     (test-pinned). I/O per advance is bounded end to end:
-    ``read_changes`` reads only buckets whose directory lists differ
-    between cursor and latest, the old-image retraction joins the
-    cursor-version snapshot once, and the view merge rewrites only
-    delta-touched view buckets. Retention contract: the cursor
-    version must stay vacuum-retained on the source (keep_versions >
-    consumer lag), exactly the public formats' CDF retention rule."""
+    ``manifest.read_changed_sides`` reads only buckets whose
+    directory or deletion-vector lists differ between cursor and
+    latest, and the delta is ONE signed aggregate over them — new
+    images at +1, old images at −1, so unchanged rows cancel exactly:
+    no exceptAll, no join, no snapshot access at any version (the
+    first cut re-scanned the whole cursor-version snapshot per
+    trigger for retraction images — O(snapshot) per batch, exactly
+    the cost class this consumer exists to avoid). The view merge
+    then rewrites only delta-touched view buckets. Retention
+    contract: the cursor version's manifest and changed directories
+    must stay vacuum-retained on the source (keep_versions > consumer
+    lag), the public formats' CDF retention rule."""
     from ..sources import manifest as mf
 
     cursor = int(mf.read_aux(spark, view_path, "cursor").first()["version"])
     latest = mf.current_version(source_path)
     if latest <= cursor:
         return 0
-    feed = mf.read_changes(spark, source_path, cursor, latest, op_col=op_col)
-    base = mf.read_table(spark, source_path, version=cursor)
-    delta = delta_view(
-        base, feed, key_cols, group_cols, measures, op_col=op_col, seq_col=None
+    old, new = mf.read_changed_sides(spark, source_path, cursor, latest)
+
+    def signed(df: DataFrame, w: int) -> DataFrame:
+        return df.select(
+            *group_cols,
+            F.lit(w).cast("long").alias("_w"),
+            *[(F.col(c).cast(DEC) * w).alias(name) for name, c in measures.items()],
+        )
+
+    delta = (
+        signed(new, 1)
+        .unionByName(signed(old, -1))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_w").alias("_n"),
+            *[F.sum(name).alias(name) for name in measures],
+        )
     )
     nonzero = F.col("_n") != 0
     for m in measures:
         nonzero = nonzero | (F.col(m) != 0)
-    delta = delta.where(nonzero)
+    # eagerly materialize the GROUP-SIZED delta: merge_into evaluates
+    # its changelog in several actions (touched-bucket collect, write),
+    # and without this the whole changed-bucket feed diff would re-run
+    # per action (the lazy-reuse gotcha)
+    delta = delta.where(nonzero).localCheckpoint()
     old_view = mf.read_table(spark, view_path)
     # delta-sized view changelog: per touched group, new = old + delta;
     # groups whose maintained count reaches zero become 'D' rows —
@@ -209,10 +232,16 @@ def cdf_view_step(
         op_col, F.when(F.col("_n") > 0, F.lit("U")).otherwise(F.lit("D"))
     )
     new_cursor = spark.createDataFrame([(latest,)], "version int")
-    mf.merge_into(
-        spark, view_path, changelog, op_col=op_col, seq_col=None,
-        aux={"cursor": new_cursor},
-    )
+    try:
+        mf.merge_into(
+            spark, view_path, changelog, op_col=op_col, seq_col=None,
+            aux={"cursor": new_cursor},
+        )
+    finally:
+        from .graph import _unpersist_checkpoint
+
+        _unpersist_checkpoint(delta)  # a long-lived consumer must not
+        # accumulate one delta's pinned blocks per trigger
     return latest - cursor
 
 

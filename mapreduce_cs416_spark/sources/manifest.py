@@ -1074,12 +1074,60 @@ def _merge_once(
     return new_manifest
 
 
+def read_changed_sides(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (old, new) visible-row frames of exactly the buckets that
+    CHANGED between two committed versions — the primitive under
+    ``read_changes`` and the cheapest possible input for a downstream
+    delta-rule maintainer (``ivm.cdf_view_step`` unions new at +1 /
+    old at −1 and aggregates: unchanged rows cancel, no exceptAll, no
+    join). A bucket counts as changed when its directory list OR its
+    deletion-vector list differs; each side applies ITS OWN deletion
+    vectors and projects through the NEWER version's schema, so a
+    range spanning a schema-evolution boundary yields old images in
+    the evolved shape (added columns → NULL, widened → up-cast)."""
+    m0 = read_manifest(path, from_version)
+    m1 = read_manifest(path, to_version)
+    if m1["version"] < m0["version"]:
+        raise ValueError(
+            f"to_version v{m1['version']} precedes from_version v{m0['version']}"
+        )
+    cols = m1["columns"]
+    schema = _schema_of(m1)
+    if schema is None:
+        raise FileNotFoundError("read_changes needs the persisted schema (r10+ table)")
+    changed = sorted(
+        int(b)
+        for b in set(m0["buckets"]) | set(m1["buckets"])
+        if m0["buckets"].get(b) != m1["buckets"].get(b)
+        # a DV-mode delete changes a bucket's visible rows without
+        # touching its directory list — the feed must diff it too
+        or m0.get("dvs", {}).get(b) != m1.get("dvs", {}).get(b)
+    )
+
+    def _side(man: dict) -> DataFrame:
+        side_buckets = [b for b in changed if str(b) in man["buckets"]]
+        dirs = _bucket_dirs(path, man, side_buckets)
+        if not dirs:
+            return spark.createDataFrame([], schema).select(*cols)
+        return _apply_dvs(
+            spark, path, man, spark.read.schema(schema).parquet(*dirs), side_buckets
+        ).select(*cols)
+
+    return _side(m0), _side(m1)
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
     from_version: int,
     to_version: int | None = None,
     op_col: str = "op",
+    preimages: bool = False,
 ) -> DataFrame:
     """Change feed between two committed versions — the CDF face of
     the format (the public lakehouse designs expose the same thing):
@@ -1099,47 +1147,28 @@ def read_changes(
     changed-bucket data, never the table. Requires both manifests to
     still be retained (``vacuum`` retention) and the persisted schema
     (any r10+ table)."""
-    m0 = read_manifest(path, from_version)
-    m1 = read_manifest(path, to_version)
-    if m1["version"] < m0["version"]:
-        raise ValueError(
-            f"to_version v{m1['version']} precedes from_version v{m0['version']}"
-        )
-    cols = m1["columns"]
-    key_cols = m1["key_cols"]
-    schema = _schema_of(m1)
-    if schema is None:
-        raise FileNotFoundError("read_changes needs the persisted schema (r10+ table)")
-    changed = sorted(
-        int(b)
-        for b in set(m0["buckets"]) | set(m1["buckets"])
-        if m0["buckets"].get(b) != m1["buckets"].get(b)
-        # a DV-mode delete changes a bucket's visible rows without
-        # touching its directory list — the feed must diff it too
-        or m0.get("dvs", {}).get(b) != m1.get("dvs", {}).get(b)
-    )
-
-    def _side(man: dict) -> DataFrame:
-        # both sides read with the NEWER version's schema, so a feed
-        # spanning a schema-evolution boundary yields old images
-        # projected to the evolved shape (added columns → NULL,
-        # widened columns → up-cast) — exactly what applying the feed
-        # onto the evolved from-snapshot needs; each side applies ITS
-        # OWN deletion vectors before diffing
-        side_buckets = [b for b in changed if str(b) in man["buckets"]]
-        dirs = _bucket_dirs(path, man, side_buckets)
-        if not dirs:
-            return spark.createDataFrame([], schema).select(*cols)
-        return _apply_dvs(
-            spark, path, man, spark.read.schema(schema).parquet(*dirs), side_buckets
-        ).select(*cols)
-
-    old, new = _side(m0), _side(m1)
+    key_cols = read_manifest(path, to_version)["key_cols"]
+    old, new = read_changed_sides(spark, path, from_version, to_version)
     upserts = new.exceptAll(old).withColumn(op_col, F.lit("U"))
-    deletes = old.join(new.select(*key_cols), key_cols, "left_anti").withColumn(
+    if not preimages:
+        deletes = old.join(new.select(*key_cols), key_cols, "left_anti").withColumn(
+            op_col, F.lit("D")
+        )
+        return upserts.unionByName(deletes)
+    # ``preimages=True`` additionally emits op 'UP' rows — the OLD
+    # image of every surviving-key row that changed (Delta's CDF
+    # update_preimage shape). A downstream aggregate maintainer can
+    # then retract preimages and assert 'U' rows with NO join against
+    # the snapshot at all (operators/ivm.cdf_view_step) — the feed
+    # itself carries everything, still changed-bucket-bounded.
+    old_diff = old.exceptAll(new)
+    deletes = old_diff.join(new.select(*key_cols), key_cols, "left_anti").withColumn(
         op_col, F.lit("D")
     )
-    return upserts.unionByName(deletes)
+    pre = old_diff.join(new.select(*key_cols), key_cols, "left_semi").withColumn(
+        op_col, F.lit("UP")
+    )
+    return upserts.unionByName(deletes).unionByName(pre)
 
 
 def read_aux(

@@ -764,7 +764,8 @@ def streaming_view_maintenance_cdf(
     change data feed (VERDICT r10 item 2 — Delta's readChangeFeed
     streaming shape): the upstream writer merges each micro-batch into
     the SOURCE manifest table, and the downstream consumer then
-    advances on ``read_changes`` via a PERSISTED version cursor — it
+    advances on the table's own change feed (``read_changed_sides``,
+    the primitive under ``read_changes``) via a PERSISTED version cursor — it
     never sees the raw changelog, so any number of independent
     consumers can tail the same table without coordinating with its
     writers.

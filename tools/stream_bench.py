@@ -444,9 +444,11 @@ def main() -> int:
         "compute itself (shard shingling + df-cap + postings join, ~1.0-1.5s",
         "warm), which IS the admission service. `view_maintenance_cdf` is",
         "the change-data-feed consumer: per trigger it pays the writer's",
-        "source merge PLUS read_changes(cursor→head) PLUS the view-table",
-        "commit — the documented price of decoupling consumers from writers",
-        "(any number of independent consumers can tail the same table);",
+        "source merge PLUS one signed aggregate over the changed-bucket",
+        "sides (read_changed_sides: new at +1, old at -1 — unchanged rows",
+        "cancel; no exceptAll, no join, no snapshot scan) PLUS the",
+        "view-table commit — the documented price of decoupling consumers",
+        "from writers (any number of consumers can tail the same table);",
         "`view_maintenance_manifest` remains the fused-writer shape for a",
         "single coupled consumer. `cdc_merge` includes the full snapshot",
         "rewrite per batch (see streaming_cdc_merge's 100 TB honesty note);",
