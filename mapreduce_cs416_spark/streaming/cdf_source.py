@@ -1,0 +1,253 @@
+"""Native Structured Streaming SOURCE for the manifest change data
+feed — ``spark.readStream.format("manifest_cdf")`` (PySpark 4's
+Python DataSource API), the idiomatic face of what
+``streaming/pipelines.streaming_view_maintenance_cdf`` drives through
+foreachBatch: Delta's ``readChangeFeed`` streaming shape.
+
+Design (all public machinery):
+
+- **Offsets are manifest versions.** ``initialOffset`` is the
+  ``startingVersion`` option (default: the version current when the
+  stream starts — only NEW commits stream); ``latestOffset`` is
+  ``current_version(path)``. Structured Streaming's own checkpoint
+  persists the cursor, so restarts resume exactly where they left
+  off — no bespoke ledger.
+- **One input partition per CHANGED bucket.** ``partitions(start,
+  end)`` diffs the two manifests on the DRIVER (bucket directory
+  lists and deletion-vector lists — metadata only, no data I/O) and
+  emits one :class:`InputPartition` per bucket whose visible rows can
+  differ, carrying everything the executor needs: both sides'
+  directory lists, both sides' DV directory lists, and the evolved
+  schema. Parallelism = changed buckets, the same bound as the batch
+  ``read_changes``.
+- **The per-bucket diff runs ON THE EXECUTOR in Arrow/pandas.**
+  Buckets partition rows by key, so the version diff decomposes
+  bucket-wise with no shuffle at all: ``read(partition)`` loads the
+  bucket's old and new images (projecting old files to the evolved
+  schema — missing columns → nulls, widened columns → cast — and
+  dropping deletion-vector row positions), then computes exactly the
+  batch semantics: op ``"U"`` = rows of the new image not
+  multiset-present in the old (``exceptAll`` via a per-duplicate
+  cumcount merge), op ``"D"`` = old rows whose key vanished. Rows
+  are yielded as Arrow RecordBatches.
+
+stream==batch is pinned in tests/test_streaming.py: the streamed
+micro-batches, concatenated, equal ``manifest.read_changes`` over the
+same version range, including across schema-evolution boundaries and
+DV-only commits. Scale note: per-bucket pandas diffs bound memory by
+bucket size — the same unit every other op in the format is sized by;
+a bucket too big to diff in one task is a bucket too big to merge,
+and the fix is the same (more buckets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_OP_COL = "op"
+
+
+class ChangedBucket(InputPartition):
+    def __init__(self, spec: dict):
+        self.spec = spec
+
+
+def _dv_positions(dv_dirs: list[str]) -> dict[str, set[int]]:
+    """tombstones per relative file path, read with pyarrow."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in dv_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, f), columns=["_dv_file", "_dv_pos"])
+            for file_rel, pos in zip(
+                t.column("_dv_file").to_pylist(), t.column("_dv_pos").to_pylist()
+            ):
+                out.setdefault(file_rel, set()).add(pos)
+    return out
+
+
+def _side_frame(table_path, dirs, dv_dirs, arrow_schema):
+    """One side's visible bucket image as a pandas frame: every file
+    of every listed directory, projected to the evolved schema
+    (missing columns → nulls, safe casts for widened ones), with
+    deletion-vector row positions dropped — mirrors
+    manifest._apply_dvs + the pinned-schema reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tombs = _dv_positions(dv_dirs)
+    batches = []
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(d, f)
+            raw = pq.read_table(fp)
+            cols = []
+            for field in arrow_schema:
+                if field.name in raw.column_names:
+                    cols.append(raw.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(raw.num_rows, field.type))
+            t = pa.table(cols, schema=arrow_schema)
+            rel = fp.split(table_path.rstrip("/") + "/", 1)[-1]
+            dead = tombs.get(rel)
+            if dead:
+                import numpy as np
+
+                keep = np.ones(t.num_rows, dtype=bool)
+                keep[[p for p in dead if p < t.num_rows]] = False
+                t = t.filter(pa.array(keep))
+            batches.append(t)
+    if not batches:
+        import pyarrow as pa
+
+        return pa.table(
+            [pa.nulls(0, f.type) for f in arrow_schema], schema=arrow_schema
+        ).to_pandas(types_mapper=None)
+    return pa.concat_tables(batches).to_pandas()
+
+
+def _except_all(a, b, cols):
+    """Multiset difference a ∖ b over full rows — pandas twin of
+    DataFrame.exceptAll: the k-th duplicate of a row in ``a`` survives
+    iff ``b`` holds fewer than k copies (cumcount pairing; pandas
+    merge treats NaN keys as equal, matching Spark's null-safe
+    exceptAll row equality)."""
+    a = a.copy()
+    a["_cc"] = a.groupby(cols, dropna=False).cumcount()
+    b = b.copy()
+    b["_cc"] = b.groupby(cols, dropna=False).cumcount()
+    b["_hit"] = 1
+    m = a.merge(b[cols + ["_cc", "_hit"]], on=cols + ["_cc"], how="left")
+    return m[m["_hit"].isna()][cols]
+
+
+class ManifestCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_cdf requires the 'path' option")
+        from ..sources import manifest as mf
+
+        self._mf = mf
+        start = options.get("startingversion") or options.get("startingVersion")
+        self._start = int(start) if start is not None else mf.current_version(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._mf.current_version(self.path)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        mf = self._mf
+        v0, v1 = start["version"], end["version"]
+        if v1 <= v0:
+            return []
+        m0 = mf.read_manifest(self.path, v0)
+        m1 = mf.read_manifest(self.path, v1)
+        schema = mf._schema_of(m1)
+        if schema is None:
+            raise ValueError("manifest_cdf needs the persisted schema (r10+ table)")
+        changed = sorted(
+            int(b)
+            for b in set(m0["buckets"]) | set(m1["buckets"])
+            if m0["buckets"].get(b) != m1["buckets"].get(b)
+            or m0.get("dvs", {}).get(b) != m1.get("dvs", {}).get(b)
+        )
+        parts = []
+        for b in changed:
+            parts.append(
+                ChangedBucket(
+                    {
+                        "table_path": self.path,
+                        "schema_json": m1["schema"],
+                        "columns": m1["columns"],
+                        "key_cols": m1["key_cols"],
+                        "old_dirs": mf._bucket_dirs(self.path, m0, [b])
+                        if str(b) in m0["buckets"]
+                        else [],
+                        "new_dirs": mf._bucket_dirs(self.path, m1, [b])
+                        if str(b) in m1["buckets"]
+                        else [],
+                        "old_dvs": mf._dv_dirs(self.path, m0, [b]),
+                        "new_dvs": mf._dv_dirs(self.path, m1, [b]),
+                    }
+                )
+            )
+        return parts
+
+    def read(self, partition: ChangedBucket):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        spec = partition.spec
+        spark_schema = StructType.fromJson(json.loads(spec["schema_json"]))
+        arrow_schema = to_arrow_schema(spark_schema)
+        cols = spec["columns"]
+        keys = spec["key_cols"]
+        old = _side_frame(
+            spec["table_path"], spec["old_dirs"], spec["old_dvs"], arrow_schema
+        )[cols]
+        new = _side_frame(
+            spec["table_path"], spec["new_dirs"], spec["new_dvs"], arrow_schema
+        )[cols]
+        ups = _except_all(new, old, cols)
+        ups[_OP_COL] = "U"
+        import pandas as pd
+
+        gone = old.merge(new[keys].drop_duplicates(), on=keys, how="left", indicator=True)
+        dels = gone[gone["_merge"] == "left_only"][cols].copy()
+        dels[_OP_COL] = "D"
+        out = pd.concat([ups, dels], ignore_index=True)
+        out_schema = arrow_schema.append(pa.field(_OP_COL, pa.string()))
+        yield pa.RecordBatch.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    def commit(self, end: dict) -> None:
+        pass  # the streaming checkpoint owns the offset
+
+
+class ManifestCDFDataSource(DataSource):
+    """``spark.readStream.format("manifest_cdf").option("path", p)`` —
+    register once per session with :func:`register_manifest_cdf`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_cdf"
+
+    def schema(self):
+        from ..sources import manifest as mf
+
+        man = mf.read_manifest(self.options["path"])
+        schema = mf._schema_of(man)
+        if schema is None:
+            raise ValueError("manifest_cdf needs the persisted schema (r10+ table)")
+        from pyspark.sql.types import StringType, StructField
+
+        return schema.add(StructField(_OP_COL, StringType(), False))
+
+    def streamReader(self, schema) -> ManifestCDFStreamReader:
+        return ManifestCDFStreamReader(dict(self.options))
+
+
+def register_manifest_cdf(spark) -> None:
+    """Register the ``manifest_cdf`` streaming format on the session
+    (idempotent)."""
+    spark.dataSource.register(ManifestCDFDataSource)

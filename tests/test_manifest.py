@@ -1180,8 +1180,14 @@ def test_zorder_compact_improves_range_pruning(spark, sf_dir, tmp_path):
     n_dirs_before = len(mf.resolve_read_dirs(spark, path))
     assert dirs_before == n_dirs_before  # appends: nothing prunes
 
+    # a deletion-vector delete right before the re-cluster: the
+    # z-ordered rewrite must fold the tombstones and clear them
+    victim = mf.read_table(spark, path).first()[0]
+    mf.delete_from(spark, path, f"o_orderkey = {victim}", mode="dv")
+    before_all = [r for r in before_all if r[0] != victim]
+
     man = mf.compact(spark, path, zorder_by=["o_totalprice"], n_slices=4)
-    assert man["op"] == "compact"
+    assert man["op"] == "compact" and not man.get("dvs")
     assert _sorted_rows(mf.read_table(spark, path)) == before_all  # hash-equal
     dirs_after = len(mf.resolve_read_dirs(spark, path, pred))
     assert dirs_after < len(mf.resolve_read_dirs(spark, path))

@@ -620,3 +620,75 @@ def test_streaming_ingest_gate_tx_matches_legacy_and_has_no_torn_window(
     assert mf.read_aux(spark, index, "digests", schema=dedup._DIGESTS_DDL).count() == before_dig
     # the orphaned staging dir is age-gated vacuum food, not a reader hazard
     assert mf.vacuum(index, keep_versions=1, orphan_min_age_s=1e9) >= 0
+
+
+def test_manifest_cdf_readstream_source_matches_batch(spark, sf_dir, tmp_path):
+    """The native readStream face of the change data feed
+    (streaming/cdf_source.py, PySpark 4 Python DataSource API):
+    streamed micro-batches equal manifest.read_changes over the same
+    version range — across a keyed merge, a DV-only delete, AND a
+    schema-evolution boundary — and a restart from the streaming
+    checkpoint resumes at the committed cursor (no re-delivery)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.streaming.cdf_source import register_manifest_cdf
+
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "cdf_src_tbl")
+    mf.create_table(orders, path, ["o_orderkey"], partition_expr="floor(o_orderkey / 256)")
+    ch = (
+        orders.where("o_orderkey < 512")
+        .withColumn("op", F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")))
+        .withColumn("seq", F.col("o_orderkey") * 10)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    mf.merge_into(spark, path, ch)  # v2
+    mf.delete_from(spark, path, "o_orderkey between 1024 and 1100", mode="dv")  # v3
+
+    register_manifest_cdf(spark)
+    ckpt = str(tmp_path / "cdf_src_ckpt")
+
+    def drain():
+        rows = []
+
+        def _sink(batch_df, batch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", path).option("startingVersion", "1").load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(rows)
+
+    got = drain()
+    want = sorted(tuple(r) for r in mf.read_changes(spark, path, 1, 3).collect())
+    assert got and got == want
+
+    # restart with NO new commits: the checkpointed cursor absorbs the
+    # re-trigger — zero new rows
+    assert drain() == []
+
+    # schema evolution mid-stream: add o_margin via a key-local merge,
+    # then the resumed stream must deliver exactly read_changes(3, 4)
+    # in the EVOLVED shape
+    ev = orders.where("o_orderkey >= 512 and o_orderkey < 768").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        "o_orderstatus",
+        (F.col("o_totalprice") * 0.05).alias("o_margin"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    mf.merge_into(spark, path, ev)  # v4, schema evolved
+    got2 = drain()
+    want2 = sorted(tuple(r) for r in mf.read_changes(spark, path, 3, 4).collect())
+    assert got2 == want2
+    assert len(got2[0]) == 6  # evolved width: 4 cols + o_margin + op
