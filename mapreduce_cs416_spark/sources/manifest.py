@@ -87,10 +87,16 @@ so range pruning improves after maintenance), pruning for ``BETWEEN``
 and same-column OR-of-equalities, and ``create_aux_logs`` /
 ``append_aux_logs`` (N append-only side tables grown in lockstep by
 ONE tagged-union write + ONE commit — the ingest gate's torn-index
-fix). Read-side: ``read_changes`` spans evolution boundaries, and
-``operators/ivm.cdf_view_step`` tails it with a persisted version
+fix). Read-side: ``read_changes`` spans evolution boundaries (and emits
+Delta-style update preimages on request); ``operators/ivm
+.cdf_view_step`` tails ``read_changed_sides`` with a persisted version
 cursor committed atomically with the downstream view — the streaming
-change-data-feed consumer.
+change-data-feed consumer; and ``streaming/cdf_source.py`` exposes the
+feed as a NATIVE Structured Streaming source
+(``spark.readStream.format("manifest_cdf")``, offsets = versions, one
+input partition per changed bucket). ``delete_from(mode="dv")`` adds
+deletion vectors — (file, row-position) tombstones, zero data files
+touched — folded and cleared by every bucket-rewriting op.
 
 At 1000 executors the bucket count is the write-parallelism knob:
 n_buckets should be ≥ cluster cores for merge throughput and small

@@ -337,3 +337,27 @@ def test_pagerank_fixed_partitioning_invariant(spark):
     one = {tuple(r) for r in pagerank_fixed(base.coalesce(1), n_iter=6).collect()}
     many = {tuple(r) for r in pagerank_fixed(base.repartition(16), n_iter=6).collect()}
     assert one == many
+
+
+def test_broadcast_gate_fallback_paths_agree(spark):
+    """kcore / pagerank_fixed with the node-broadcast hint DISABLED
+    (broadcast_max_nodes=0 — the executor-memory escape hatch above
+    the threshold) must produce exactly the hinted plans' results:
+    the hint is a physical choice, never a semantic one."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.operators.graph import kcore, pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (1, 6), (2, 6)],
+        "u long, v long",
+    )
+    pairs = edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    a = sorted(tuple(r) for r in kcore(pairs, k=2).collect())
+    b = sorted(tuple(r) for r in kcore(pairs, k=2, broadcast_max_nodes=0).collect())
+    assert a == b and a
+    ra = sorted(tuple(r) for r in pagerank_fixed(edges, n_iter=4).collect())
+    rb = sorted(
+        tuple(r) for r in pagerank_fixed(edges, n_iter=4, broadcast_max_nodes=0).collect()
+    )
+    assert ra == rb and ra  # integer fixed-point: bit-identical
