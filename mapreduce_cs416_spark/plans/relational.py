@@ -1726,6 +1726,47 @@ def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mf.read_table(spark, path)
 
 
+def manifest_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a manifest table through the NATIVE batch DataSource —
+    ``spark.read.format("manifest")`` (sources/manifest_source.py) —
+    instead of ``read_table``: orders is seeded under the DEFAULT
+    ``pmod(xxhash64(key), n)`` layout, a scattered slice is deleted as
+    deletion-vector tombstones, and the scan carries a key-IN + value
+    predicate. The IN-list resolves to candidate buckets JVM-FREE
+    (planning runs in a Python DataSource worker with no SparkSession;
+    sources/spark_hash.py replays Spark's xxhash64 exactly —
+    property-pinned), the predicate is re-applied row-wise by
+    ``scan``'s contract, and the DV tombstones drop inside the Arrow
+    reader. The DuckDB oracle recomputes the delete + filter
+    logically, so the hash row claims the whole native read path —
+    pure-Python bucket replay, stats pruning, per-file Arrow
+    projection, DV anti-filter — is row-identical to SQL semantics.
+    Partition/dir counts and relation-reuse safety are pinned in
+    tests/test_manifest_source.py (filter-pushdown-based pruning is
+    structurally unsafe on Spark 4.1 — see the module docstring's
+    readInfo-cache analysis — so pruning derives from the reader's
+    own predicate option)."""
+    from ..sources import manifest as mf
+    from ..sources.manifest_source import scan
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _query_scratch("manifest_native_scan")
+    mf.create_table(orders, path, ["o_orderkey"])
+    mf.delete_from(spark, path, "o_orderkey % 10 = 0", mode="dv")
+    keys = ", ".join(str(97 * i) for i in range(1, 33))
+    return scan(
+        spark, path, predicate=f"o_orderkey in ({keys}) and o_totalprice > 1000"
+    )
+
+
+MANIFEST_NATIVE_SCAN_SQL = """
+SELECT * FROM orders
+WHERE o_orderkey % 10 <> 0
+  AND o_orderkey IN ({keys})
+  AND o_totalprice > 1000
+""".format(keys=", ".join(str(97 * i) for i in range(1, 33)))
+
+
 def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/ivm.py): a per-customer
     (n_rows, revenue) view of the orders snapshot is materialized
@@ -2080,6 +2121,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # r11: deletion-vector twin of the in-window delete face (same
         # oracle SQL — the answer-identity claim), parity-checked.
         QuerySpec("manifest_delete_dv", manifest_delete_dv, MANIFEST_DELETE_SQL, manifest_delete_dv.__doc__, tags=("relational", "storage", "delete", "dv", "pipeline")),
+        # r11: the native spark.read.format("manifest") read path —
+        # JVM-free bucket replay + stats pruning + Arrow DV reader,
+        # oracled against the logical delete+filter.
+        QuerySpec("manifest_native_scan", manifest_native_scan, MANIFEST_NATIVE_SCAN_SQL, manifest_native_scan.__doc__, tags=("relational", "storage", "datasource", "pipeline")),
         # r11 rotation OUT (driver-hashed green multi-round; families
         # stay in-window — see the QUERIES comment):
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),

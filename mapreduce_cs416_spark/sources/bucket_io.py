@@ -1,0 +1,93 @@
+"""Executor-side bucket reading for the native manifest DataSources.
+
+Both the batch source (``spark.read.format("manifest")``,
+manifest_source.py) and the streaming CDF source
+(``spark.readStream.format("manifest_cdf")``,
+streaming/cdf_source.py) read a bucket's visible image inside a
+Python DataSource ``read(partition)`` — a plain Python worker with
+pyarrow but no SparkSession.  This module is that shared reader:
+
+- files are projected to the table's EVOLVED schema (missing columns
+  → typed nulls, widened columns → cast), mirroring
+  ``manifest._reader``'s pinned-schema semantics so reads spanning a
+  schema-evolution boundary are uniform;
+- deletion-vector row positions are dropped per file, mirroring
+  ``manifest._apply_dvs`` — tombstones identify rows by (relative
+  path, parquet row index), so a file's kept rows are computed with
+  one boolean mask, no key comparison.
+
+Memory is bounded by ONE FILE at a time (the batch source yields
+per-file RecordBatches); the streaming source concatenates a bucket —
+the same unit every other op in the format is sized by.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def dv_positions(dv_dirs: list[str]) -> dict[str, set[int]]:
+    """Tombstoned row positions per relative file path, read with
+    pyarrow (no SparkSession in a DataSource worker)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in dv_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, f), columns=["_dv_file", "_dv_pos"])
+            for file_rel, pos in zip(
+                t.column("_dv_file").to_pylist(), t.column("_dv_pos").to_pylist()
+            ):
+                out.setdefault(file_rel, set()).add(pos)
+    return out
+
+
+def iter_file_tables(table_path: str, dirs: list[str], dv_dirs: list[str], arrow_schema):
+    """Yield one schema-projected, DV-filtered ``pyarrow.Table`` per
+    data file under ``dirs`` — the streaming-memory unit of both
+    native sources."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tombs = dv_positions(dv_dirs)
+    root = table_path.rstrip("/") + "/"
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(d, f)
+            raw = pq.read_table(fp)
+            cols = []
+            for field in arrow_schema:
+                if field.name in raw.column_names:
+                    cols.append(raw.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(raw.num_rows, field.type))
+            t = pa.table(cols, schema=arrow_schema)
+            dead = tombs.get(fp.split(root, 1)[-1])
+            if dead:
+                import numpy as np
+
+                keep = np.ones(t.num_rows, dtype=bool)
+                keep[[p for p in dead if p < t.num_rows]] = False
+                t = t.filter(pa.array(keep))
+            yield t
+
+
+def side_frame(table_path: str, dirs: list[str], dv_dirs: list[str], arrow_schema):
+    """One side's visible bucket image as a single pandas frame —
+    the streaming CDF source diffs two of these per changed bucket."""
+    import pyarrow as pa
+
+    tables = list(iter_file_tables(table_path, dirs, dv_dirs, arrow_schema))
+    if not tables:
+        return pa.table(
+            [pa.nulls(0, f.type) for f in arrow_schema], schema=arrow_schema
+        ).to_pandas(types_mapper=None)
+    return pa.concat_tables(tables).to_pandas()

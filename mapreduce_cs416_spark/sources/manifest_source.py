@@ -1,0 +1,293 @@
+"""Native batch DataSource for manifest tables —
+``spark.read.format("manifest").option("path", p).load()``
+(PySpark 4's Python DataSource API), the DataFrame-native face of
+:func:`manifest.read_table`.
+
+Options:
+
+- ``path`` (required) — table root.
+- ``version`` / ``timestampAsOf`` — time travel (mutually
+  exclusive), same semantics as ``read_table``.
+- ``predicate`` — a Spark SQL boolean expression used to PRUNE the
+  scan to directories that can contain matching rows, through the
+  SAME pruning brain as ``read_table`` (``manifest._conjuncts`` +
+  ``_stats_keep``); the scan then returns ALL rows of the surviving
+  directories, so callers must still apply the predicate as a row
+  filter — :func:`scan` is the helper that does both, mirroring
+  ``read_table``'s pruned-read ≡ full-read + filter contract.
+
+Why an explicit ``predicate`` option instead of Catalyst filter
+pushdown (``DataSourceReader.pushFilters``): Spark 4.1's Python
+data source keeps ONE mutable ``readInfo`` slot per relation
+(``PythonDataSourceV2.getOrCreateReadInfo`` /
+``setReadInfo``) — ``PythonScanBuilder.pushFilters`` overwrites the
+slot with the filtered planning, and ``PythonBatch
+.planInputPartitions`` serves the slot verbatim to any LATER scan of
+the same relation that pushes no filters (verified against the
+shipped bytecode and reproduced empirically: ``df.filter(...)
+.count()`` then ``df.count()`` returns the pruned count). Any reader
+whose ``partitions()`` depend on pushed filters silently returns
+wrong results under that reuse, so this source derives partitions
+ONLY from reader-construction state: every planning of one relation
+yields the same partitions, and reuse is harmless by construction.
+
+Pruning without a JVM: ``partitions()`` runs in a driver-side Python
+worker with NO SparkSession, so the partition-expression replay that
+``resolve_read_dirs`` does with a tiny Spark job is done in pure
+Python — when the table uses the default ``pmod(xxhash64(keys), n)``
+layout, key-equality / IN conjuncts resolve to candidate buckets
+through :mod:`spark_hash` (property-tested against ``F.xxhash64``;
+any lane it cannot replay exactly refuses the whole prune). Custom
+partition expressions skip bucket replay and rely on per-directory
+min/max stats. A predicate shape the parser doesn't understand
+prunes nothing — never guesses.
+
+Snapshot isolation: the manifest version is resolved ONCE at reader
+construction — schema, directory set, stats, and deletion vectors
+all come from that snapshot even if a writer commits mid-query.
+Parallelism = one input partition per surviving bucket; ``read``
+streams one schema-projected, DV-filtered Arrow table per file
+(bucket_io.py — shared with the streaming CDF source).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from . import manifest as mf
+from . import spark_hash
+
+_DEFAULT_EXPR_RE = re.compile(
+    r"^\s*pmod\s*\(\s*xxhash64\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)"
+    r"\s*,\s*(\d+)\s*\)\s*$",
+    re.I,
+)
+
+
+class BucketScan(InputPartition):
+    def __init__(self, spec: dict):
+        self.spec = spec
+
+
+def _cast_for_lane(value, dtype):
+    """Mirror ``_resolve_candidate_buckets``'s literal-to-column cast
+    (Java semantics: float → integral truncates toward zero) before
+    hashing; spark_hash refuses anything it can't replay exactly."""
+    name = dtype.typeName()
+    if name in ("byte", "short", "integer", "long"):
+        return int(value)
+    if name in ("float", "double"):
+        return float(value)
+    return value
+
+
+def replay_buckets(manifest: dict, conjs: list) -> list[int] | None:
+    """Pure-Python twin of ``manifest._resolve_candidate_buckets``:
+    candidate bucket ids when equality/IN conjuncts pin every key
+    column of the DEFAULT hash layout, else None (no bucket pruning).
+    Same gates: literal type classes must match their columns
+    (``_literal_type_ok``), ≤ ``_MAX_KEY_COMBOS`` combinations, and
+    any lane spark_hash cannot replay exactly refuses the whole
+    prune."""
+    m = _DEFAULT_EXPR_RE.match(manifest["partition_expr"])
+    schema = mf._schema_of(manifest)
+    if not m or schema is None:
+        return None
+    ref = [c.strip() for c in m.group(1).split(",")]
+    n_buckets = int(m.group(2))
+    pinned: dict[str, list] = {}
+    for col, op, lit in conjs:
+        if op == "=":
+            pinned.setdefault(col, []).append([lit])
+        elif op == "in":
+            pinned.setdefault(col, []).append(list(lit))
+    values: dict[str, list] = {}
+    for col, lists in pinned.items():
+        vals = lists[0]
+        for other in lists[1:]:
+            vals = [v for v in vals if v in other]
+        values[col] = vals
+    if not ref or not all(c in values for c in ref):
+        return None
+    by_name = {f.name: f for f in schema.fields}
+    if any(c not in by_name for c in ref):
+        return None
+    for c in ref:
+        if not all(mf._literal_type_ok(v, by_name[c].dataType) for v in values[c]):
+            return None
+    combos = list(itertools.product(*[values[c] for c in ref]))
+    if not combos:
+        return []  # contradictory conjuncts: provably empty
+    if len(combos) > mf._MAX_KEY_COMBOS:
+        return None
+    fields = [by_name[c] for c in ref]
+    out = set()
+    try:
+        for combo in combos:
+            lanes = [_cast_for_lane(v, f.dataType) for v, f in zip(combo, fields)]
+            out.add(spark_hash.bucket_of(lanes, fields, n_buckets))
+    except (spark_hash.UnsupportedLane, ValueError, TypeError):
+        return None
+    return sorted(out)
+
+
+def _spark_schema(manifest: dict):
+    from pyspark.sql.types import StructField, StructType
+
+    full = mf._schema_of(manifest)
+    if full is None:
+        raise ValueError(
+            "format('manifest') needs the persisted schema (r10+ table)"
+        )
+    by_name = {f.name: f for f in full.fields}
+    # parquet scans always surface nullable fields (and evolved old
+    # files DO hold nulls for added columns) — match read_table
+    return StructType(
+        [StructField(c, by_name[c].dataType, True) for c in manifest["columns"]]
+    )
+
+
+def _resolve_version(options: dict) -> tuple[str, int | None]:
+    path = options.get("path")
+    if not path:
+        raise ValueError("format('manifest') requires the 'path' option")
+    version = options.get("version")
+    as_of = options.get("timestampasof") or options.get("timestampAsOf")
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR timestampAsOf, not both")
+    v = int(version) if version is not None else None
+    if as_of is not None:
+        v = mf.version_at(path, float(as_of))
+    return path, v
+
+
+class ManifestBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path, v = _resolve_version(options)
+        self.manifest = mf.read_manifest(self.path, v)
+        predicate = options.get("predicate")
+        # the same conservative parser read_table prunes with; a shape
+        # it can't parse yields [] → full scan, never a wrong prune
+        self._conjs = (
+            mf._conjuncts(predicate)
+            if predicate and mf._schema_of(self.manifest) is not None
+            else []
+        )
+
+    def partitions(self) -> list[InputPartition]:
+        man = self.manifest
+        candidates = sorted(int(b) for b in man["buckets"])
+        conjs = self._conjs
+        if conjs:
+            pinned = replay_buckets(man, conjs)
+            if pinned is not None:
+                keep = set(pinned)
+                candidates = [b for b in candidates if b in keep]
+        schema = mf._schema_of(man)
+        dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
+        all_stats = man.get("stats", {})
+        parts = []
+        for b in candidates:
+            dirs = []
+            for rel in man["buckets"].get(str(b), []):
+                st = all_stats.get(rel, {}).get(str(b), {})
+                if not conjs or mf._stats_keep(st, conjs, dtypes):
+                    dirs.append(
+                        f"{self.path.rstrip('/')}/{rel}/{mf._BUCKET_COL}={b}"
+                    )
+            if dirs:
+                parts.append(
+                    BucketScan(
+                        {
+                            "table_path": self.path,
+                            "schema_json": man["schema"],
+                            "columns": man["columns"],
+                            "dirs": dirs,
+                            "dvs": mf._dv_dirs(self.path, man, [b]),
+                        }
+                    )
+                )
+        if not parts:
+            # everything pruned (or the table is empty): Spark calls
+            # read(None) when partitions() is empty, so hand it one
+            # partition that yields nothing instead
+            parts.append(
+                BucketScan(
+                    {
+                        "table_path": self.path,
+                        "schema_json": man["schema"],
+                        "columns": man["columns"],
+                        "dirs": [],
+                        "dvs": [],
+                    }
+                )
+            )
+        return parts
+
+    def read(self, partition: BucketScan):
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructField, StructType
+
+        from .bucket_io import iter_file_tables
+
+        spec = partition.spec
+        full = StructType.fromJson(json.loads(spec["schema_json"]))
+        by_name = {f.name: f for f in full.fields}
+        arrow_schema = to_arrow_schema(
+            StructType(
+                [StructField(c, by_name[c].dataType, True) for c in spec["columns"]]
+            )
+        )
+        for t in iter_file_tables(
+            spec["table_path"], spec["dirs"], spec["dvs"], arrow_schema
+        ):
+            yield from t.to_batches()
+
+
+class ManifestDataSource(DataSource):
+    """``spark.read.format("manifest").option("path", p)`` — register
+    once per session with :func:`register_manifest_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self):
+        path, v = _resolve_version(dict(self.options))
+        return _spark_schema(mf.read_manifest(path, v))
+
+    def reader(self, schema) -> ManifestBatchReader:
+        return ManifestBatchReader(dict(self.options))
+
+
+def register_manifest_source(spark) -> None:
+    """Register the ``manifest`` batch format on the session
+    (idempotent)."""
+    spark.dataSource.register(ManifestDataSource)
+
+
+def scan(
+    spark,
+    path: str,
+    predicate: str | None = None,
+    version: int | None = None,
+    timestamp_as_of: float | None = None,
+):
+    """The user face of the native format: a pruned scan WITH the
+    predicate re-applied as a row filter — result ≡ unpruned read +
+    filter by construction, exactly ``read_table``'s contract but
+    through ``spark.read.format("manifest")``."""
+    register_manifest_source(spark)
+    reader = spark.read.format("manifest").option("path", path)
+    if version is not None:
+        reader = reader.option("version", str(version))
+    if timestamp_as_of is not None:
+        reader = reader.option("timestampAsOf", str(timestamp_as_of))
+    if predicate:
+        reader = reader.option("predicate", predicate)
+    df = reader.load()
+    return df.filter(predicate) if predicate else df

@@ -43,7 +43,6 @@ and the fix is the same (more buckets).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -51,75 +50,14 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ..sources.bucket_io import side_frame as _side_frame  # shared with manifest_source
+
 _OP_COL = "op"
 
 
 class ChangedBucket(InputPartition):
     def __init__(self, spec: dict):
         self.spec = spec
-
-
-def _dv_positions(dv_dirs: list[str]) -> dict[str, set[int]]:
-    """tombstones per relative file path, read with pyarrow."""
-    import pyarrow.parquet as pq
-
-    out: dict[str, set[int]] = {}
-    for d in dv_dirs:
-        if not os.path.isdir(d):
-            continue
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(d, f), columns=["_dv_file", "_dv_pos"])
-            for file_rel, pos in zip(
-                t.column("_dv_file").to_pylist(), t.column("_dv_pos").to_pylist()
-            ):
-                out.setdefault(file_rel, set()).add(pos)
-    return out
-
-
-def _side_frame(table_path, dirs, dv_dirs, arrow_schema):
-    """One side's visible bucket image as a pandas frame: every file
-    of every listed directory, projected to the evolved schema
-    (missing columns → nulls, safe casts for widened ones), with
-    deletion-vector row positions dropped — mirrors
-    manifest._apply_dvs + the pinned-schema reader."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    tombs = _dv_positions(dv_dirs)
-    batches = []
-    for d in dirs:
-        if not os.path.isdir(d):
-            continue
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".parquet"):
-                continue
-            fp = os.path.join(d, f)
-            raw = pq.read_table(fp)
-            cols = []
-            for field in arrow_schema:
-                if field.name in raw.column_names:
-                    cols.append(raw.column(field.name).cast(field.type))
-                else:
-                    cols.append(pa.nulls(raw.num_rows, field.type))
-            t = pa.table(cols, schema=arrow_schema)
-            rel = fp.split(table_path.rstrip("/") + "/", 1)[-1]
-            dead = tombs.get(rel)
-            if dead:
-                import numpy as np
-
-                keep = np.ones(t.num_rows, dtype=bool)
-                keep[[p for p in dead if p < t.num_rows]] = False
-                t = t.filter(pa.array(keep))
-            batches.append(t)
-    if not batches:
-        import pyarrow as pa
-
-        return pa.table(
-            [pa.nulls(0, f.type) for f in arrow_schema], schema=arrow_schema
-        ).to_pandas(types_mapper=None)
-    return pa.concat_tables(batches).to_pandas()
 
 
 def _except_all(a, b, cols):

@@ -1,0 +1,255 @@
+"""Native batch DataSource for manifest tables (sources/manifest_source.py).
+
+Three claims pinned here:
+
+1. ``spark_hash`` replays ``F.xxhash64`` EXACTLY — randomized
+   property test across every supported lane type, including NULLs,
+   -0.0, unicode, and empty strings. A wrong hash would be a wrong
+   prune, so this is the load-bearing test of the module.
+2. ``spark.read.format("manifest")`` ≡ ``manifest.read_table`` —
+   full reads, predicate-pruned reads, time travel, deletion
+   vectors, and schema-evolution boundaries.
+3. Pruning is REAL (partition/dir counts pinned, matching
+   ``resolve_read_dirs``) and SAFE under relation reuse — the
+   documented Spark 4.1 ``readInfo`` cache hazard that rules out
+   pushFilters-based pruning (module docstring) cannot bite because
+   partitions derive only from reader-construction state.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_cs416_spark.sources import manifest as mf
+from mapreduce_cs416_spark.sources import spark_hash
+from mapreduce_cs416_spark.sources.manifest_source import (
+    ManifestBatchReader,
+    replay_buckets,
+    scan,
+)
+
+
+def _rows_sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msrc"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("g"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 400).cast("int")).alias("d"),
+    )
+    mf.create_table(df, root, ["k"], n_buckets=8)
+    return root
+
+
+class TestSparkHashReplay:
+    def test_xxhash64_matches_spark_across_types(self, spark):
+        schema = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.StringType()),
+                T.StructField("c", T.IntegerType()),
+                T.StructField("d", T.DateType()),
+                T.StructField("e", T.DoubleType()),
+                T.StructField("f", T.BooleanType()),
+                T.StructField("g", T.ShortType()),
+                T.StructField("h", T.FloatType()),
+            ]
+        )
+        rng = random.Random(416)
+        rows = [
+            (
+                rng.choice([None, 0, -1, rng.randint(-(2**63), 2**63 - 1)]),
+                rng.choice([None, "", "x", "hello world", "é漢字" * rng.randint(0, 20), "a" * rng.randint(0, 100)]),
+                rng.choice([None, rng.randint(-(2**31), 2**31 - 1)]),
+                rng.choice([None, datetime.date(1970, 1, 1), datetime.date(2026, 8, 16), datetime.date(1899, 12, 31)]),
+                rng.choice([None, 0.0, -0.0, 1.5, -3.25e300, float("inf")]),
+                rng.choice([None, True, False]),
+                rng.choice([None, rng.randint(-(2**15), 2**15 - 1)]),
+                rng.choice([None, 0.0, -0.0, 2.5, -1.25e30]),
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        got = df.select(F.xxhash64(*[f.name for f in schema.fields]).alias("h")).collect()
+        for row, g in zip(rows, got):
+            assert spark_hash.xxhash64_row(row, schema.fields) == g["h"], row
+
+    def test_long_strings_cross_stripe_boundaries(self, spark):
+        # 32-byte stripes + 8/4/1-byte tails all exercised
+        schema = T.StructType([T.StructField("s", T.StringType())])
+        rows = [("q" * n,) for n in range(0, 130)]
+        df = spark.createDataFrame(rows, schema)
+        got = df.select(F.xxhash64("s").alias("h")).collect()
+        for row, g in zip(rows, got):
+            assert spark_hash.xxhash64_row(row, schema.fields) == g["h"], len(row[0])
+
+    def test_bucket_replay_matches_spark_partition_expr(self, spark):
+        # composite (long, string) key: the replay must land every key
+        # in the bucket Spark's own expression computes
+        fields = [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+        rng = random.Random(11)
+        keys = [(rng.randint(-(2**40), 2**40), f"id_{rng.randint(0, 10**6)}") for _ in range(200)]
+        df = spark.createDataFrame(keys, T.StructType(fields))
+        exp = df.select(F.expr("pmod(xxhash64(k, s), 16)").cast("long").alias("b")).collect()
+        for key, e in zip(keys, exp):
+            assert spark_hash.bucket_of(list(key), fields, 16) == e["b"], key
+
+    def test_unsupported_lane_refuses(self):
+        ts_field = T.StructField("t", T.TimestampType())
+        with pytest.raises(spark_hash.UnsupportedLane):
+            spark_hash.hash_value(datetime.datetime(2020, 1, 1), "timestamp", 42)
+        with pytest.raises(spark_hash.UnsupportedLane):
+            spark_hash.hash_value(1.5, "decimal", 42, T.DecimalType(10, 2))
+        assert ts_field  # silence lint
+
+
+class TestFormatManifestParity:
+    def test_full_read_equals_read_table(self, spark, table):
+        assert _rows_sorted(scan(spark, table)) == _rows_sorted(mf.read_table(spark, table))
+
+    def test_schema_matches(self, spark, table):
+        assert scan(spark, table).schema == mf.read_table(spark, table).schema
+
+    @pytest.mark.parametrize(
+        "pred",
+        [
+            "k = 123",
+            "k in (3, 500, 999)",
+            "d < '2020-01-05'",
+            "k = 5 or k = 9",
+            "k between 10 and 20",
+            "g = 3 and name like 'name_1%'",  # unparseable tail → full scan, still exact
+            "k = -1",
+        ],
+    )
+    def test_pruned_scan_equals_read_table(self, spark, table, pred):
+        assert _rows_sorted(scan(spark, table, predicate=pred)) == _rows_sorted(
+            mf.read_table(spark, table, predicate=pred)
+        )
+
+    def test_relation_reuse_filter_then_full_is_safe(self, spark, table):
+        # the exact sequence the Spark 4.1 readInfo cache poisons for
+        # pushFilters-based pruning (module docstring): a filtered
+        # action followed by an unfiltered one on the SAME relation
+        df = scan(spark, table)
+        assert df.filter("k = 500").count() == 1
+        assert df.count() == 1000
+
+
+class TestPruningPinned:
+    def test_point_lookup_reads_one_dir(self, spark, table):
+        rdr = ManifestBatchReader({"path": table, "predicate": "k = 123"})
+        parts = rdr.partitions()
+        assert len(parts) == 1
+        assert len(parts[0].spec["dirs"]) == 1
+        assert sorted(parts[0].spec["dirs"]) == sorted(
+            mf.resolve_read_dirs(spark, table, "k = 123")
+        )
+
+    def test_in_list_reads_at_most_k_buckets(self, table):
+        rdr = ManifestBatchReader({"path": table, "predicate": "k in (3, 500, 999)"})
+        assert 1 <= len(rdr.partitions()) <= 3
+
+    def test_replay_matches_jvm_resolution(self, spark, table):
+        man = mf.read_manifest(table)
+        for pred in ["k = 123", "k in (3, 500, 999)", "k = 5 or k = 9"]:
+            conjs = mf._conjuncts(pred)
+            assert replay_buckets(man, conjs) == mf._resolve_candidate_buckets(
+                spark, man, conjs
+            ), pred
+
+    def test_unparseable_predicate_prunes_nothing(self, table):
+        man = mf.read_manifest(table)
+        full = ManifestBatchReader({"path": table})
+        rdr = ManifestBatchReader({"path": table, "predicate": "not (k = 5)"})
+        assert len(rdr.partitions()) == len(full.partitions()) == len(man["buckets"])
+
+    def test_custom_partition_expr_falls_back_to_stats(self, spark, tmp_path):
+        # range layout: bucket replay refuses (non-default expr) but
+        # the per-bucket min/max stats prune a range predicate
+        root = str(tmp_path / "range_tbl")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        mf.create_table(df, root, ["k"], partition_expr="floor(k / 128)")
+        man = mf.read_manifest(root)
+        assert replay_buckets(man, mf._conjuncts("k = 5")) is None
+        rdr = ManifestBatchReader({"path": root, "predicate": "k >= 900"})
+        full = ManifestBatchReader({"path": root})
+        assert len(rdr.partitions()) < len(full.partitions())
+        assert _rows_sorted(scan(spark, root, predicate="k >= 900")) == _rows_sorted(
+            mf.read_table(spark, root, predicate="k >= 900")
+        )
+
+    def test_all_pruned_returns_typed_empty(self, spark, table):
+        df = scan(spark, table, predicate="k = -1")
+        assert df.count() == 0
+        assert df.schema == mf.read_table(spark, table).schema
+
+
+class TestSnapshotSemantics:
+    @pytest.fixture(scope="class")
+    def versioned(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("msrc_v"))
+        base = spark.range(0, 200).select(
+            F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        mf.create_table(base, root, ["k"], n_buckets=4)  # v1
+        chg = spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.lit("upd").alias("name"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        mf.merge_into(spark, root, chg)  # v2
+        mf.delete_from(spark, root, "k = 100", mode="dv")  # v3
+        return root
+
+    def test_time_travel_version_option(self, spark, versioned):
+        v1 = scan(spark, versioned, predicate="k = 3", version=1)
+        assert v1.collect()[0]["name"] == "n3"
+        cur = scan(spark, versioned, predicate="k = 3")
+        assert cur.collect()[0]["name"] == "upd"
+
+    def test_dv_rows_are_dropped(self, spark, versioned):
+        df = scan(spark, versioned)
+        assert df.filter("k = 100").count() == 0
+        assert df.count() == 199
+        assert _rows_sorted(df) == _rows_sorted(mf.read_table(spark, versioned))
+
+    def test_time_travel_sees_pre_delete_image(self, spark, versioned):
+        assert scan(spark, versioned, version=2).filter("k = 100").count() == 1
+
+    def test_schema_evolution_boundary(self, spark, tmp_path):
+        root = str(tmp_path / "evo_tbl")
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+        )
+        mf.create_table(base, root, ["k"], n_buckets=4)
+        chg = spark.range(100, 110).select(
+            F.col("k") if False else F.col("id").alias("k"),
+            F.col("id").cast("long").alias("v"),  # int → long widening
+            F.lit("fresh").alias("extra"),  # add-column
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        mf.merge_into(spark, root, chg)
+        got = scan(spark, root)
+        exp = mf.read_table(spark, root)
+        assert got.schema == exp.schema
+        assert _rows_sorted(got) == _rows_sorted(exp)
+        # old rows project to typed NULLs for the added column
+        assert got.filter("k < 100 and extra is null").count() == 100
