@@ -1,0 +1,290 @@
+"""Native Structured Streaming SINK for manifest tables —
+``df.writeStream.format("manifest").option("path", p)`` (PySpark 4's
+``DataSourceStreamArrowWriter``): transactional, EXACTLY-ONCE append
+of every micro-batch into an existing manifest table.
+
+This is the third native face of the format (batch read in
+manifest_source.py, streaming CDF read in streaming/cdf_source.py)
+and it CLOSES the at-least-once caveat the foreachBatch pipelines
+document: foreachBatch + ``append_into`` re-appends a re-delivered
+batch, while this sink commits each batch id at most once.
+
+How a micro-batch lands (all public machinery):
+
+- **Executors bucket and write their partitions directly.**
+  ``write(iterator)`` receives the partition's Arrow record batches,
+  computes each row's bucket by replaying the table's DEFAULT
+  ``pmod(xxhash64(keys), n)`` expression in numpy
+  (``spark_hash.bucket_vector`` — vectorized uint64 lanes,
+  property-pinned against ``F.xxhash64``; string keys fall back to
+  the scalar replay), and writes one parquet file per bucket under a
+  task-unique staging directory ``data/vs{batch}-{token}``, plus
+  per-bucket min/max stats computed from the in-memory Arrow data
+  (same ``stats[rel][bucket][col]`` shape ``_collect_stats``
+  produces, so ``read_table``'s range pruning sees sink batches too).
+  No shuffle, no second job: bucketing happens where the rows already
+  are, and a bucket simply receives one file per task that saw its
+  keys (``compact`` folds them, as with any append).
+- **The driver commits all tasks' directories as ONE version.**
+  ``commit(messages, batchId)`` adds every task's staged directory to
+  its buckets' directory lists and publishes the manifest
+  put-if-absent (``_commit``) — the same single-file transaction
+  every other writer uses, retried from the latest manifest on a
+  conflict (append data references no version-dependent state, so the
+  staged files are reused, exactly ``append_into``'s retry).
+- **Exactly-once via a per-sink batch cursor.** The manifest carries
+  ``stream_cursors[sinkId] = last committed batch id``; a re-delivered
+  batch (failure after commit, before the streaming checkpoint ack)
+  re-stages its files, but ``commit`` sees the cursor already at
+  ``batchId``, removes the staging, and returns without publishing —
+  the at-most-once half that, with Spark's at-least-once replay,
+  makes appends exactly-once. ``abort`` removes staged directories;
+  directories orphaned by a crash between write and abort are
+  age-gated ``vacuum`` targets, like any losing writer's staging.
+
+Scale notes: per-batch cost is O(batch) — no existing file is read
+or moved; parallelism is the stream's own partitioning; stats ride
+the in-memory Arrow data (no read-back job). The schema must match
+the persisted table exactly (this sink does not evolve schemas —
+``merge_into``/``append_into`` are the evolution faces) and the
+table must use the default hash layout (a custom partition
+expression cannot be replayed without a JVM; the writer refuses at
+stream start, never mis-buckets).
+
+stream==batch and replay absorption are pinned in
+tests/test_manifest_sink.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from . import manifest as mf
+from . import spark_hash
+
+
+@dataclass
+class StagedAppend(WriterCommitMessage):
+    rel: str = ""
+    buckets: list = field(default_factory=list)  # bucket ids with a file
+    stats: dict = field(default_factory=dict)  # {bucket: {col: [mn, mx]}}
+    rows: int = 0
+
+
+def _key_fields(manifest: dict):
+    schema = mf._schema_of(manifest)
+    by_name = {f.name: f for f in schema.fields}
+    return [by_name[c] for c in manifest["key_cols"]]
+
+
+def _replayable_layout(manifest: dict) -> tuple[list, int]:
+    """(key fields, n_buckets) when the table uses the default hash
+    layout with lanes the pure-Python replay supports; raises
+    otherwise — the sink must refuse at stream start, never
+    mis-bucket a row."""
+    from .manifest_source import _DEFAULT_EXPR_RE
+
+    m = _DEFAULT_EXPR_RE.match(manifest["partition_expr"])
+    if not m:
+        raise ValueError(
+            "the native manifest sink requires the default "
+            "pmod(xxhash64(keys), n) layout — a custom partition "
+            "expression cannot be replayed without a JVM; use "
+            "foreachBatch + manifest.append_into for such tables"
+        )
+    if [c.strip() for c in m.group(1).split(",")] != list(manifest["key_cols"]):
+        raise ValueError("partition expression keys differ from key_cols")
+    fields = _key_fields(manifest)
+    for f in fields:
+        t = f.dataType.typeName()
+        if t not in spark_hash.VECTOR_LANES and t != "string":
+            raise ValueError(f"unsupported key lane for the native sink: {t}")
+    return fields, int(m.group(2))
+
+
+def _bucket_ids(table, fields, n_buckets: int):
+    """Bucket id per row of an Arrow table — vectorized when every
+    key lane supports it, scalar replay otherwise. NULL keys are the
+    same hard error every write path raises (a NULL bucket would
+    corrupt the bucket map)."""
+    import numpy as np
+
+    for f in fields:
+        if table.column(f.name).null_count:
+            raise ValueError(
+                "manifest table keys must be non-null: a row's partition "
+                "expression evaluated to NULL (null key column?)"
+            )
+    if all(f.dataType.typeName() in spark_hash.VECTOR_LANES for f in fields):
+        cols = []
+        for f in fields:
+            arr = table.column(f.name).combine_chunks()
+            np_vals = arr.to_numpy(zero_copy_only=False)
+            if f.dataType.typeName() == "date":
+                np_vals = np_vals.astype("datetime64[D]").astype(np.int32)
+            cols.append((np_vals, None))
+        return spark_hash.bucket_vector(cols, fields, n_buckets)
+    rows = zip(*[table.column(f.name).to_pylist() for f in fields])
+    return np.array(
+        [spark_hash.bucket_of(list(r), fields, n_buckets) for r in rows],
+        dtype=np.int64,
+    )
+
+
+def _arrow_stats(table, schema) -> dict:
+    """Per-column [min, max] of one bucket's Arrow table, restricted
+    to the same orderable types and JSON encoding _collect_stats
+    persists (dates/timestamps ISO — lexicographic == chronological)."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql import types as T
+
+    out = {}
+    by_name = {f.name: f for f in schema.fields}
+    for name in table.column_names:
+        f = by_name.get(name)
+        if f is None or not isinstance(f.dataType, mf._STATS_TYPES):
+            continue
+        col = table.column(name)
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None:
+            continue
+        out[name] = [mf._json_safe(mn), mf._json_safe(mx)]
+    return out
+
+
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options: dict, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('manifest') requires the 'path' option")
+        self.sink_id = options.get("sinkid") or options.get("sinkId") or "stream"
+        manifest = mf.read_manifest(self.path)  # table must exist
+        persisted = mf._schema_of(manifest)
+        if persisted is None:
+            raise ValueError("the native sink needs the persisted schema (r10+ table)")
+        want = {f.name: f.dataType for f in persisted.fields}
+        got = {f.name: f.dataType for f in schema.fields}
+        if got != want:
+            raise ValueError(
+                f"stream schema {sorted(got)} does not match the table's "
+                f"persisted schema {sorted(want)} — the native sink does "
+                "not evolve schemas (use merge_into/append_into)"
+            )
+        _replayable_layout(manifest)  # refuse custom layouts at start
+        # executors re-derive fields/buckets from this snapshot; the
+        # layout (key_cols, partition_expr, schema) is immutable table
+        # identity, so a stale snapshot cannot mis-bucket
+        self.manifest_core = {
+            "partition_expr": manifest["partition_expr"],
+            "key_cols": manifest["key_cols"],
+            "columns": manifest["columns"],
+            "schema": manifest["schema"],
+        }
+
+    # -- executor side ---------------------------------------------------
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.types import StructType
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return StagedAppend()
+        table = pa.Table.from_batches(batches)
+        man = self.manifest_core
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        fields, n_buckets = _replayable_layout(man)
+        by_name = {f.name: f for f in schema.fields}
+        # pin the files to the persisted column order AND types — the
+        # stream's batches already match (validated at start), this
+        # cast is the zero-copy belt-and-braces for direct callers
+        from pyspark.sql.types import StructField
+
+        table = table.select(man["columns"]).cast(
+            to_arrow_schema(
+                StructType(
+                    [StructField(c, by_name[c].dataType, True) for c in man["columns"]]
+                )
+            )
+        )
+        ids = _bucket_ids(table, fields, n_buckets)
+        rel = os.path.join("data", f"vs-{uuid.uuid4().hex[:12]}")
+        import numpy as np
+
+        written, stats = [], {}
+        for b in sorted(set(ids.tolist())):
+            part = table.filter(pa.array(ids == np.int64(b)))
+            d = os.path.join(self.path, rel, f"{mf._BUCKET_COL}={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(part, os.path.join(d, f"part-{uuid.uuid4().hex[:8]}.parquet"))
+            written.append(int(b))
+            st = _arrow_stats(part, schema)
+            if st:
+                stats[str(b)] = st
+        return StagedAppend(rel=rel, buckets=written, stats=stats, rows=table.num_rows)
+
+    # -- driver side -------------------------------------------------------
+    def _staged(self, messages):
+        return [m for m in messages if m is not None and m.rel]
+
+    def _discard(self, staged) -> None:
+        for m in staged:
+            shutil.rmtree(os.path.join(self.path, m.rel), ignore_errors=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = self._staged(messages)
+        last = None
+        for _ in range(4):
+            manifest = mf.read_manifest(self.path)
+            cursor = manifest.get("stream_cursors", {}).get(self.sink_id, -1)
+            if cursor >= batchId:
+                # re-delivered batch: already committed — drop the
+                # re-staged files, publish nothing (exactly-once)
+                self._discard(staged)
+                return
+            if not staged:
+                return  # empty batch: nothing to publish, no version burn
+            buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
+            stats = dict(manifest.get("stats", {}))
+            for m in staged:
+                for b in m.buckets:
+                    buckets.setdefault(str(b), []).append(m.rel)
+                if m.stats:
+                    stats[m.rel] = m.stats
+            cursors = dict(manifest.get("stream_cursors", {}))
+            cursors[self.sink_id] = batchId
+            new_manifest = {
+                **manifest,
+                "version": manifest["version"] + 1,
+                "op": "stream_append",
+                "buckets": buckets,
+                "stats": stats,
+                "stream_cursors": cursors,
+            }
+            try:
+                mf._commit(self.path, new_manifest)
+                return
+            except mf.CommitConflict as exc:
+                last = exc  # racing writer took the version: re-read,
+                # re-check the cursor, rebuild — staged files are reusable
+        self._discard(staged)
+        raise last
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(self._staged(messages))

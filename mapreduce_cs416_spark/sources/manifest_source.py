@@ -249,8 +249,10 @@ class ManifestBatchReader(DataSourceReader):
 
 
 class ManifestDataSource(DataSource):
-    """``spark.read.format("manifest").option("path", p)`` — register
-    once per session with :func:`register_manifest_source`."""
+    """``spark.read.format("manifest").option("path", p)`` for batch
+    reads, ``df.writeStream.format("manifest")`` for the exactly-once
+    streaming append sink (manifest_sink.py) — register once per
+    session with :func:`register_manifest_source`."""
 
     @classmethod
     def name(cls) -> str:
@@ -262,6 +264,15 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema) -> ManifestBatchReader:
         return ManifestBatchReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool):
+        from .manifest_sink import ManifestStreamWriter
+
+        if overwrite:
+            raise ValueError(
+                "the manifest sink is append-only (outputMode('append'))"
+            )
+        return ManifestStreamWriter(dict(self.options), schema)
 
 
 def register_manifest_source(spark) -> None:

@@ -194,3 +194,101 @@ def bucket_of(values, fields, n_buckets: int) -> int:
     """``pmod(xxhash64(keys), n) `` for one key combination — the
     default-layout bucket id."""
     return xxhash64_row(values, fields) % n_buckets
+
+
+# --- vectorized lanes (numpy uint64 wraparound arithmetic) -------------
+#
+# The scalar path above replays ≤64 pruning combos; the native
+# streaming SINK (manifest_sink.py) has to bucket EVERY ROW of every
+# micro-batch, where a per-row Python loop would be the classic
+# slow path. These vector twins compute the identical chained hash
+# over whole numpy arrays; null positions carry the running seed
+# through unchanged, exactly Spark's skip. Property-pinned against
+# F.xxhash64 alongside the scalar tests.
+
+def _v_rotl(x, r: int):
+    import numpy as np
+
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _v_avalanche(h):
+    import numpy as np
+
+    u = np.uint64
+    h = h ^ (h >> u(33))
+    h = h * u(_P2)
+    h = h ^ (h >> u(29))
+    h = h * u(_P3)
+    return h ^ (h >> u(32))
+
+
+def _v_hash_long(lane_u64, seed_u64):
+    import numpy as np
+
+    u = np.uint64
+    h = seed_u64 + u((_P5 + 8) & _M)
+    h = h ^ (_v_rotl(lane_u64 * u(_P2), 31) * u(_P1))
+    h = _v_rotl(h, 27) * u(_P1) + u(_P4)
+    return _v_avalanche(h)
+
+
+def _v_hash_int(lane_u32, seed_u64):
+    import numpy as np
+
+    u = np.uint64
+    h = seed_u64 + u((_P5 + 4) & _M)
+    h = h ^ (lane_u32.astype(np.uint64) * u(_P1))
+    h = _v_rotl(h, 23) * u(_P2) + u(_P3)
+    return _v_avalanche(h)
+
+
+VECTOR_LANES = ("boolean", "byte", "short", "integer", "date",
+                "long", "float", "double")
+
+
+def _lane_arrays(values, type_name: str):
+    """(lane, width) for one column: a uint32 ('int' lanes) or uint64
+    ('long' lanes) numpy array of the exact bit patterns Spark hashes.
+    ``values`` is a numpy array with nulls already replaced by any
+    placeholder (masked out by the caller)."""
+    import numpy as np
+
+    if type_name in ("byte", "short", "integer", "date"):
+        return values.astype(np.int32).view(np.uint32), 32
+    if type_name == "boolean":
+        return values.astype(np.int32).view(np.uint32), 32
+    if type_name == "long":
+        return values.astype(np.int64).view(np.uint64), 64
+    if type_name == "float":
+        f = values.astype(np.float32) + np.float32(0.0)  # -0.0 → +0.0
+        return f.view(np.uint32), 32
+    if type_name == "double":
+        d = values.astype(np.float64) + 0.0
+        return d.view(np.uint64), 64
+    raise UnsupportedLane(type_name)
+
+
+def xxhash64_vector(columns, fields):
+    """Vector twin of :func:`xxhash64_row`: ``columns`` is a list of
+    ``(values, valid)`` pairs (numpy value array — null slots may hold
+    any placeholder — and a boolean validity array or None), one per
+    field, all the same length. Returns the SIGNED int64 hash array.
+    Only :data:`VECTOR_LANES` types are supported — callers fall back
+    to the scalar path (or refuse) for strings and decimals."""
+    import numpy as np
+
+    n = len(columns[0][0]) if columns else 0
+    h = np.full(n, 42, dtype=np.uint64)
+    for (values, valid), field in zip(columns, fields):
+        lane, width = _lane_arrays(values, field.dataType.typeName())
+        nh = _v_hash_int(lane, h) if width == 32 else _v_hash_long(lane, h)
+        h = np.where(valid, nh, h) if valid is not None else nh
+    return h.view(np.int64)
+
+
+def bucket_vector(columns, fields, n_buckets: int):
+    """``pmod(xxhash64(keys), n)`` over whole arrays — the native
+    sink's per-row bucketing. numpy's % on signed int64 is already
+    the non-negative (floored) modulus pmod computes."""
+    return xxhash64_vector(columns, fields) % n_buckets

@@ -1,0 +1,257 @@
+"""Native streaming manifest sink (sources/manifest_sink.py):
+``df.writeStream.format("manifest")`` — exactly-once transactional
+appends.
+
+Claims pinned:
+
+1. stream == batch: the streamed micro-batches land exactly the rows
+   a batch union would, readable by ``read_table``, prunable, and
+   visible to the change data feed as 'U' rows.
+2. Exactly-once: a re-delivered batch id is absorbed (no duplicate
+   rows, no version burn, staged files removed) — the caveat the
+   foreachBatch faces document, closed.
+3. Refusals are loud and happen at stream start: custom partition
+   layouts (no JVM to replay them), schema mismatches (the sink does
+   not evolve), NULL keys (bucket-map corruption), overwrite mode.
+4. Executor-side bucketing lands every row in the bucket Spark's own
+   partition expression computes — vectorized lanes and the string
+   scalar fallback both, verified by reading single buckets back.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.sources import manifest as mf
+from mapreduce_cs416_spark.sources.manifest_sink import ManifestStreamWriter, StagedAppend
+from mapreduce_cs416_spark.sources.manifest_source import (
+    ManifestBatchReader,
+    register_manifest_source,
+    scan,
+)
+
+
+def _shard_files(spark, base: str, frames) -> str:
+    """Write each frame as ONE parquet file in a shard dir with
+    ordered mtimes, so maxFilesPerTrigger=1 replays them as ordered
+    micro-batches."""
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    for i, df in enumerate(frames):
+        tmp = os.path.join(base, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(shard_dir, f"shard{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        shutil.rmtree(tmp)
+    return shard_dir
+
+
+def _run_sink(spark, shard_dir: str, schema: str, root: str, ckpt: str):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+    )
+    q = (
+        stream.writeStream.format("manifest")
+        .option("path", root)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+class TestStreamEqualsBatch:
+    @pytest.fixture(scope="class")
+    def appended(self, spark, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("msink"))
+        root = os.path.join(base, "tbl")
+        register_manifest_source(spark)
+        seed = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        mf.create_table(seed, root, ["k"], n_buckets=8)
+        shards = [
+            spark.range(100 + i * 50, 150 + i * 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            )
+            for i in range(3)
+        ]
+        shard_dir = _shard_files(spark, base, shards)
+        _run_sink(spark, shard_dir, "k long, v long", root, os.path.join(base, "ckpt"))
+        return base, root, shard_dir
+
+    def test_rows_equal_batch_union(self, spark, appended):
+        _, root, _ = appended
+        got = sorted(map(tuple, mf.read_table(spark, root).collect()))
+        exp = sorted((k, k * 10) for k in range(0, 250))
+        assert got == exp
+
+    def test_one_version_per_microbatch_with_cursor(self, appended):
+        _, root, _ = appended
+        hist = mf.history(root)
+        assert [h["op"] for h in hist] == ["create"] + ["stream_append"] * 3
+        assert mf.read_manifest(root)["stream_cursors"] == {"stream": 2}
+
+    def test_restart_same_checkpoint_appends_nothing(self, spark, appended):
+        base, root, shard_dir = appended
+        before = mf.read_table(spark, root).count()
+        _run_sink(spark, shard_dir, "k long, v long", root, os.path.join(base, "ckpt"))
+        assert mf.read_table(spark, root).count() == before
+        assert mf.current_version(root) == 4  # no version burn either
+
+    def test_sink_batches_are_prunable(self, spark, appended):
+        _, root, _ = appended
+        rdr = ManifestBatchReader({"path": root, "predicate": "k = 130"})
+        parts = rdr.partitions()
+        assert len(parts) == 1 and len(parts[0].spec["dirs"]) == 1
+        assert scan(spark, root, predicate="k = 130").count() == 1
+
+    def test_change_feed_sees_appends(self, spark, appended):
+        _, root, _ = appended
+        feed = mf.read_changes(spark, root, 1, 4)
+        rows = feed.collect()
+        assert all(r["op"] == "U" for r in rows)
+        assert sorted(r["k"] for r in rows) == list(range(100, 250))
+
+    def test_compact_folds_sink_directories(self, spark, appended):
+        _, root, _ = appended
+        before = sorted(map(tuple, mf.read_table(spark, root).collect()))
+        mf.compact(spark, root)
+        assert sorted(map(tuple, mf.read_table(spark, root).collect())) == before
+        man = mf.read_manifest(root)
+        assert all(len(rels) == 1 for rels in man["buckets"].values())
+
+
+class TestExactlyOnce:
+    def test_redelivered_batch_id_is_absorbed(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        seed = spark.range(0, 40).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        mf.create_table(seed, root, ["k"], n_buckets=4)
+        schema = mf._schema_of(mf.read_manifest(root))
+        w = ManifestStreamWriter({"path": root}, schema)
+
+        def staged_batch():
+            import pyarrow as pa
+
+            t = pa.table({"k": list(range(40, 50)), "v": [1] * 10})
+            return w.write(iter(t.to_batches()))
+
+        m1 = staged_batch()
+        w.commit([m1], batchId=0)
+        assert mf.read_table(spark, root).count() == 50
+        v_after = mf.current_version(root)
+        # failure after commit, before checkpoint ack → Spark re-runs
+        # batch 0: new staging, same batch id
+        m2 = staged_batch()
+        staged_dir = os.path.join(root, m2.rel)
+        assert os.path.isdir(staged_dir)
+        w.commit([m2], batchId=0)
+        assert mf.read_table(spark, root).count() == 50  # no duplicates
+        assert mf.current_version(root) == v_after  # no version burn
+        assert not os.path.isdir(staged_dir)  # staging reclaimed now,
+        # not left for vacuum's age gate
+
+    def test_abort_removes_staging(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        seed = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        mf.create_table(seed, root, ["k"], n_buckets=4)
+        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        import pyarrow as pa
+
+        m = w.write(iter(pa.table({"k": [99], "v": [1]}).to_batches()))
+        assert os.path.isdir(os.path.join(root, m.rel))
+        w.abort([m, None, StagedAppend()], batchId=0)
+        assert not os.path.isdir(os.path.join(root, m.rel))
+        assert mf.read_table(spark, root).count() == 10
+
+
+class TestRefusals:
+    def _table(self, spark, tmp_path, **kw):
+        root = str(tmp_path / "tbl")
+        seed = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        mf.create_table(seed, root, ["k"], **kw)
+        return root
+
+    def test_custom_layout_refused_at_start(self, spark, tmp_path):
+        root = self._table(spark, tmp_path, partition_expr="floor(k / 4)")
+        with pytest.raises(ValueError, match="default"):
+            ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+
+    def test_schema_mismatch_refused_at_start(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        root = self._table(spark, tmp_path)
+        wrong = StructType(
+            [StructField("k", LongType()), StructField("v", StringType())]
+        )
+        with pytest.raises(ValueError, match="does not match"):
+            ManifestStreamWriter({"path": root}, wrong)
+
+    def test_null_key_fails_the_task(self, spark, tmp_path):
+        import pyarrow as pa
+
+        root = self._table(spark, tmp_path)
+        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        t = pa.table({"k": [1, None], "v": [1, 1]})
+        with pytest.raises(ValueError, match="non-null"):
+            w.write(iter(t.to_batches()))
+
+    def test_overwrite_mode_refused(self, spark, tmp_path):
+        from mapreduce_cs416_spark.sources.manifest_source import ManifestDataSource
+
+        root = self._table(spark, tmp_path)
+        ds = ManifestDataSource({"path": root})
+        with pytest.raises(ValueError, match="append-only"):
+            ds.streamWriter(mf._schema_of(mf.read_manifest(root)), True)
+
+
+class TestBucketPlacement:
+    def test_vectorized_and_spark_agree_per_bucket(self, spark, tmp_path):
+        # every sink-written row must read back from the SAME bucket a
+        # Spark-side write would use: merge a changelog through the
+        # JVM path afterwards and check single-bucket point reads
+        root = str(tmp_path / "tbl")
+        seed = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+        mf.create_table(seed, root, ["k"], n_buckets=8)
+        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        import pyarrow as pa
+
+        m = w.write(iter(pa.table({"k": list(range(50, 90)), "v": [0] * 40}).to_batches()))
+        w.commit([m], batchId=0)
+        man = mf.read_manifest(root)
+        for k in (53, 77, 89):
+            # the literal must carry the COLUMN's type (long): a bare
+            # int literal hashes through the 4-byte lane and lands in
+            # a different bucket — exactly the type-exactness
+            # _resolve_candidate_buckets casts for
+            expr = man["partition_expr"].replace("k", f"cast({k} as bigint)")
+            spark_bucket = spark.sql(f"select cast({expr} as long) b").collect()[0]["b"]
+            dirs = mf.resolve_read_dirs(spark, root, f"k = {k}")
+            assert all(d.endswith(f"{mf._BUCKET_COL}={spark_bucket}") for d in dirs)
+            assert mf.read_table(spark, root, predicate=f"k = {k}").count() == 1
+
+    def test_string_key_scalar_fallback(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        seed = spark.createDataFrame(
+            [(f"id_{i}", i) for i in range(30)], "name string, v int"
+        )
+        mf.create_table(seed, root, ["name"], n_buckets=4)
+        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        import pyarrow as pa
+
+        t = pa.table({"name": [f"id_{i}" for i in range(30, 60)], "v": list(range(30, 60))})
+        w.commit([w.write(iter(t.to_batches()))], batchId=0)
+        out = mf.read_table(spark, root)
+        assert out.count() == 60
+        assert out.filter("name = 'id_45'").collect()[0]["v"] == 45
+        # placement parity: the pruned point read finds the row
+        assert mf.read_table(spark, root, predicate="name = 'id_45'").count() == 1

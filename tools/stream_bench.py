@@ -195,6 +195,83 @@ def bench_cdc_merge_manifest(spark, sf_dir: str, base: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def _append_feed(spark, sf_dir: str, base: str) -> tuple[str, str, str]:
+    """Shared fixture for the two append-sink rows: a default-layout
+    manifest table seeded with orders, plus N_BATCHES shards of NEW
+    keys (appends, not upserts — the ingest-log shape both sinks
+    write)."""
+    from mapreduce_cs416_spark.sources import manifest as mf
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{base}/table"
+    mf.create_table(orders, table, ["o_orderkey"])
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    appends = (
+        orders.where(F.col("o_orderkey") % 10 < N_BATCHES)
+        .withColumn("bat", (F.col("o_orderkey") % 10).cast("long"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(int(max_key) + 1))
+    )
+    change_dir = f"{base}/appends"
+    _write_shards(appends, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in appends.schema.fields
+    )
+    return table, change_dir, schema
+
+
+def bench_manifest_sink_native(spark, sf_dir: str, base: str) -> dict:
+    """The NATIVE streaming sink (sources/manifest_sink.py):
+    ``writeStream.format("manifest")`` — executors bucket rows with
+    the numpy xxhash64 replay and write their partitions directly,
+    the driver publishes ONE put-if-absent version per micro-batch
+    with an exactly-once batch cursor. No foreachBatch, no second
+    Spark job for stats (they ride the in-memory Arrow data)."""
+    from mapreduce_cs416_spark.sources.manifest_source import register_manifest_source
+
+    register_manifest_source(spark)
+    table, change_dir, schema = _append_feed(spark, sf_dir, base)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = (
+        stream.writeStream.format("manifest")
+        .option("path", table)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
+def bench_manifest_sink_foreachbatch(spark, sf_dir: str, base: str) -> dict:
+    """The same append feed through foreachBatch +
+    ``manifest.append_into`` — the JVM-write path (bucket shuffle +
+    stats read-back job per batch) and the AT-LEAST-ONCE face the
+    native sink's batch cursor upgrades; the per-batch delta between
+    the two rows is what the native sink buys/costs."""
+    from mapreduce_cs416_spark.sources import manifest as mf
+
+    table, change_dir, schema = _append_feed(spark, sf_dir, base)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: mf.append_into(df.sparkSession, table, df)
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
 def bench_view_maintenance(spark, sf_dir: str, base: str) -> dict:
     """Times the IVM service: per batch, ONE old-image key join
     against the snapshot, a delta-sized aggregate, a view-sized merge
@@ -387,6 +464,12 @@ def main() -> int:
                 }
                 if os.path.isdir(scale8)
                 else {}
+            ),
+            "manifest_sink_native": bench_manifest_sink_native(
+                spark, sf_dir, f"{base}/sinkn"
+            ),
+            "manifest_sink_foreachbatch": bench_manifest_sink_foreachbatch(
+                spark, sf_dir, f"{base}/sinkf"
             ),
             "view_maintenance": bench_view_maintenance(spark, sf_dir, f"{base}/ivm"),
             "view_maintenance_manifest": bench_view_maintenance_manifest(
