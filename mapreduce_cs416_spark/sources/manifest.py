@@ -98,6 +98,15 @@ input partition per changed bucket). ``delete_from(mode="dv")`` adds
 deletion vectors — (file, row-position) tombstones, zero data files
 touched — folded and cleared by every bucket-rewriting op.
 
+Late-r11 native DataFrame faces: ``spark.read.format("manifest")``
+(manifest_source.py — snapshot-pinned batch reads with time travel
+and predicate pruning replayed JVM-free through spark_hash.py's
+xxHash64) and the EXACTLY-ONCE streaming append sink
+``df.writeStream.format("manifest")`` (manifest_sink.py — executors
+bucket and write their partitions directly, the driver publishes one
+put-if-absent version per micro-batch, a per-sink batch cursor
+absorbs re-delivered batches).
+
 At 1000 executors the bucket count is the write-parallelism knob:
 n_buckets should be ≥ cluster cores for merge throughput and small
 enough that a bucket is a few files (here 16 for test-sized tables).

@@ -557,6 +557,16 @@ def main() -> int:
         "transactional twin (snapshot merge + view under ONE atomic manifest",
         "commit via aux tables — the crash window between the two overwrites",
         "is closed, not narrowed) on the key-local changelog.",
+        "`manifest_sink_native` vs `manifest_sink_foreachbatch` run the SAME",
+        "append feed (new keys, 6 batches): the native sink",
+        "(writeStream.format('manifest'), sources/manifest_sink.py) buckets",
+        "rows ON THE EXECUTORS with the vectorized numpy xxhash64 replay and",
+        "computes stats from the in-memory Arrow data — no bucket shuffle, no",
+        "stats read-back job — and its per-sink batch cursor makes appends",
+        "EXACTLY-ONCE, vs foreachBatch+append_into's at-least-once; the",
+        "steady-state per-batch delta between the two rows is what the native",
+        "path saves (batch 1 of the native row carries the Python DataSource",
+        "worker spin-up).",
         "",
         "r10 deltas: `lsh_gate` p50 fell 3037→~1400 ms (VERDICT r9 item 5) —",
         "the stream-static join re-plans AND re-scans its static side every",
