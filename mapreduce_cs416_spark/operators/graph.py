@@ -193,45 +193,58 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    # Degree-DELTA peel (r11; the r10 form rewrote the edge list with
+    # two semi-joins + a full groupBy per round — 3 actions/round).
+    # Each node dies exactly ONCE, so against the ORIGINAL symmetric
+    # edge list deg'(u) = deg(u) − |edges(u, victims_r)| telescopes to
+    # the degree among survivors: an edge (u, v) is subtracted from
+    # live u exactly in the round v dies (v was alive before, so the
+    # edge was never counted out earlier). The edge list is scanned
+    # per round but NEVER rewritten, the per-round shuffle is sized by
+    # edges adjacent to the round's victims, and the maintained degree
+    # IS the core degree at the fixpoint — 2 actions/round (one
+    # node-sized checkpoint, one one-row probe) and no final groupBy.
+    # All victims still drop simultaneously per round, so the unrolled
+    # DuckDB CTE oracle (plans/northstar._kcore_sql) replays
+    # round-for-round unchanged (driver-hashed).
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
     for _ in range(max_rounds):
-        deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
-        # one node-sized job yields BOTH the fixpoint probe and the
-        # survivor cardinality that gates the broadcast hint below
+        # one node-sized job yields the fixpoint probe AND the victim
+        # cardinality that gates the broadcast hint below
         probe = deg.agg(
             F.count(F.when(F.col("d") < k, 1)).alias("n_victims"),
             F.count(F.when(F.col("d") >= k, 1)).alias("n_surv"),
         ).collect()[0]
         if probe["n_victims"] == 0:
-            _unpersist_checkpoint(deg)
             break
-        surv = deg.where(F.col("d") >= k).select("u")
-        prev = edges
-        # surv is NODE-sized (≤ the near-dup node set, orders below
-        # the edge list this peel exists to shrink) but sits behind a
+        victims = deg.where(F.col("d") < k).select(F.col("u").alias("v"))
+        # victims and loss are NODE-sized but sit behind/derive from a
         # localCheckpoint, whose LogicalRDD carries no size stats —
-        # without the hint Spark planned BOTH semi joins as full
-        # SortMergeJoins every round (found by PLANS.md's r10
-        # ckpt-fragment column). Broadcast pins the node-sized build
-        # side; above ``broadcast_max_nodes`` survivors the hint is
-        # dropped (executor/driver memory, ADVICE r10) and the
-        # shuffle semi-join runs instead — the gate is measured, not
-        # guessed, since n_surv rides the fixpoint probe for free.
+        # without the hint Spark planned these as full SortMergeJoins
+        # (found by PLANS.md's r10 ckpt-fragment column). Above
+        # ``broadcast_max_nodes`` the hint is dropped (executor/driver
+        # memory, ADVICE r10) and the shuffle join runs instead — the
+        # gate is measured, not guessed, riding the probe for free.
         hint = (
-            F.broadcast if probe["n_surv"] <= broadcast_max_nodes else (lambda df: df)
+            F.broadcast
+            if max(probe["n_victims"], probe["n_surv"]) <= broadcast_max_nodes
+            else (lambda df: df)
         )
-        edges = (
-            edges.join(hint(surv), "u", "left_semi")
-            .join(hint(surv.withColumnRenamed("u", "v")), "v", "left_semi")
-            .select("u", "v")
+        loss = edges.join(hint(victims), "v").groupBy("u").agg(
+            F.count("*").alias("lost")
+        )
+        prev = deg
+        deg = (
+            deg.where(F.col("d") >= k)
+            .join(hint(loss), "u", "left")
+            .select("u", (F.col("d") - F.coalesce(F.col("lost"), F.lit(0))).alias("d"))
             .localCheckpoint()
         )
         _unpersist_checkpoint(prev)
-        _unpersist_checkpoint(deg)
     else:
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
-    return edges.groupBy("u").agg(F.count("*").cast("int").alias("core_degree")).select(
-        F.col("u").alias("node"), "core_degree"
-    )
+    _unpersist_checkpoint(edges)
+    return deg.select(F.col("u").alias("node"), F.col("d").cast("int").alias("core_degree"))
 
 
 def pagerank(

@@ -567,6 +567,11 @@ def main() -> int:
         "steady-state per-batch delta between the two rows is what the native",
         "path saves (batch 1 of the native row carries the Python DataSource",
         "worker spin-up).",
+        "Absolute per-batch times on this shared host drift ±30% between",
+        "same-day regenerations (whole-table shifts with no code change,",
+        "verified by back-to-back idle-machine runs) — compare rows WITHIN",
+        "one run and shapes across runs; cross-round absolute deltas under",
+        "that band are environment, not code.",
         "",
         "r10 deltas: `lsh_gate` p50 fell 3037→~1400 ms (VERDICT r9 item 5) —",
         "the stream-static join re-plans AND re-scans its static side every",
