@@ -204,6 +204,12 @@ def kcore(
     # edges adjacent to the round's victims, and the maintained degree
     # IS the core degree at the fixpoint — 2 actions/round (one
     # node-sized checkpoint, one one-row probe) and no final groupBy.
+    # Measured honestly: a WASH at sf0.1 (5.55 vs 5.62 s back-to-back
+    # — both forms are fixed-cost dominated there); the win is shuffle
+    # VOLUME, the axis that matters at scale: total shuffled rows
+    # across all rounds are ≤ 2|E| here (each edge contributes once
+    # per endpoint's death) vs Σ_r |E_r| ≈ |E|·rounds for the
+    # rewrite-the-edges form on slowly-shrinking graphs.
     # All victims still drop simultaneously per round, so the unrolled
     # DuckDB CTE oracle (plans/northstar._kcore_sql) replays
     # round-for-round unchanged (driver-hashed).
