@@ -98,6 +98,12 @@ input partition per changed bucket). ``delete_from(mode="dv")`` adds
 deletion vectors — (file, row-position) tombstones, zero data files
 touched — folded and cleared by every bucket-rewriting op.
 
+Late-r11: ``repartition_table`` evolves the PARTITION SPEC (hash↔
+range, bucket-count changes) as one atomic rewrite-and-publish —
+the layout knob becomes changeable without downtime; the change data
+feed reads EMPTY across the boundary (same rows, new layout) and a
+running native sink refuses to commit stale-layout staging.
+
 Late-r11 native DataFrame faces: ``spark.read.format("manifest")``
 (manifest_source.py — snapshot-pinned batch reads with time travel
 and predicate pruning replayed JVM-free through spark_hash.py's
@@ -1797,6 +1803,87 @@ def _write_zorder_slices(
         for b in _written_buckets(path, srel):
             by_bucket.setdefault(b, []).append(srel)
     return by_bucket
+
+
+def repartition_table(
+    spark: SparkSession,
+    path: str,
+    partition_expr: str | None = None,
+    n_buckets: int = 16,
+    conflict_retries: int = 3,
+) -> dict:
+    """PARTITION-SPEC EVOLUTION: atomically change the table's layout
+    (Iceberg's evolve-partition-spec, done the rewrite way since our
+    spec is a row-level expression): the current snapshot is read
+    through the old manifest (deletion vectors applied, evolved schema
+    pinned), rewritten under the NEW ``partition_expr`` (default: hash
+    buckets over the key at ``n_buckets``), and published as ONE
+    put-if-absent commit that swaps buckets, stats, and the expression
+    together — readers of the previous version keep reading it, and a
+    racing writer's commit loses-or-wins atomically (a lost race
+    retries the WHOLE rewrite from the new latest snapshot, exactly
+    ``compact``'s discipline, because the data content may have
+    changed).
+
+    Why a user reaches for it: the layout is the merge-I/O and
+    read-pruning knob (module docstring) — a table created hash-
+    bucketed whose workload turns out key-range-local (or vice versa),
+    or one whose bucket count no longer matches the cluster, gets the
+    right layout without downtime. Deletion vectors are folded by the
+    rewrite; a pure repartition changes NO visible rows, pinned by the
+    change data feed reading EMPTY across the boundary (test).
+
+    Native-sink interplay: a running ``writeStream.format("manifest")``
+    query pinned the OLD expression at stream start; its next commit
+    re-reads the manifest, sees the expression changed, and fails the
+    batch rather than mis-bucket (guard in manifest_sink.commit) —
+    restart the stream to pick up the new layout. ``stream_cursors``
+    carry over, so the restarted sink stays exactly-once."""
+    last: CommitConflict | None = None
+    for _ in range(max(1, conflict_retries + 1)):
+        manifest = read_manifest(path)
+        expr = partition_expr or default_partition_expr(
+            manifest["key_cols"], n_buckets
+        )
+        _validate_partition_expr(expr, manifest["key_cols"], manifest["columns"])
+        new_version = manifest["version"] + 1
+        target = sorted(int(b) for b in manifest["buckets"])
+        new_manifest = {
+            **manifest,
+            "version": new_version,
+            "op": "repartition",
+            "partition_expr": expr,
+            "dvs": {},
+        }
+        rel = _new_rel(new_version)
+        if target:
+            df = (
+                _apply_dvs(
+                    spark, path, manifest,
+                    _reader(spark, manifest).parquet(
+                        *_bucket_dirs(path, manifest, target)
+                    ),
+                    target,
+                )
+                .select(*manifest["columns"])
+                .withColumn(_BUCKET_COL, F.expr(expr).cast("long"))
+            )
+            _write_buckets(df, path, rel)
+            written = _written_buckets(path, rel)
+            new_manifest["buckets"] = {str(b): [rel] for b in written}
+            new_manifest["stats"] = (
+                {rel: _collect_stats(spark, path, rel)} if written else {}
+            )
+        else:
+            new_manifest["buckets"] = {}
+            new_manifest["stats"] = {}
+        try:
+            _commit(path, new_manifest)
+            return new_manifest
+        except CommitConflict as exc:
+            last = exc
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    raise last
 
 
 def vacuum(path: str, keep_versions: int = 1, orphan_min_age_s: float = 3600.0) -> int:

@@ -252,6 +252,19 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         last = None
         for _ in range(4):
             manifest = mf.read_manifest(self.path)
+            if manifest["partition_expr"] != self.manifest_core["partition_expr"]:
+                # the table was REPARTITIONED after this stream
+                # started: the staged files were bucketed under the
+                # old expression — committing them would corrupt the
+                # bucket map. Fail the batch (streaming retries /
+                # surfaces it); restarting the stream picks up the
+                # new layout and the batch cursor keeps it exactly-once.
+                self._discard(staged)
+                raise RuntimeError(
+                    "manifest table was repartitioned while this sink "
+                    "was running — restart the stream to adopt the new "
+                    "layout (staged files for the old layout were discarded)"
+                )
             cursor = manifest.get("stream_cursors", {}).get(self.sink_id, -1)
             if cursor >= batchId:
                 # re-delivered batch: already committed — drop the

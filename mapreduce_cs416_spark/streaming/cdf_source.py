@@ -11,7 +11,11 @@ Design (all public machinery):
   stream starts — only NEW commits stream); ``latestOffset`` is
   ``current_version(path)``. Structured Streaming's own checkpoint
   persists the cursor, so restarts resume exactly where they left
-  off — no bespoke ledger.
+  off — no bespoke ledger. ``startingVersion=0`` is the BOOTSTRAP
+  read: the old side of the first batch is the empty table, so the
+  whole snapshot arrives as op='U' rows and ordinary changes follow —
+  a new consumer materializes its state from one stream with no
+  separate backfill job (Delta's from-table-start semantics).
 - **One input partition per CHANGED bucket.** ``partitions(start,
   end)`` diffs the two manifests on the DRIVER (bucket directory
   lists and deletion-vector lists — metadata only, no data I/O) and
@@ -97,7 +101,17 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         v0, v1 = start["version"], end["version"]
         if v1 <= v0:
             return []
-        m0 = mf.read_manifest(self.path, v0)
+        # startingVersion=0 is the BOOTSTRAP read (Delta's
+        # startingVersion-from-table-start shape): the old side is the
+        # empty table, so the first batch emits the whole snapshot as
+        # op='U' rows and subsequent batches stream ordinary changes —
+        # a brand-new consumer builds its state from one stream, no
+        # separate backfill job
+        m0 = (
+            {"buckets": {}, "dvs": {}}
+            if v0 == 0
+            else mf.read_manifest(self.path, v0)
+        )
         m1 = mf.read_manifest(self.path, v1)
         schema = mf._schema_of(m1)
         if schema is None:

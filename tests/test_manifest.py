@@ -1393,3 +1393,82 @@ def test_dv_change_feed_sees_tombstoned_rows_as_deletes(spark, seeded):
         op_col="op", seq_col=None,
     )
     assert _sorted_rows(replayed) == _sorted_rows(mf.read_table(spark, path))
+
+
+# --- partition-spec evolution (repartition_table, r11) ------------------
+
+
+def test_repartition_preserves_rows_and_retargets_pruning(spark, seeded):
+    path, orders, _ = seeded  # seeded uses the RANGE layout
+    before = _sorted_rows(mf.read_table(spark, path))
+    man = mf.repartition_table(spark, path, n_buckets=8)  # → default hash layout
+    assert man["op"] == "repartition"
+    assert man["partition_expr"] == mf.default_partition_expr(["o_orderkey"], 8)
+    assert _sorted_rows(mf.read_table(spark, path)) == before
+    # point lookup prunes through the NEW expression to one directory
+    key = mf.read_table(spark, path).agg(F.min("o_orderkey")).collect()[0][0]
+    dirs = mf.resolve_read_dirs(spark, path, f"o_orderkey = {key}")
+    assert len(dirs) == 1
+    assert mf.read_table(spark, path, predicate=f"o_orderkey = {key}").count() == 1
+
+
+def test_repartition_range_layout_improves_range_pruning(spark, seeded):
+    path, _, _ = seeded
+    # coarsen: hash first (destroys range locality), then back to range
+    mf.repartition_table(spark, path, n_buckets=8)
+    hash_dirs = len(mf.resolve_read_dirs(spark, path, "o_orderkey < 256"))
+    mf.repartition_table(spark, path, partition_expr=RANGE_EXPR)
+    range_dirs = len(mf.resolve_read_dirs(spark, path, "o_orderkey < 256"))
+    assert range_dirs < hash_dirs
+    assert range_dirs == 1
+
+
+def test_repartition_is_invisible_to_the_change_feed(spark, seeded):
+    path, _, _ = seeded
+    v0 = mf.current_version(path)
+    mf.repartition_table(spark, path, n_buckets=4)
+    feed = mf.read_changes(spark, path, v0, mf.current_version(path))
+    assert feed.count() == 0  # same rows, new layout: zero logical change
+
+
+def test_repartition_folds_deletion_vectors(spark, seeded):
+    path, orders, _ = seeded
+    key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    mf.delete_from(spark, path, f"o_orderkey = {key}", mode="dv")
+    man = mf.repartition_table(spark, path, n_buckets=4)
+    assert man.get("dvs") == {}
+    assert mf.read_table(spark, path).filter(f"o_orderkey = {key}").count() == 0
+
+
+def test_repartition_keeps_time_travel_to_old_layout(spark, seeded):
+    path, orders, _ = seeded
+    v1 = mf.current_version(path)
+    mf.repartition_table(spark, path, n_buckets=4)
+    old = mf.read_table(spark, path, version=v1)
+    assert _sorted_rows(old) == _sorted_rows(orders)
+
+
+def test_native_sink_refuses_to_commit_across_a_repartition(spark, seeded):
+    import pyarrow as pa
+
+    from mapreduce_cs416_spark.sources.manifest_sink import ManifestStreamWriter
+
+    path, orders, _ = seeded
+    mf.repartition_table(spark, path, n_buckets=4)  # default hash layout (sink-able)
+    w = ManifestStreamWriter({"path": path}, mf._schema_of(mf.read_manifest(path)))
+    batch = pa.table(
+        {
+            "o_orderkey": [20_000_000],
+            "o_custkey": [1],
+            "o_totalprice": [1.0],
+            "o_orderstatus": ["O"],
+        }
+    )
+    msg = w.write(iter(batch.cast(batch.schema).to_batches()))
+    # the table is repartitioned UNDER the running sink
+    mf.repartition_table(spark, path, n_buckets=2)
+    rows_before = mf.read_table(spark, path).count()
+    with pytest.raises(RuntimeError, match="repartitioned"):
+        w.commit([msg], batchId=0)
+    assert not os.path.isdir(os.path.join(path, msg.rel))  # staging discarded
+    assert mf.read_table(spark, path).count() == rows_before  # nothing leaked

@@ -692,3 +692,86 @@ def test_manifest_cdf_readstream_source_matches_batch(spark, sf_dir, tmp_path):
     want2 = sorted(tuple(r) for r in mf.read_changes(spark, path, 3, 4).collect())
     assert got2 == want2
     assert len(got2[0]) == 6  # evolved width: 4 cols + o_margin + op
+
+def test_manifest_cdf_bootstrap_from_version_zero(spark, sf_dir, tmp_path):
+    """startingVersion=0 is the BOOTSTRAP read (Delta's
+    from-table-start semantics): the first batch delivers the WHOLE
+    current snapshot as op='U' rows (old side = the empty table),
+    later commits stream as ordinary changes — so a brand-new
+    consumer materializes its state from one stream with no separate
+    backfill job. Pinned: bootstrap rows == read_table snapshot, a
+    subsequent merge arrives incrementally, and the union replayed
+    through cdc_merge reconstructs the final snapshot exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.operators import cdc
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.sources.tables import load_table
+    from mapreduce_cs416_spark.streaming.cdf_source import register_manifest_cdf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "cdf_boot_tbl")
+    mf.create_table(orders, path, ["o_orderkey"])
+    ch = (
+        orders.where("o_orderkey < 256")
+        .withColumn("op", F.when(F.col("o_orderkey") % 5 == 0, F.lit("D")).otherwise(F.lit("U")))
+        .withColumn("seq", F.col("o_orderkey"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.2, 2))
+    )
+    mf.merge_into(spark, path, ch)  # v2 exists BEFORE the stream starts
+
+    register_manifest_cdf(spark)
+    ckpt = str(tmp_path / "cdf_boot_ckpt")
+    batches: list[list[tuple]] = []
+
+    def drain():
+        def _sink(batch_df, batch_id):
+            rows = [tuple(r) for r in batch_df.collect()]
+            if rows:
+                batches.append(rows)
+
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", path).option("startingVersion", "0").load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # bootstrap = the v2 snapshot, every row op='U'
+    boot = sorted(r for b in batches for r in b)
+    snap = sorted(
+        tuple(r) + ("U",) for r in mf.read_table(spark, path, version=2).collect()
+    )
+    assert boot == snap
+
+    # a later merge streams incrementally (NOT a re-bootstrap)
+    batches.clear()
+    ch2 = (
+        orders.where("o_orderkey >= 256 and o_orderkey < 320")
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    mf.merge_into(spark, path, ch2)  # v3
+    drain()
+    inc = sorted(r for b in batches for r in b)
+    want = sorted(tuple(r) for r in mf.read_changes(spark, path, 2, 3).collect())
+    assert inc == want and inc  # incremental, non-empty
+
+    # replaying bootstrap+increment through cdc_merge over an EMPTY
+    # base reconstructs the final snapshot — the consumer-bootstrap
+    # correctness claim end to end
+    all_rows = boot + inc
+    feed = spark.createDataFrame(
+        [r + (i,) for i, r in enumerate(all_rows)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string, op string, seq long",
+    )
+    empty = spark.createDataFrame([], "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string")
+    rebuilt = cdc.cdc_merge(empty, feed, ["o_orderkey"], op_col="op", seq_col="seq")
+    assert sorted(tuple(r) for r in rebuilt.collect()) == sorted(
+        tuple(r) for r in mf.read_table(spark, path).collect()
+    )
