@@ -1767,6 +1767,35 @@ WHERE o_orderkey % 10 <> 0
 """.format(keys=", ".join(str(97 * i) for i in range(1, 33)))
 
 
+def manifest_repartition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION as a query (manifest.repartition_table):
+    orders is seeded HASH-bucketed, a scattered slice is deleted as
+    deletion-vector tombstones, then the table is repartitioned to a
+    key-RANGE layout — one atomic rewrite-and-publish that folds the
+    DVs and swaps buckets+stats+expression together — and read back
+    through a range predicate that the NEW layout prunes to one
+    directory span (the old hash layout spread every key range across
+    all buckets). The DuckDB oracle recomputes delete+filter logically,
+    so the hash row claims layout evolution never changes answers;
+    dir-count improvement, CDF-empty-across-boundary, DV folding, and
+    the stale-layout sink guard are pinned in tests/test_manifest.py."""
+    from ..sources import manifest as mf
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _query_scratch("manifest_repartition_scan")
+    mf.create_table(orders, path, ["o_orderkey"])  # hash layout
+    mf.delete_from(spark, path, "o_orderkey % 10 = 0", mode="dv")
+    mf.repartition_table(spark, path, partition_expr="floor(o_orderkey / 1024)")
+    return mf.read_table(spark, path, predicate="o_orderkey between 2048 and 4095")
+
+
+MANIFEST_REPARTITION_SQL = """
+SELECT * FROM orders
+WHERE o_orderkey % 10 <> 0
+  AND o_orderkey BETWEEN 2048 AND 4095
+"""
+
+
 def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/ivm.py): a per-customer
     (n_rows, revenue) view of the orders snapshot is materialized
@@ -2125,6 +2154,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # JVM-free bucket replay + stats pruning + Arrow DV reader,
         # oracled against the logical delete+filter.
         QuerySpec("manifest_native_scan", manifest_native_scan, MANIFEST_NATIVE_SCAN_SQL, manifest_native_scan.__doc__, tags=("relational", "storage", "datasource", "pipeline")),
+        # late-r11: partition-spec evolution, oracled against the
+        # logical delete+filter (layout changes never change answers).
+        QuerySpec("manifest_repartition_scan", manifest_repartition_scan, MANIFEST_REPARTITION_SQL, manifest_repartition_scan.__doc__, tags=("relational", "storage", "repartition", "pipeline")),
         # r11 rotation OUT (driver-hashed green multi-round; families
         # stay in-window — see the QUERIES comment):
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),
