@@ -35,12 +35,19 @@ How a micro-batch lands (all public machinery):
 - **Exactly-once via a per-sink batch cursor.** The manifest carries
   ``stream_cursors[sinkId] = last committed batch id``; a re-delivered
   batch (failure after commit, before the streaming checkpoint ack)
-  re-stages its files, but ``commit`` sees the cursor already at
+  re-stages its files, but ``commit`` sees the cursor already AT
   ``batchId``, removes the staging, and returns without publishing —
   the at-most-once half that, with Spark's at-least-once replay,
-  makes appends exactly-once. ``abort`` removes staged directories;
-  directories orphaned by a crash between write and abort are
-  age-gated ``vacuum`` targets, like any losing writer's staging.
+  makes appends exactly-once. ``sinkId`` is REQUIRED and must be
+  unique per (streaming query, checkpoint): two streams sharing a
+  cursor id would silently absorb each other's batches (ADVICE r11;
+  Delta's txnAppId is opt-in for the same reason). A batch id BELOW
+  the cursor is never normal replay (Spark re-runs only the last
+  unacked batch) — it means a fresh or rolled-back checkpoint, and
+  the sink fails loudly instead of silently dropping data. ``abort``
+  removes staged directories; directories orphaned by a crash between
+  write and abort are age-gated ``vacuum`` targets, like any losing
+  writer's staging.
 
 Scale notes: per-batch cost is O(batch) — no existing file is read
 or moved; parallelism is the stream's own partitioning; stats ride
@@ -170,7 +177,21 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("format('manifest') requires the 'path' option")
-        self.sink_id = options.get("sinkid") or options.get("sinkId") or "stream"
+        self.sink_id = options.get("sinkid") or options.get("sinkId")
+        if not self.sink_id:
+            # ADVICE r11 (medium): a shared default cursor id would
+            # make TWO streams appending to one table silently absorb
+            # each other's batch ids as 're-delivered' — data loss
+            # reported as success. Delta's equivalent (txnAppId) is
+            # opt-in for exactly this reason; so is ours.
+            raise ValueError(
+                "the manifest sink requires an explicit 'sinkId' option "
+                "naming this stream's exactly-once cursor: two streams "
+                "sharing one cursor id silently drop each other's "
+                "batches as re-delivered. Pick a stable id per "
+                "(streaming query, checkpoint) pair, e.g. "
+                ".option('sinkId', 'orders-ingest')"
+            )
         manifest = mf.read_manifest(self.path)  # table must exist
         persisted = mf._schema_of(manifest)
         if persisted is None:
@@ -266,11 +287,30 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                     "layout (staged files for the old layout were discarded)"
                 )
             cursor = manifest.get("stream_cursors", {}).get(self.sink_id, -1)
-            if cursor >= batchId:
+            if cursor == batchId:
                 # re-delivered batch: already committed — drop the
-                # re-staged files, publish nothing (exactly-once)
+                # re-staged files, publish nothing (exactly-once).
+                # Genuine redelivery is ALWAYS cursor == batchId:
+                # Spark replays only the last not-yet-acked batch.
                 self._discard(staged)
                 return
+            if cursor > batchId:
+                # a batch id from the PAST is never normal replay — it
+                # means a fresh or rolled-back checkpoint restarted
+                # batch ids below this sink's cursor. Silently
+                # absorbing would drop real data and report success
+                # (ADVICE r11, medium) — fail loudly instead; the
+                # operator picks a new sinkId (new cursor) or restores
+                # the matching checkpoint.
+                self._discard(staged)
+                raise RuntimeError(
+                    f"manifest sink cursor {self.sink_id!r} is at batch "
+                    f"{cursor} but this stream delivered batch {batchId}: "
+                    "the streaming checkpoint does not match the sink "
+                    "cursor (fresh/rolled-back checkpoint?). Restore the "
+                    "checkpoint that wrote this cursor, or choose a new "
+                    "sinkId for the new checkpoint."
+                )
             if not staged:
                 return  # empty batch: nothing to publish, no version burn
             buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}

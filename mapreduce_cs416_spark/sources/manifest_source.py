@@ -55,6 +55,7 @@ from __future__ import annotations
 import itertools
 import json
 import re
+import struct
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -130,7 +131,19 @@ def replay_buckets(manifest: dict, conjs: list) -> list[int] | None:
         for combo in combos:
             lanes = [_cast_for_lane(v, f.dataType) for v, f in zip(combo, fields)]
             out.add(spark_hash.bucket_of(lanes, fields, n_buckets))
-    except (spark_hash.UnsupportedLane, ValueError, TypeError):
+    except (
+        spark_hash.UnsupportedLane,
+        ValueError,
+        TypeError,
+        # an out-of-range numeric literal on an integral key
+        # ('k = 1e20' → struct.pack('<q') raises struct.error, which
+        # subclasses Exception NOT ValueError; float('inf') raises
+        # OverflowError) must degrade to no-prune like every other
+        # unreplayable literal, not error the whole scan — the JVM
+        # path degrades gracefully through Spark's cast (ADVICE r11)
+        struct.error,
+        OverflowError,
+    ):
         return None
     return sorted(out)
 
@@ -166,9 +179,18 @@ def _resolve_version(options: dict) -> tuple[str, int | None]:
 
 
 class ManifestBatchReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.path, v = _resolve_version(options)
-        self.manifest = mf.read_manifest(self.path, v)
+    def __init__(self, options: dict, pinned_manifest: dict | None = None):
+        if pinned_manifest is not None:
+            # the DataSource resolved the snapshot once for schema();
+            # reuse it so declared schema and scanned snapshot can
+            # never disagree (ADVICE r11: a schema-evolving commit
+            # landing between schema() and reader() broke the
+            # snapshot-isolation claim at the planning boundary)
+            self.path = options["path"]
+            self.manifest = pinned_manifest
+        else:
+            self.path, v = _resolve_version(options)
+            self.manifest = mf.read_manifest(self.path, v)
         predicate = options.get("predicate")
         # the same conservative parser read_table prunes with; a shape
         # it can't parse yields [] → full scan, never a wrong prune
@@ -258,12 +280,23 @@ class ManifestDataSource(DataSource):
     def name(cls) -> str:
         return "manifest"
 
+    def _pinned_manifest(self) -> dict:
+        """Resolve (path, version) → manifest exactly ONCE per
+        DataSource instance: ``schema()`` and ``reader()`` must
+        describe the SAME snapshot even if a schema-evolving commit
+        lands between the two calls (ADVICE r11)."""
+        if getattr(self, "_pin", None) is None:
+            path, v = _resolve_version(dict(self.options))
+            self._pin = mf.read_manifest(path, v)
+        return self._pin
+
     def schema(self):
-        path, v = _resolve_version(dict(self.options))
-        return _spark_schema(mf.read_manifest(path, v))
+        return _spark_schema(self._pinned_manifest())
 
     def reader(self, schema) -> ManifestBatchReader:
-        return ManifestBatchReader(dict(self.options))
+        return ManifestBatchReader(
+            dict(self.options), pinned_manifest=self._pinned_manifest()
+        )
 
     def streamWriter(self, schema, overwrite: bool):
         from .manifest_sink import ManifestStreamWriter

@@ -116,6 +116,35 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         schema = mf._schema_of(m1)
         if schema is None:
             raise ValueError("manifest_cdf needs the persisted schema (r10+ table)")
+        if v0 != 0 and m0.get("partition_expr") != m1.get("partition_expr"):
+            # ADVICE r11 (high): a repartition_table commit inside this
+            # window moved rows between buckets, so the PER-BUCKET diff
+            # would surface every moved-but-unchanged row as a spurious
+            # same-batch U (new bucket) + D (old bucket) pair — a
+            # consumer applying the D deletes live rows. Fall back to
+            # ONE GLOBAL diff spanning all buckets (exactly what batch
+            # ``read_changes`` does by unioning changed buckets before
+            # diffing), so moved-but-unchanged rows cancel out and the
+            # boundary reads as the real row-level changes only. One
+            # task diffs the whole table for this boundary batch — the
+            # price of crossing a layout change mid-stream; restarting
+            # the stream after the repartition avoids it.
+            all0 = sorted(int(b) for b in m0["buckets"])
+            all1 = sorted(int(b) for b in m1["buckets"])
+            return [
+                ChangedBucket(
+                    {
+                        "table_path": self.path,
+                        "schema_json": m1["schema"],
+                        "columns": m1["columns"],
+                        "key_cols": m1["key_cols"],
+                        "old_dirs": mf._bucket_dirs(self.path, m0, all0),
+                        "new_dirs": mf._bucket_dirs(self.path, m1, all1),
+                        "old_dvs": mf._dv_dirs(self.path, m0, all0),
+                        "new_dvs": mf._dv_dirs(self.path, m1, all1),
+                    }
+                )
+            ]
         changed = sorted(
             int(b)
             for b in set(m0["buckets"]) | set(m1["buckets"])

@@ -61,6 +61,7 @@ def _run_sink(spark, shard_dir: str, schema: str, root: str, ckpt: str):
     q = (
         stream.writeStream.format("manifest")
         .option("path", root)
+        .option("sinkId", "t")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -99,7 +100,7 @@ class TestStreamEqualsBatch:
         _, root, _ = appended
         hist = mf.history(root)
         assert [h["op"] for h in hist] == ["create"] + ["stream_append"] * 3
-        assert mf.read_manifest(root)["stream_cursors"] == {"stream": 2}
+        assert mf.read_manifest(root)["stream_cursors"] == {"t": 2}
 
     def test_restart_same_checkpoint_appends_nothing(self, spark, appended):
         base, root, shard_dir = appended
@@ -137,7 +138,7 @@ class TestExactlyOnce:
         seed = spark.range(0, 40).select(F.col("id").alias("k"), F.lit(1).alias("v"))
         mf.create_table(seed, root, ["k"], n_buckets=4)
         schema = mf._schema_of(mf.read_manifest(root))
-        w = ManifestStreamWriter({"path": root}, schema)
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, schema)
 
         def staged_batch():
             import pyarrow as pa
@@ -164,7 +165,7 @@ class TestExactlyOnce:
         root = str(tmp_path / "tbl")
         seed = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
         mf.create_table(seed, root, ["k"], n_buckets=4)
-        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
         import pyarrow as pa
 
         m = w.write(iter(pa.table({"k": [99], "v": [1]}).to_batches()))
@@ -184,7 +185,7 @@ class TestRefusals:
     def test_custom_layout_refused_at_start(self, spark, tmp_path):
         root = self._table(spark, tmp_path, partition_expr="floor(k / 4)")
         with pytest.raises(ValueError, match="default"):
-            ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+            ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
 
     def test_schema_mismatch_refused_at_start(self, spark, tmp_path):
         from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -194,16 +195,39 @@ class TestRefusals:
             [StructField("k", LongType()), StructField("v", StringType())]
         )
         with pytest.raises(ValueError, match="does not match"):
-            ManifestStreamWriter({"path": root}, wrong)
+            ManifestStreamWriter({"path": root, "sinkId": "t"}, wrong)
 
     def test_null_key_fails_the_task(self, spark, tmp_path):
         import pyarrow as pa
 
         root = self._table(spark, tmp_path)
-        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
         t = pa.table({"k": [1, None], "v": [1, 1]})
         with pytest.raises(ValueError, match="non-null"):
             w.write(iter(t.to_batches()))
+
+    def test_missing_sink_id_refused_at_start(self, spark, tmp_path):
+        # ADVICE r11 (medium): a shared default cursor id would let two
+        # streams absorb each other's batches — sinkId is required
+        root = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="sinkId"):
+            ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+
+    def test_past_batch_id_fails_loudly(self, spark, tmp_path):
+        # a batch id BELOW the cursor means a fresh/rolled-back
+        # checkpoint — silently absorbing it would drop data
+        import pyarrow as pa
+
+        root = self._table(spark, tmp_path)
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
+        m = w.write(iter(pa.table({"k": [100], "v": [1]}).to_batches()))
+        w.commit([m], batchId=7)
+        m2 = w.write(iter(pa.table({"k": [101], "v": [1]}).to_batches()))
+        staged = os.path.join(root, m2.rel)
+        with pytest.raises(RuntimeError, match="does not match the sink"):
+            w.commit([m2], batchId=3)
+        assert not os.path.isdir(staged)  # staging reclaimed
+        assert mf.read_table(spark, root).count() == 11  # nothing lost or added
 
     def test_overwrite_mode_refused(self, spark, tmp_path):
         from mapreduce_cs416_spark.sources.manifest_source import ManifestDataSource
@@ -222,7 +246,7 @@ class TestBucketPlacement:
         root = str(tmp_path / "tbl")
         seed = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(0).alias("v"))
         mf.create_table(seed, root, ["k"], n_buckets=8)
-        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
         import pyarrow as pa
 
         m = w.write(iter(pa.table({"k": list(range(50, 90)), "v": [0] * 40}).to_batches()))
@@ -245,7 +269,7 @@ class TestBucketPlacement:
             [(f"id_{i}", i) for i in range(30)], "name string, v int"
         )
         mf.create_table(seed, root, ["name"], n_buckets=4)
-        w = ManifestStreamWriter({"path": root}, mf._schema_of(mf.read_manifest(root)))
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
         import pyarrow as pa
 
         t = pa.table({"name": [f"id_{i}" for i in range(30, 60)], "v": list(range(30, 60))})

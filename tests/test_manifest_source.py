@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from mapreduce_cs416_spark.sources import manifest as mf
 from mapreduce_cs416_spark.sources import spark_hash
+from mapreduce_cs416_spark.sources import manifest_source as msrc
 from mapreduce_cs416_spark.sources.manifest_source import (
     ManifestBatchReader,
     replay_buckets,
@@ -170,6 +171,38 @@ class TestPruningPinned:
             assert replay_buckets(man, conjs) == mf._resolve_candidate_buckets(
                 spark, man, conjs
             ), pred
+
+    def test_out_of_range_literal_degrades_to_no_prune(self, spark, table):
+        # ADVICE r11 (low): 'k = 1e20' → int(1e20) → struct.error
+        # (subclasses Exception, NOT ValueError) escaped replay_buckets'
+        # handler and FAILED the whole scan; float('inf') raised
+        # OverflowError. Both must degrade like any unreplayable
+        # literal — the JVM path degrades through Spark's cast.
+        man = mf.read_manifest(table)
+        assert msrc.replay_buckets(man, [("k", "=", 1e20)]) is None
+        assert msrc.replay_buckets(man, [("k", "=", float("inf"))]) is None
+        # end-to-end: the scan plans and returns the filter's answer (0)
+        assert msrc.scan(spark, table, predicate="k = 1e20").count() == 0
+
+    def test_schema_and_reader_pin_one_snapshot(self, spark, tmp_path):
+        # ADVICE r11 (low): schema() and reader() each resolved the
+        # manifest independently — a schema-evolving commit landing
+        # between the two calls broke snapshot isolation at the
+        # planning boundary. Both now come from ONE resolution.
+        root = str(tmp_path / "pin_tbl")
+        df = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        mf.create_table(df, root, ["k"], n_buckets=4)
+        ds = msrc.ManifestDataSource({"path": root})
+        declared = ds.schema()
+        # an evolving merge lands between schema() and reader()
+        ch = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(2).alias("v"),
+            F.lit(0.5).alias("extra"), F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        )
+        mf.merge_into(spark, root, ch)
+        rdr = ds.reader(declared)
+        assert rdr.manifest["columns"] == [f.name for f in declared.fields]
+        assert rdr.manifest["version"] == 1  # the snapshot schema() saw
 
     def test_unparseable_predicate_prunes_nothing(self, table):
         man = mf.read_manifest(table)

@@ -775,3 +775,65 @@ def test_manifest_cdf_bootstrap_from_version_zero(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in rebuilt.collect()) == sorted(
         tuple(r) for r in mf.read_table(spark, path).collect()
     )
+
+
+def test_manifest_cdf_stream_repartition_boundary(spark, sf_dir, tmp_path):
+    """ADVICE r11 (high): a ``repartition_table`` commit inside one
+    streamed offset window moves every row to a new bucket, so the
+    per-bucket diff would emit a spurious op='U' (new bucket) + op='D'
+    (old bucket) pair for every moved-but-UNCHANGED row — a consumer
+    applying the D deletes live rows. The reader detects the
+    partition-expr change and falls back to ONE global diff (exactly
+    what batch ``read_changes`` computes by unioning changed buckets),
+    so moved-but-unchanged rows cancel: a pure repartition streams
+    EMPTY, and a window that also holds a merge streams exactly the
+    merge's row-level changes."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.sources.tables import load_table
+    from mapreduce_cs416_spark.streaming.cdf_source import register_manifest_cdf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "cdf_repart_tbl")
+    mf.create_table(orders, path, ["o_orderkey"], n_buckets=8)  # v1
+    register_manifest_cdf(spark)
+
+    def drain(ckpt):
+        rows = []
+
+        def _sink(batch_df, batch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", path).option("startingVersion", "1").load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(rows)
+
+    # window [1 → 2] holds ONLY the repartition: the stream must read
+    # EMPTY (same rows, new layout), like the batch face
+    mf.repartition_table(spark, path, n_buckets=4)  # v2
+    assert drain("ck_pure") == []
+
+    # window [1 → 3] holds the repartition AND a merge: the stream
+    # must deliver exactly the merge's changes, no spurious pairs
+    ch = (
+        orders.where("o_orderkey < 128")
+        .withColumn("op", F.when(F.col("o_orderkey") % 3 == 0, F.lit("D")).otherwise(F.lit("U")))
+        .withColumn("seq", F.col("o_orderkey"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.5, 2))
+    )
+    mf.merge_into(spark, path, ch)  # v3
+    got = drain("ck_mixed")
+    want = sorted(tuple(r) for r in mf.read_changes(spark, path, 1, 3).collect())
+    assert got == want and got
+    # and no key untouched by the merge appears at all
+    touched = {r[0] for r in ch.select("o_orderkey").collect()}
+    assert all(r[0] in touched for r in got)

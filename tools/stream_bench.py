@@ -238,6 +238,7 @@ def bench_manifest_sink_native(spark, sf_dir: str, base: str) -> dict:
     q = (
         stream.writeStream.format("manifest")
         .option("path", table)
+        .option("sinkId", "bench")
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
         .start()
