@@ -3526,7 +3526,9 @@ QUERIES: dict[str, QuerySpec] = {
         # corpus-shape-dependent. The mid-similarity S-curve regime is
         # additionally pinned by
         # tests/test_dedup.py::test_minhash_lsh_recall_and_precision.
-        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_PAIRS_EXACT_SQL, dedup_minhash_lsh.__doc__, headline=True, tags=("northstar", "dedup", "lsh")),
+        # r12 rotation OUT (driver-green 10 rounds since r2; see
+        # plans/relational.py r12 rotation comment): dedup_minhash_lsh
+        # moves to EXTRA below with its exact oracle.
         # r5 rotation: dedup_simhash and similarity_ann_lsh (both
         # rows-only by construction, pytest-pinned recall) moved to
         # EXTRA_QUERIES to open driver slots for the two new ORACLED
@@ -3650,6 +3652,7 @@ QUERIES: dict[str, QuerySpec] = {
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
+        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_PAIRS_EXACT_SQL, dedup_minhash_lsh.__doc__, headline=True, tags=("northstar", "dedup", "lsh")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
         QuerySpec("corpus_chunk_documents", corpus_chunk_documents, CORPUS_CHUNK_SQL, corpus_chunk_documents.__doc__, tags=("northstar", "packing", "pipeline")),
         QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),

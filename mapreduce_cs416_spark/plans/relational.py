@@ -2086,7 +2086,18 @@ QUERIES: dict[str, QuerySpec] = {
         # holistic_pandas_agg) — the freed slots let the driver hash
         # the r7-oracled warehouse families (SCD2 history, column
         # profiling) and the new r8 queries.
-        QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
+        # r12 rotation IN (VERDICT r11 item 7): the two r11 storage
+        # faces the driver has never hashed — the native
+        # spark.read.format("manifest") read path (JVM-free bucket
+        # replay + stats pruning + Arrow DV reader) and partition-spec
+        # evolution (layout changes never change answers). Slots freed
+        # by asof_join_events and dedup_minhash_lsh (both driver-green
+        # 10 rounds since r2; both move to EXTRA with their exact
+        # oracles, families stay in-window — joins via q3/
+        # cdc_merge_orders_manifest, LSH via
+        # similarity_cosine_near_dup_lsh / similarity_near_dup_lsh_prod).
+        QuerySpec("manifest_native_scan", manifest_native_scan, MANIFEST_NATIVE_SCAN_SQL, manifest_native_scan.__doc__, tags=("relational", "storage", "datasource", "pipeline")),
+        QuerySpec("manifest_repartition_scan", manifest_repartition_scan, MANIFEST_REPARTITION_SQL, manifest_repartition_scan.__doc__, tags=("relational", "storage", "repartition", "pipeline")),
         # late-r8 rotation: grouping_variants / percentile_suite /
         # distinct_suite (driver-hashed green since the early rounds;
         # each is a consolidation whose granular twins — rollup/cube/
@@ -2150,13 +2161,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # r11: deletion-vector twin of the in-window delete face (same
         # oracle SQL — the answer-identity claim), parity-checked.
         QuerySpec("manifest_delete_dv", manifest_delete_dv, MANIFEST_DELETE_SQL, manifest_delete_dv.__doc__, tags=("relational", "storage", "delete", "dv", "pipeline")),
-        # r11: the native spark.read.format("manifest") read path —
-        # JVM-free bucket replay + stats pruning + Arrow DV reader,
-        # oracled against the logical delete+filter.
-        QuerySpec("manifest_native_scan", manifest_native_scan, MANIFEST_NATIVE_SCAN_SQL, manifest_native_scan.__doc__, tags=("relational", "storage", "datasource", "pipeline")),
-        # late-r11: partition-spec evolution, oracled against the
-        # logical delete+filter (layout changes never change answers).
-        QuerySpec("manifest_repartition_scan", manifest_repartition_scan, MANIFEST_REPARTITION_SQL, manifest_repartition_scan.__doc__, tags=("relational", "storage", "repartition", "pipeline")),
+        # r12 rotation OUT (driver-hashed green since r2; the as-of
+        # custom op keeps its exact oracle here, parity-checked):
+        QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
         # r11 rotation OUT (driver-hashed green multi-round; families
         # stay in-window — see the QUERIES comment):
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),

@@ -16,8 +16,11 @@ How a micro-batch lands (all public machinery):
   computes each row's bucket by replaying the table's DEFAULT
   ``pmod(xxhash64(keys), n)`` expression in numpy
   (``spark_hash.bucket_vector`` — vectorized uint64 lanes,
-  property-pinned against ``F.xxhash64``; string keys fall back to
-  the scalar replay), and writes one parquet file per bucket under a
+  property-pinned against ``F.xxhash64``; string keys vectorize
+  through an offset-padded byte matrix, VERDICT r11 item 2, with a
+  scalar fallback only for key values past
+  ``spark_hash.VECTOR_MAX_STRLEN`` bytes; timestamp keys hash their
+  tz-independent UTC micros), and writes one parquet file per bucket under a
   task-unique staging directory ``data/vs{batch}-{token}``, plus
   per-bucket min/max stats computed from the in-memory Arrow data
   (same ``stats[rel][bucket][col]`` shape ``_collect_stats``
@@ -113,17 +116,25 @@ def _replayable_layout(manifest: dict) -> tuple[list, int]:
     fields = _key_fields(manifest)
     for f in fields:
         t = f.dataType.typeName()
-        if t not in spark_hash.VECTOR_LANES and t != "string":
+        if t not in spark_hash.VECTOR_LANES and t not in ("string", "timestamp"):
             raise ValueError(f"unsupported key lane for the native sink: {t}")
     return fields, int(m.group(2))
 
 
 def _bucket_ids(table, fields, n_buckets: int):
-    """Bucket id per row of an Arrow table — vectorized when every
-    key lane supports it, scalar replay otherwise. NULL keys are the
-    same hard error every write path raises (a NULL bucket would
-    corrupt the bucket map)."""
+    """Bucket id per row of an Arrow table — vectorized for EVERY
+    supported key lane: numeric/date/timestamp via uint64 numpy lanes,
+    strings via the offset-padded byte matrix
+    (``spark_hash.utf8_matrix`` + ``_v_hash_bytes`` — VERDICT r11
+    item 2: the per-row Python fallback on string keys was the classic
+    row-at-a-time scale killer on exactly the doc-id-keyed tables an
+    LLM pipeline streams). The scalar replay remains only for the
+    degenerate case of a key value longer than
+    ``spark_hash.VECTOR_MAX_STRLEN`` bytes. NULL keys are the same
+    hard error every write path raises (a NULL bucket would corrupt
+    the bucket map)."""
     import numpy as np
+    import pyarrow as pa
 
     for f in fields:
         if table.column(f.name).null_count:
@@ -131,14 +142,25 @@ def _bucket_ids(table, fields, n_buckets: int):
                 "manifest table keys must be non-null: a row's partition "
                 "expression evaluated to NULL (null key column?)"
             )
-    if all(f.dataType.typeName() in spark_hash.VECTOR_LANES for f in fields):
-        cols = []
-        for f in fields:
-            arr = table.column(f.name).combine_chunks()
+    cols = []
+    for f in fields:
+        t = f.dataType.typeName()
+        arr = table.column(f.name).combine_chunks()
+        if t == "string":
+            m = spark_hash.utf8_matrix(arr)
+            if m is None:  # a key row past VECTOR_MAX_STRLEN bytes
+                cols = None
+                break
+            cols.append((m, None))
+        elif t == "timestamp":
+            micros = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            cols.append((micros, None))
+        else:
             np_vals = arr.to_numpy(zero_copy_only=False)
-            if f.dataType.typeName() == "date":
+            if t == "date":
                 np_vals = np_vals.astype("datetime64[D]").astype(np.int32)
             cols.append((np_vals, None))
+    if cols is not None:
         return spark_hash.bucket_vector(cols, fields, n_buckets)
     rows = zip(*[table.column(f.name).to_pylist() for f in fields])
     return np.array(
@@ -155,6 +177,8 @@ def _arrow_stats(table, schema) -> dict:
 
     from pyspark.sql import types as T
 
+    import pyarrow as pa
+
     out = {}
     by_name = {f.name: f for f in schema.fields}
     for name in table.column_names:
@@ -164,6 +188,10 @@ def _arrow_stats(table, schema) -> dict:
         col = table.column(name)
         if col.null_count == len(col):
             continue
+        if isinstance(f.dataType, T.TimestampType):
+            # same tz-independent encoding _collect_stats persists:
+            # UTC micros ints (the arrow timestamp's storage value)
+            col = col.cast(pa.int64())
         mm = pc.min_max(col)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         if mn is None or mx is None:

@@ -16,6 +16,11 @@ Design (all public machinery):
   whole snapshot arrives as op='U' rows and ordinary changes follow —
   a new consumer materializes its state from one stream with no
   separate backfill job (Delta's from-table-start semantics).
+  ``maxVersionsPerTrigger=k`` (VERDICT r11 item 3; Delta's
+  maxFilesPerTrigger analog) advances offsets at most k versions per
+  trigger, so a backlogged consumer — and the bootstrap itself —
+  drains in bounded micro-batches instead of one unbounded one;
+  stream==batch still holds, just chunked.
 - **One input partition per CHANGED bucket.** ``partitions(start,
   end)`` diffs the two manifests on the DRIVER (bucket directory
   lists and deletion-vector lists — metadata only, no data I/O) and
@@ -89,16 +94,57 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         self._mf = mf
         start = options.get("startingversion") or options.get("startingVersion")
         self._start = int(start) if start is not None else mf.current_version(self.path)
+        # VERDICT r11 item 3 (Delta's maxFilesPerTrigger analog):
+        # without a limit, latestOffset always jumps to the newest
+        # version, so a backlogged consumer — or a startingVersion=0
+        # bootstrap of a big table — gets the ENTIRE backlog as ONE
+        # micro-batch: unbounded memory/latency per trigger. With
+        # maxVersionsPerTrigger=k, offsets advance at most k versions
+        # per trigger and the backlog drains in bounded steps.
+        limit = options.get("maxversionspertrigger") or options.get(
+            "maxVersionsPerTrigger"
+        )
+        self._max = int(limit) if limit is not None else 0
+        if limit is not None and self._max < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # Rate-limiter state (the Python DataSource API has no
+        # SupportsAdmissionControl, so the engine never passes the
+        # checkpointed start to latestOffset — the limiter tracks its
+        # own position instead; the engine calls latestOffset BEFORE
+        # initialOffset, observed on Spark 4.1):
+        # _cursor — the newest version this reader has RETURNED as an
+        #   offset; each trigger advances at most _max past it.
+        # _floor — the newest version a planned batch has COVERED in
+        #   this reader's lifetime; partitions() never re-emits at or
+        #   below it, which is what keeps a restart that regressed the
+        #   limiter (explicit startingVersion far behind an existing
+        #   checkpoint) from re-delivering versions the previous batch
+        #   already spanned. Caveat, documented: with an explicit old
+        #   startingVersion AND an existing checkpoint, a double
+        #   restart can still re-deliver (keep the default
+        #   startingVersion when restarting rate-limited streams —
+        #   Delta likewise ignores startingVersion once a checkpoint
+        #   exists).
+        self._cursor: int = self._start
+        self._floor: int = 0
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": self._mf.current_version(self.path)}
+        latest = self._mf.current_version(self.path)
+        if self._max > 0:
+            latest = max(min(latest, self._cursor + self._max), self._cursor)
+        self._cursor = max(self._cursor, latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         mf = self._mf
         v0, v1 = start["version"], end["version"]
+        self._cursor = max(self._cursor, v0, v1)
+        v0 = max(v0, self._floor)  # never re-emit a span a planned
+        # batch of this reader lifetime already covered
+        self._floor = max(self._floor, v0, v1)
         if v1 <= v0:
             return []
         # startingVersion=0 is the BOOTSTRAP read (Delta's

@@ -1455,7 +1455,7 @@ def test_native_sink_refuses_to_commit_across_a_repartition(spark, seeded):
 
     path, orders, _ = seeded
     mf.repartition_table(spark, path, n_buckets=4)  # default hash layout (sink-able)
-    w = ManifestStreamWriter({"path": path}, mf._schema_of(mf.read_manifest(path)))
+    w = ManifestStreamWriter({"path": path, "sinkId": "t"}, mf._schema_of(mf.read_manifest(path)))
     batch = pa.table(
         {
             "o_orderkey": [20_000_000],

@@ -263,7 +263,11 @@ class TestBucketPlacement:
             assert all(d.endswith(f"{mf._BUCKET_COL}={spark_bucket}") for d in dirs)
             assert mf.read_table(spark, root, predicate=f"k = {k}").count() == 1
 
-    def test_string_key_scalar_fallback(self, spark, tmp_path):
+    def test_string_key_vectorized_placement(self, spark, tmp_path):
+        # VERDICT r11 item 2: string keys now bucket through the
+        # vectorized byte-matrix lane (no per-row Python) — placement
+        # must still match the JVM expression exactly, including
+        # unicode and empty-adjacent ids
         root = str(tmp_path / "tbl")
         seed = spark.createDataFrame(
             [(f"id_{i}", i) for i in range(30)], "name string, v int"
@@ -272,10 +276,57 @@ class TestBucketPlacement:
         w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
         import pyarrow as pa
 
-        t = pa.table({"name": [f"id_{i}" for i in range(30, 60)], "v": list(range(30, 60))})
+        names = [f"id_{i}" for i in range(30, 58)] + ["é漢字-doc", "x" * 97]
+        t = pa.table({"name": names, "v": list(range(30, 60))})
         w.commit([w.write(iter(t.to_batches()))], batchId=0)
         out = mf.read_table(spark, root)
         assert out.count() == 60
         assert out.filter("name = 'id_45'").collect()[0]["v"] == 45
-        # placement parity: the pruned point read finds the row
+        # placement parity: pruned point reads find every sink row
         assert mf.read_table(spark, root, predicate="name = 'id_45'").count() == 1
+        assert mf.read_table(spark, root, predicate="name = 'é漢字-doc'").count() == 1
+        # and the point read opened exactly ONE bucket directory
+        assert len({d.rsplit("=", 1)[1] for d in
+                    mf.resolve_read_dirs(spark, root, "name = 'id_45'")}) == 1
+
+    def test_overlong_string_key_scalar_fallback(self, spark, tmp_path):
+        # a key value past VECTOR_MAX_STRLEN bytes degrades the batch
+        # to the scalar replay — same placement, just slower
+        from mapreduce_cs416_spark.sources import spark_hash
+
+        root = str(tmp_path / "tbl")
+        seed = spark.createDataFrame([("seed", 0)], "name string, v int")
+        mf.create_table(seed, root, ["name"], n_buckets=4)
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
+        import pyarrow as pa
+
+        long_key = "k" * (spark_hash.VECTOR_MAX_STRLEN + 50)
+        t = pa.table({"name": [long_key, "short"], "v": [1, 2]})
+        w.commit([w.write(iter(t.to_batches()))], batchId=0)
+        pred = f"name = '{long_key}'"
+        assert mf.read_table(spark, root, predicate=pred).count() == 1
+        assert mf.read_table(spark, root, predicate="name = 'short'").count() == 1
+
+    def test_timestamp_key_vectorized_placement(self, spark, tmp_path):
+        # timestamp keys hash their tz-independent UTC micros — sink
+        # placement must match the JVM expression and point reads
+        # must prune to one bucket (VERDICT r11 item 6)
+        root = str(tmp_path / "tbl")
+        seed = spark.sql(
+            "select timestamp_micros(id * cast(37000000 as long)) as ts, id as v "
+            "from range(0, 40)"
+        )
+        mf.create_table(seed, root, ["ts"], n_buckets=4)
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
+        more = spark.sql(
+            "select timestamp_micros(id * cast(37000000 as long)) as ts, id as v "
+            "from range(40, 80)"
+        )
+        w.commit([w.write(iter(more.toArrow().to_batches()))], batchId=0)
+        out = mf.read_table(spark, root)
+        assert out.count() == 80
+        # JVM-pruned point read (read_table replays via a Spark job)
+        lit = spark.sql(
+            "select cast(timestamp_micros(cast(55 as long) * 37000000) as string) s"
+        ).collect()[0]["s"]
+        assert mf.read_table(spark, root, predicate=f"ts = '{lit}'").count() == 1

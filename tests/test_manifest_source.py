@@ -109,12 +109,123 @@ class TestSparkHashReplay:
             assert spark_hash.bucket_of(list(key), fields, 16) == e["b"], key
 
     def test_unsupported_lane_refuses(self):
-        ts_field = T.StructField("t", T.TimestampType())
+        # a NAIVE datetime has no zone — refusing beats guessing
         with pytest.raises(spark_hash.UnsupportedLane):
             spark_hash.hash_value(datetime.datetime(2020, 1, 1), "timestamp", 42)
         with pytest.raises(spark_hash.UnsupportedLane):
             spark_hash.hash_value(1.5, "decimal", 42, T.DecimalType(10, 2))
-        assert ts_field  # silence lint
+
+    def test_vectorized_string_lane_matches_scalar_and_spark(self, spark):
+        # VERDICT r11 item 2: the offset-padded byte-matrix lane must
+        # be bit-exact vs F.xxhash64 across stripe/chunk/tail shapes,
+        # unicode, empties, and chained multi-column hashing
+        import numpy as np
+        import pyarrow as pa
+
+        rng = random.Random(416)
+        vals = ["", "a", "é漢字" * 6, "q" * 31, "q" * 32, "q" * 33, "q" * 64,
+                "q" * 100, "q" * 255] + [
+            f"doc_{rng.randint(0, 10**12)}" for _ in range(200)
+        ]
+        ks = [rng.randint(-(2**62), 2**62) for _ in vals]
+        fields = [T.StructField("k", T.LongType()), T.StructField("s", T.StringType())]
+        df = spark.createDataFrame(list(zip(ks, vals)), T.StructType(fields))
+        exp = [r["h"] for r in df.select(F.xxhash64("k", "s").alias("h")).collect()]
+        cols = [
+            (np.array(ks, np.int64), None),
+            (spark_hash.utf8_matrix(pa.array(vals, pa.string())), None),
+        ]
+        assert spark_hash.xxhash64_vector(cols, fields).tolist() == exp
+        # over-long rows refuse the matrix (callers fall back scalar)
+        assert spark_hash.utf8_matrix(
+            pa.array(["x" * (spark_hash.VECTOR_MAX_STRLEN + 1)])
+        ) is None
+
+
+class TestTimestampLane:
+    TZS = ("UTC", "America/New_York", "Asia/Kolkata")
+
+    def test_timestamp_literal_matches_spark_across_timezones(self, spark):
+        # VERDICT r11 item 6: the stored lane is tz-independent UTC
+        # micros; a zoneless LITERAL resolves under the session zone —
+        # replayed hashes must equal F.xxhash64 in EVERY session zone
+        rng = random.Random(9)
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for tz in self.TZS:
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                lits = [
+                    f"{rng.randint(1975, 2030):04d}-{rng.randint(1, 12):02d}-"
+                    f"{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:"
+                    f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}"
+                    for _ in range(40)
+                ]
+                row = spark.sql(
+                    "select " + ", ".join(
+                        f"xxhash64(timestamp'{l}') as h{i}" for i, l in enumerate(lits)
+                    )
+                ).collect()[0]
+                for i, l in enumerate(lits):
+                    try:
+                        aware = spark_hash.timestamp_literal(l, tz)
+                    except spark_hash.UnsupportedLane:
+                        continue  # DST-ambiguous pick: refusal is the contract
+                    got = spark_hash._signed(
+                        spark_hash.hash_value(aware, "timestamp", 42)
+                    )
+                    assert got == row[f"h{i}"], (tz, l)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
+
+    def test_dst_ambiguous_literal_refuses(self):
+        with pytest.raises(spark_hash.UnsupportedLane):
+            spark_hash.timestamp_literal("2025-11-02 01:30:00", "America/New_York")
+
+    def test_timestamp_point_lookup_one_bucket_with_session_tz(self, spark, tmp_path):
+        root = str(tmp_path / "ts_tbl")
+        df = spark.sql(
+            "select timestamp_micros(id * cast(37000000 as long)) as ts, id as v "
+            "from range(0, 200)"
+        )
+        mf.create_table(df, root, ["ts"], n_buckets=8)
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        lit = spark.sql(
+            "select cast(timestamp_micros(cast(77 as long) * 37000000) as string) s"
+        ).collect()[0]["s"]
+        # WITH the session zone: the pure-Python replay pins ONE bucket
+        rdr = ManifestBatchReader(
+            {"path": root, "predicate": f"ts = '{lit}'", "sessiontimezone": tz}
+        )
+        assert len(rdr.partitions()) == 1
+        assert scan(spark, root, predicate=f"ts = '{lit}'").count() == 1
+        # WITHOUT it: refuse the replay (never guess a zone) → all buckets
+        rdr2 = ManifestBatchReader({"path": root, "predicate": f"ts = '{lit}'"})
+        assert len(rdr2.partitions()) == 8
+        # the JVM path (read_table) prunes too, via Spark's own cast
+        dirs = mf.resolve_read_dirs(spark, root, f"ts = '{lit}'")
+        assert len(dirs) == 1
+        assert mf.read_table(spark, root, predicate=f"ts = '{lit}'").count() == 1
+
+    def test_timestamp_stats_prune_correct_across_reader_timezones(self, spark, tmp_path):
+        # stats persist as UTC micros: a range predicate evaluated in
+        # a DIFFERENT reader timezone must still return exactly the
+        # filter's answer (the old ISO-naive encoding could misprune)
+        root = str(tmp_path / "ts_rng_tbl")
+        df = spark.sql(
+            "select cast(id as long) k, "
+            "timestamp_micros(cast(id * 3600e6 as long)) as ts from range(0, 500)"
+        )
+        mf.create_table(df, root, ["k"], n_buckets=8)
+        orig = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for tz in self.TZS:
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                pred = "ts >= '1970-01-05 00:00:00' and ts < '1970-01-06 00:00:00'"
+                got = mf.read_table(spark, root, predicate=pred).count()
+                exp = mf.read_table(spark, root).filter(pred).count()
+                assert got == exp and exp == 24, tz
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", orig)
 
 
 class TestFormatManifestParity:
@@ -203,6 +314,28 @@ class TestPruningPinned:
         rdr = ds.reader(declared)
         assert rdr.manifest["columns"] == [f.name for f in declared.fields]
         assert rdr.manifest["version"] == 1  # the snapshot schema() saw
+
+    def test_plain_load_without_predicate_warns_once(self, spark, table):
+        # VERDICT r11 item 8: .filter() on the loaded frame cannot
+        # prune this source (pushdown rejected for cause), so a plain
+        # multi-bucket load() fires a loud signal pointing at
+        # option('predicate')/scan()/read_table
+        import warnings
+
+        with warnings.catch_warnings(record=True) as got:
+            warnings.simplefilter("always")
+            ManifestBatchReader({"path": table})
+        assert any("predicate" in str(w.message) for w in got)
+        # scan()'s deliberate full scan does NOT warn
+        with warnings.catch_warnings(record=True) as got2:
+            warnings.simplefilter("always")
+            ManifestBatchReader({"path": table, "fullscan": "true"})
+        assert not got2
+        # a pruned reader does not warn either
+        with warnings.catch_warnings(record=True) as got3:
+            warnings.simplefilter("always")
+            ManifestBatchReader({"path": table, "predicate": "k = 5"})
+        assert not got3
 
     def test_unparseable_predicate_prunes_nothing(self, table):
         man = mf.read_manifest(table)
