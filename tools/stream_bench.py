@@ -219,6 +219,53 @@ def _append_feed(spark, sf_dir: str, base: str) -> tuple[str, str, str]:
     return table, change_dir, schema
 
 
+def bench_manifest_sink_native_str(spark, sf_dir: str, base: str) -> dict:
+    """The native sink on a STRING-keyed table (doc-id shape — the
+    LLM-pipeline default): identical append feed and volume to
+    `manifest_sink_native`, but the key is `cast(o_orderkey as
+    string)`-derived (`'doc_' || o_orderkey`), so every row buckets
+    through the vectorized UTF-8 byte-matrix lane
+    (`spark_hash.utf8_matrix` + `_v_hash_bytes` — VERDICT r11 item 2;
+    previously a per-row Python loop). The per-batch delta vs the
+    long-keyed row is the string lane's cost."""
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.sources.manifest_source import register_manifest_source
+
+    register_manifest_source(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{base}/table"
+    keyed = orders.select(
+        F.concat(F.lit("doc_"), F.col("o_orderkey")).alias("doc_key"),
+        "o_custkey", "o_totalprice", "o_orderstatus",
+    )
+    mf.create_table(keyed, table, ["doc_key"])
+    appends = (
+        keyed.where(F.col("o_custkey") % 10 < N_BATCHES)
+        .withColumn("bat", (F.col("o_custkey") % 10).cast("long"))
+        .withColumn("doc_key", F.concat(F.lit("new_"), F.col("doc_key")))
+    )
+    change_dir = f"{base}/appends"
+    _write_shards(appends, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in appends.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = (
+        stream.writeStream.format("manifest")
+        .option("path", table)
+        .option("sinkId", "bench-str")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
 def bench_manifest_sink_native(spark, sf_dir: str, base: str) -> dict:
     """The NATIVE streaming sink (sources/manifest_sink.py):
     ``writeStream.format("manifest")`` — executors bucket rows with
@@ -469,6 +516,9 @@ def main() -> int:
             "manifest_sink_native": bench_manifest_sink_native(
                 spark, sf_dir, f"{base}/sinkn"
             ),
+            "manifest_sink_native_str": bench_manifest_sink_native_str(
+                spark, sf_dir, f"{base}/sinks"
+            ),
             "manifest_sink_foreachbatch": bench_manifest_sink_foreachbatch(
                 spark, sf_dir, f"{base}/sinkf"
             ),
@@ -567,7 +617,11 @@ def main() -> int:
         "EXACTLY-ONCE, vs foreachBatch+append_into's at-least-once; the",
         "steady-state per-batch delta between the two rows is what the native",
         "path saves (batch 1 of the native row carries the Python DataSource",
-        "worker spin-up).",
+        "worker spin-up). `manifest_sink_native_str` (r12) is the SAME feed",
+        "volume on a STRING-keyed table (doc-id shape): rows bucket through",
+        "the vectorized UTF-8 byte-matrix xxhash64 lane (VERDICT r11 item 2 —",
+        "previously a per-row Python loop); its steady-state delta vs the",
+        "long-keyed row is the string lane's cost.",
         "Absolute per-batch times on this shared host drift ±30% between",
         "same-day regenerations (whole-table shifts with no code change,",
         "verified by back-to-back idle-machine runs) — compare rows WITHIN",
