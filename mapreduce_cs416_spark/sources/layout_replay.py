@@ -1,0 +1,229 @@
+"""Pure-Python replay of manifest ``partition_expr`` bucketing over
+Arrow data — the native streaming sink's bucketing brain.
+
+The native exactly-once sink (manifest_sink.py) buckets every row of
+every micro-batch INSIDE a Python DataSource worker, where there is
+no SparkSession to evaluate the table's stored partition expression.
+This module compiles the expression string into a vectorized numpy
+replay, for every layout family the manifest layer itself recommends
+(manifest.py module docstring):
+
+- ``pmod(xxhash64(k1, ..., kn), N)`` — the DEFAULT hash layout;
+  replayed through :mod:`spark_hash`'s vector lanes (property-pinned
+  against ``F.xxhash64``).
+- ``floor(key / N)`` on an integral key — the key-range layout the
+  docs recommend for key-local changelogs (``floor(o_orderkey /
+  65536)``). Spark evaluates ``/`` as DOUBLE division and ``floor``
+  back to BIGINT; the replay does the identical IEEE-754 float64
+  divide, so the results agree bit-for-bit at any magnitude (both
+  sides lose the same precision past 2^53 — agreement, not
+  exactness, is the contract).
+- ``pmod(key, N)`` on an integral key — modular range layout.
+  numpy's ``%`` on int64 with a positive divisor is already the
+  floored (non-negative) modulus ``pmod`` computes.
+- ``floor(unix_micros(key) / N)`` on a timestamp key — the
+  event-time range layout (N = bucket width in MICROSECONDS, e.g.
+  86_400_000_000 for UTC days). Timestamps store UTC micros (the
+  r12 discipline), so the replay is tz-independent by construction:
+  the Arrow storage value IS the lane.
+
+Anything else refuses with a loud ValueError at stream start — the
+sink must never mis-bucket a row (a wrong bucket silently corrupts
+point-read pruning), so genuinely non-replayable expressions keep
+falling back to ``foreachBatch`` + ``append_into``.
+
+VERDICT r12 item 1: this closes the "native sink is hash-layout
+only" gap — event-time changelogs with range layouts (the locality
+knob that bounds merge I/O) now stream exactly-once.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import spark_hash
+
+_COL = r"[A-Za-z_]\w*"
+
+_HASH_RE = re.compile(
+    rf"^\s*pmod\s*\(\s*xxhash64\s*\(\s*({_COL}(?:\s*,\s*{_COL})*)\s*\)"
+    r"\s*,\s*(\d+)\s*\)\s*$",
+    re.I,
+)
+_FLOOR_DIV_RE = re.compile(
+    rf"^\s*floor\s*\(\s*({_COL})\s*/\s*(\d+)\s*\)\s*$", re.I
+)
+_PMOD_RE = re.compile(rf"^\s*pmod\s*\(\s*({_COL})\s*,\s*(\d+)\s*\)\s*$", re.I)
+_TS_FLOOR_RE = re.compile(
+    rf"^\s*floor\s*\(\s*unix_micros\s*\(\s*({_COL})\s*\)\s*/\s*(\d+)\s*\)\s*$",
+    re.I,
+)
+
+_INTEGRAL = ("byte", "short", "integer", "long")
+
+
+class ReplayableLayout:
+    """A compiled partition expression: ``bucket_ids(arrow_table)``
+    returns the int64 bucket id of every row, exactly what Spark's
+    ``F.expr(partition_expr).cast('long')`` computes."""
+
+    def __init__(self, kind: str, fields: list, n: int):
+        self.kind = kind  # 'hash' | 'floor_div' | 'pmod' | 'ts_floor_div'
+        self.fields = fields  # StructFields of the referenced key cols
+        self.n = n  # bucket count (hash/pmod) or range width (floor)
+
+    def _check_nulls(self, table) -> None:
+        for f in self.fields:
+            if table.column(f.name).null_count:
+                raise ValueError(
+                    "manifest table keys must be non-null: a row's partition "
+                    "expression evaluated to NULL (null key column?)"
+                )
+
+    def bucket_ids(self, table):
+        """int64 numpy array of per-row bucket ids — vectorized for
+        every lane. String keys longer than
+        :data:`spark_hash.VECTOR_MAX_STRLEN` bytes stay vectorized
+        too (VERDICT r12 item 4): the batch processes in row slices
+        whose byte matrices each fit
+        :data:`spark_hash.LONG_KEY_SLICE_BYTES`, so URL-/path-keyed
+        tables never re-enter the per-row scalar path."""
+        import numpy as np
+        import pyarrow as pa
+
+        self._check_nulls(table)
+        if self.kind == "hash":
+            return self._hash_ids(table)
+        f = self.fields[0]
+        arr = table.column(f.name).combine_chunks()
+        if self.kind == "ts_floor_div":
+            vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return np.floor(vals.astype(np.float64) / float(self.n)).astype(
+                np.int64
+            )
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.kind == "floor_div":
+            # Spark's `/` is DOUBLE division, floor() back to BIGINT —
+            # replay the same IEEE float64 op, not integer floordiv,
+            # so any precision loss past 2^53 matches the JVM's
+            return np.floor(vals.astype(np.float64) / float(self.n)).astype(
+                np.int64
+            )
+        return vals % np.int64(self.n)  # pmod: numpy % == floored mod
+
+    def _hash_ids(self, table):
+        import numpy as np
+
+        max_len = 0
+        for f in self.fields:
+            if f.dataType.typeName() == "string":
+                max_len = max(
+                    max_len,
+                    spark_hash.string_max_len(
+                        table.column(f.name).combine_chunks()
+                    ),
+                )
+        if max_len <= spark_hash.VECTOR_MAX_STRLEN:
+            return self._hash_slice(table, spark_hash.VECTOR_MAX_STRLEN)
+        # long-key path (VERDICT r12 item 4): a single n_rows × max_len
+        # matrix could be huge, so process row slices whose matrices
+        # each fit the byte budget — same vector lanes, bounded memory
+        width = max(32, (max_len + 31) // 32 * 32)
+        rows_per = max(1, spark_hash.LONG_KEY_SLICE_BYTES // width)
+        out = np.empty(table.num_rows, np.int64)
+        for start in range(0, table.num_rows, rows_per):
+            sl = table.slice(start, rows_per)
+            out[start : start + sl.num_rows] = self._hash_slice(sl, max_len)
+        return out
+
+    def _hash_slice(self, table, cap: int):
+        import pyarrow as pa
+
+        cols = []
+        for f in self.fields:
+            t = f.dataType.typeName()
+            arr = table.column(f.name).combine_chunks()
+            if t == "string":
+                m = spark_hash.utf8_matrix(arr, cap)
+                assert m is not None  # caller sized cap to the batch
+                cols.append((m, None))
+            elif t == "timestamp":
+                micros = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                cols.append((micros, None))
+            else:
+                import numpy as np
+
+                np_vals = arr.to_numpy(zero_copy_only=False)
+                if t == "date":
+                    np_vals = np_vals.astype("datetime64[D]").astype(np.int32)
+                cols.append((np_vals, None))
+        return spark_hash.bucket_vector(cols, self.fields, self.n)
+
+
+def _key_fields(manifest: dict, names: list[str]) -> list:
+    from . import manifest as mf
+
+    schema = mf._schema_of(manifest)
+    by_name = {f.name: f for f in schema.fields}
+    return [by_name[c] for c in names]
+
+
+def compile_layout(manifest: dict) -> ReplayableLayout:
+    """Compile ``manifest['partition_expr']`` into a
+    :class:`ReplayableLayout`, or raise ValueError naming the refusal
+    — the caller (the native sink) must refuse at stream start, never
+    mis-bucket a row."""
+    expr = manifest["partition_expr"]
+    key_cols = list(manifest["key_cols"])
+
+    m = _HASH_RE.match(expr)
+    if m:
+        refs = [c.strip() for c in m.group(1).split(",")]
+        if refs != key_cols:
+            raise ValueError("partition expression keys differ from key_cols")
+        fields = _key_fields(manifest, refs)
+        for f in fields:
+            t = f.dataType.typeName()
+            if t not in spark_hash.VECTOR_LANES and t not in (
+                "string",
+                "timestamp",
+            ):
+                raise ValueError(
+                    f"unsupported key lane for the native sink: {t}"
+                )
+        return ReplayableLayout("hash", fields, int(m.group(2)))
+
+    for kind, rx in (
+        ("floor_div", _FLOOR_DIV_RE),
+        ("pmod", _PMOD_RE),
+        ("ts_floor_div", _TS_FLOOR_RE),
+    ):
+        m = rx.match(expr)
+        if not m:
+            continue
+        col, n = m.group(1), int(m.group(2))
+        if n < 1:
+            raise ValueError(f"partition expression divides by {n}")
+        if col not in key_cols:
+            raise ValueError("partition expression keys differ from key_cols")
+        (field,) = _key_fields(manifest, [col])
+        t = field.dataType.typeName()
+        if kind == "ts_floor_div":
+            if t != "timestamp":
+                raise ValueError(
+                    f"unix_micros range layout needs a timestamp key, got {t}"
+                )
+        elif t not in _INTEGRAL:
+            raise ValueError(
+                f"{kind} range layout needs an integral key, got {t}"
+            )
+        return ReplayableLayout(kind, [field], n)
+
+    raise ValueError(
+        "the native manifest sink can replay only these partition "
+        "layouts without a JVM: pmod(xxhash64(keys), n) [default hash], "
+        "floor(key / n) / pmod(key, n) on an integral key, and "
+        "floor(unix_micros(key) / n) on a timestamp key — "
+        f"{expr!r} is none of them; use foreachBatch + "
+        "manifest.append_into for such tables"
+    )

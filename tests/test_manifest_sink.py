@@ -182,9 +182,11 @@ class TestRefusals:
         mf.create_table(seed, root, ["k"], **kw)
         return root
 
-    def test_custom_layout_refused_at_start(self, spark, tmp_path):
-        root = self._table(spark, tmp_path, partition_expr="floor(k / 4)")
-        with pytest.raises(ValueError, match="default"):
+    def test_non_replayable_layout_refused_at_start(self, spark, tmp_path):
+        # range families are replayable since r13; an arbitrary
+        # expression still refuses loudly at stream start
+        root = self._table(spark, tmp_path, partition_expr="floor(k / 4) * 2")
+        with pytest.raises(ValueError, match="foreachBatch"):
             ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
 
     def test_schema_mismatch_refused_at_start(self, spark, tmp_path):
@@ -289,9 +291,11 @@ class TestBucketPlacement:
         assert len({d.rsplit("=", 1)[1] for d in
                     mf.resolve_read_dirs(spark, root, "name = 'id_45'")}) == 1
 
-    def test_overlong_string_key_scalar_fallback(self, spark, tmp_path):
-        # a key value past VECTOR_MAX_STRLEN bytes degrades the batch
-        # to the scalar replay — same placement, just slower
+    def test_overlong_string_keys_stay_vectorized(self, spark, tmp_path):
+        # VERDICT r12 item 4: keys past VECTOR_MAX_STRLEN bytes hash
+        # through the sliced byte-matrix lane (no per-row scalar
+        # cliff) — placement must still match the JVM exactly,
+        # including a mixed batch of short and multi-KB keys
         from mapreduce_cs416_spark.sources import spark_hash
 
         root = str(tmp_path / "tbl")
@@ -301,11 +305,110 @@ class TestBucketPlacement:
         import pyarrow as pa
 
         long_key = "k" * (spark_hash.VECTOR_MAX_STRLEN + 50)
-        t = pa.table({"name": [long_key, "short"], "v": [1, 2]})
+        url_key = "https://example.com/" + "p/" * 2000  # ~4 KB
+        t = pa.table({"name": [long_key, "short", url_key], "v": [1, 2, 3]})
         w.commit([w.write(iter(t.to_batches()))], batchId=0)
-        pred = f"name = '{long_key}'"
-        assert mf.read_table(spark, root, predicate=pred).count() == 1
-        assert mf.read_table(spark, root, predicate="name = 'short'").count() == 1
+        for key, n in ((long_key, 1), ("short", 1), (url_key, 1)):
+            pred = f"name = '{key}'"
+            assert mf.read_table(spark, root, predicate=pred).count() == n
+
+    def test_range_layout_stream_equals_batch(self, spark, tmp_path):
+        # VERDICT r12 item 1: the key-range layout the manifest docs
+        # recommend for key-local changelogs streams through the
+        # native sink — rows land where Spark's own floor(k / n)
+        # would put them, point reads prune, exactly-once holds
+        base = str(tmp_path)
+        root = os.path.join(base, "tbl")
+        seed = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        mf.create_table(seed, root, ["k"], partition_expr="floor(k / 32)")
+        shards = [
+            spark.range(100 + i * 50, 150 + i * 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            )
+            for i in range(3)
+        ]
+        shard_dir = _shard_files(spark, base, shards)
+        _run_sink(spark, shard_dir, "k long, v long", root, os.path.join(base, "ckpt"))
+        got = sorted(map(tuple, mf.read_table(spark, root).collect()))
+        assert got == sorted((k, k * 10) for k in range(0, 250))
+        assert mf.read_manifest(root)["stream_cursors"] == {"t": 2}
+        # range-bucket placement parity: a point read resolves to the
+        # ONE directory floor(130 / 32) names, and finds the row
+        dirs = mf.resolve_read_dirs(spark, root, "k = 130")
+        assert all(d.endswith(f"{mf._BUCKET_COL}={130 // 32}") for d in dirs)
+        assert mf.read_table(spark, root, predicate="k = 130").count() == 1
+        # redelivery absorption works on range tables too
+        _run_sink(spark, shard_dir, "k long, v long", root, os.path.join(base, "ckpt"))
+        assert mf.read_table(spark, root).count() == 250
+
+    def test_range_layout_negative_keys_match_spark(self, spark, tmp_path):
+        # floor(k / n) on negative keys: floor(-5/32) = -1, not 0 —
+        # the replay must do float64 floor division exactly like the
+        # JVM, and negative bucket-directory names must round-trip
+        root = str(tmp_path / "tbl")
+        seed = spark.range(-40, 40).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        )
+        mf.create_table(seed, root, ["k"], partition_expr="floor(k / 32)")
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
+        import pyarrow as pa
+
+        ks = list(range(-80, -40)) + list(range(40, 80))
+        w.commit([w.write(iter(pa.table({"k": ks, "v": [0] * len(ks)}).to_batches()))], batchId=0)
+        assert mf.read_table(spark, root).count() == 160
+        for k in (-80, -33, -1, 63):
+            b = spark.sql(f"select floor(cast({k} as bigint) / 32) b").collect()[0]["b"]
+            dirs = mf.resolve_read_dirs(spark, root, f"k = {k}")
+            assert all(d.endswith(f"{mf._BUCKET_COL}={b}") for d in dirs)
+            assert mf.read_table(spark, root, predicate=f"k = {k}").count() == 1
+
+    def test_pmod_range_layout_placement(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        seed = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+        mf.create_table(seed, root, ["k"], partition_expr="pmod(k, 8)")
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
+        import pyarrow as pa
+
+        w.commit([w.write(iter(pa.table({"k": list(range(50, 90)), "v": [0] * 40}).to_batches()))], batchId=0)
+        assert mf.read_table(spark, root).count() == 90
+        for k in (53, 77, 89):
+            dirs = mf.resolve_read_dirs(spark, root, f"k = {k}")
+            assert all(d.endswith(f"{mf._BUCKET_COL}={k % 8}") for d in dirs)
+            assert mf.read_table(spark, root, predicate=f"k = {k}").count() == 1
+
+    def test_event_time_range_layout(self, spark, tmp_path):
+        # floor(unix_micros(ts) / width): the event-time changelog
+        # layout — UTC-day buckets, tz-independent placement
+        day = 86_400_000_000
+        root = str(tmp_path / "tbl")
+        seed = spark.sql(
+            "select timestamp_micros(id * cast(3700000000 as long)) as ts, "
+            "id as v from range(0, 40)"
+        )
+        mf.create_table(
+            seed, root, ["ts"],
+            partition_expr=f"floor(unix_micros(ts) / {day})",
+        )
+        w = ManifestStreamWriter({"path": root, "sinkId": "t"}, mf._schema_of(mf.read_manifest(root)))
+        more = spark.sql(
+            "select timestamp_micros(id * cast(3700000000 as long)) as ts, "
+            "id as v from range(40, 80)"
+        )
+        w.commit([w.write(iter(more.toArrow().to_batches()))], batchId=0)
+        assert mf.read_table(spark, root).count() == 80
+        # sink rows landed in the bucket the JVM expression names
+        b = spark.sql(
+            f"select floor(unix_micros(timestamp_micros(55 * cast(3700000000 "
+            f"as long))) / {day}) b"
+        ).collect()[0]["b"]
+        lit = spark.sql(
+            "select cast(timestamp_micros(cast(55 as long) * 3700000000) as string) s"
+        ).collect()[0]["s"]
+        dirs = mf.resolve_read_dirs(spark, root, f"ts = '{lit}'")
+        assert all(d.endswith(f"{mf._BUCKET_COL}={b}") for d in dirs)
+        assert mf.read_table(spark, root, predicate=f"ts = '{lit}'").count() == 1
 
     def test_timestamp_key_vectorized_placement(self, spark, tmp_path):
         # timestamp keys hash their tz-independent UTC micros — sink

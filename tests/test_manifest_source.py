@@ -136,10 +136,163 @@ class TestSparkHashReplay:
             (spark_hash.utf8_matrix(pa.array(vals, pa.string())), None),
         ]
         assert spark_hash.xxhash64_vector(cols, fields).tolist() == exp
-        # over-long rows refuse the matrix (callers fall back scalar)
+        # over-long rows refuse the matrix at the default cap (callers
+        # raise the cap and slice instead — next test)
         assert spark_hash.utf8_matrix(
             pa.array(["x" * (spark_hash.VECTOR_MAX_STRLEN + 1)])
         ) is None
+
+    def test_long_string_keys_sliced_lane_matches_spark(self, spark):
+        # VERDICT r12 item 4: random 1-4 KB strings (URL/path shape)
+        # must bucket identically to F.xxhash64 through the sliced
+        # byte-matrix path — the 256-byte scalar cliff is gone
+        import json as _json
+
+        import pyarrow as pa
+
+        from mapreduce_cs416_spark.sources.layout_replay import compile_layout
+
+        rng = random.Random(4416)
+        vals = []
+        for i in range(120):
+            n = rng.randint(1024, 4096)
+            # mix ascii and multibyte; vary per-row so slices differ
+            core = ("/seg%d" % i) * (n // 8)
+            vals.append(("https://h.example/" + core + "é漢")[: n])
+        vals += ["x" * 255, "x" * 256, "x" * 257, "y" * 8192, ""]
+        field = T.StructField("s", T.StringType())
+        manifest = {
+            "partition_expr": "pmod(xxhash64(s), 16)",
+            "key_cols": ["s"],
+            "columns": ["s"],
+            "schema": _json.dumps(T.StructType([field]).jsonValue()),
+        }
+        layout = compile_layout(manifest)
+        # force several slices: budget ~8 MB / 4 KB ≈ 2048 rows > 125,
+        # so shrink the budget to exercise the slice boundary logic
+        import mapreduce_cs416_spark.sources.spark_hash as sh
+
+        old = sh.LONG_KEY_SLICE_BYTES
+        sh.LONG_KEY_SLICE_BYTES = 64 << 10  # ~16 rows per slice at 4 KB
+        try:
+            got = layout.bucket_ids(pa.table({"s": vals})).tolist()
+        finally:
+            sh.LONG_KEY_SLICE_BYTES = old
+        df = spark.createDataFrame([(v,) for v in vals], T.StructType([field]))
+        exp = [
+            r["b"]
+            for r in df.select(
+                F.expr("pmod(xxhash64(s), 16)").cast("long").alias("b")
+            ).collect()
+        ]
+        assert got == exp
+
+
+class TestRangeLayoutReplay:
+    """layout_replay's range lanes (VERDICT r12 item 1) must compute
+    the SAME bucket id Spark's F.expr(partition_expr).cast('long')
+    does, over the full value range including negatives and
+    float64-precision-edge magnitudes (both sides do the identical
+    IEEE double divide, so they agree bit-for-bit)."""
+
+    def _parity(self, spark, expr, field, values, arrow_array):
+        import json as _json
+
+        from mapreduce_cs416_spark.sources.layout_replay import compile_layout
+
+        manifest = {
+            "partition_expr": expr,
+            "key_cols": [field.name],
+            "columns": [field.name],
+            "schema": _json.dumps(T.StructType([field]).jsonValue()),
+        }
+        layout = compile_layout(manifest)
+        import pyarrow as pa
+
+        got = layout.bucket_ids(pa.table({field.name: arrow_array}))
+        df = spark.createDataFrame([(v,) for v in values], T.StructType([field]))
+        exp = [r["b"] for r in df.select(F.expr(expr).cast("long").alias("b")).collect()]
+        assert got.tolist() == exp
+
+    def test_floor_div_matches_spark(self, spark):
+        import pyarrow as pa
+
+        rng = random.Random(13)
+        vals = [0, -1, 1, 31, 32, -32, -33, 2**40, -(2**40),
+                2**55 + 17, -(2**55) - 17] + [
+            rng.randint(-(2**62), 2**62) for _ in range(200)
+        ]
+        self._parity(
+            spark, "floor(k / 65536)", T.StructField("k", T.LongType()),
+            vals, pa.array(vals, pa.int64()),
+        )
+
+    def test_floor_div_int32_key(self, spark):
+        import pyarrow as pa
+
+        vals = [-(2**31), 2**31 - 1, -7, 0, 7, 127, -128]
+        self._parity(
+            spark, "floor(k / 7)", T.StructField("k", T.IntegerType()),
+            vals, pa.array(vals, pa.int32()),
+        )
+
+    def test_pmod_matches_spark(self, spark):
+        import pyarrow as pa
+
+        rng = random.Random(17)
+        vals = [0, -1, 1, -8, 8, -(2**62)] + [
+            rng.randint(-(2**62), 2**62) for _ in range(200)
+        ]
+        self._parity(
+            spark, "pmod(k, 8)", T.StructField("k", T.LongType()),
+            vals, pa.array(vals, pa.int64()),
+        )
+
+    def test_ts_floor_div_matches_spark(self, spark):
+        import datetime
+
+        import pyarrow as pa
+
+        rng = random.Random(19)
+        micros = [0, 1, -1, 86_400_000_000, 86_400_000_001] + [
+            rng.randint(0, 4 * 10**15) for _ in range(100)
+        ]
+        vals = [
+            datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            + datetime.timedelta(microseconds=m)
+            for m in micros
+        ]
+        self._parity(
+            spark,
+            "floor(unix_micros(ts) / 86400000000)",
+            T.StructField("ts", T.TimestampType()),
+            vals,
+            pa.array(micros, pa.int64()).cast(pa.timestamp("us", tz="UTC")),
+        )
+
+    def test_refusals(self):
+        import json as _json
+
+        from mapreduce_cs416_spark.sources.layout_replay import compile_layout
+
+        def man(expr, ftype=T.LongType()):
+            return {
+                "partition_expr": expr,
+                "key_cols": ["k"],
+                "columns": ["k"],
+                "schema": _json.dumps(
+                    T.StructType([T.StructField("k", ftype)]).jsonValue()
+                ),
+            }
+
+        with pytest.raises(ValueError, match="foreachBatch"):
+            compile_layout(man("floor(k / 4) + 1"))
+        with pytest.raises(ValueError, match="integral"):
+            compile_layout(man("floor(k / 4)", T.DoubleType()))
+        with pytest.raises(ValueError, match="timestamp"):
+            compile_layout(man("floor(unix_micros(k) / 4)"))
+        with pytest.raises(ValueError, match="key_cols"):
+            compile_layout({**man("floor(x / 4)"), "key_cols": ["k"]})
 
 
 class TestTimestampLane:
@@ -259,6 +412,80 @@ class TestFormatManifestParity:
         df = scan(spark, table)
         assert df.filter("k = 500").count() == 1
         assert df.count() == 1000
+
+
+class TestColumnPruning:
+    """The `columns` option (VERDICT r12 item 2): the relation's
+    schema narrows, per-file reads fetch ONLY the projected column
+    chunks, results equal the unpruned scan's projection, and the
+    sister interplays (predicate pruning, schema evolution, readInfo
+    reuse) hold."""
+
+    def test_projected_scan_equals_full_scan_projection(self, spark, table):
+        got = _rows_sorted(scan(spark, table, columns=["k", "g"]))
+        exp = _rows_sorted(mf.read_table(spark, table).select("k", "g"))
+        assert got == exp
+
+    def test_schema_narrows_in_declared_order(self, spark, table):
+        df = scan(spark, table, columns=["name", "k"])
+        assert df.columns == ["name", "k"]
+        full = mf.read_table(spark, table)
+        assert df.schema["k"].dataType == full.schema["k"].dataType
+
+    def test_only_projected_chunks_are_read(self, spark, table, monkeypatch):
+        # the executor-side reader must fetch ONLY the projected
+        # column chunks from each parquet file — spy on
+        # ParquetFile.read inside an in-process read() call
+        import pyarrow.parquet as pq
+
+        seen = []
+        real = pq.ParquetFile.read
+
+        def spy(self, columns=None, **kw):
+            seen.append(columns)
+            return real(self, columns=columns, **kw)
+
+        monkeypatch.setattr(pq.ParquetFile, "read", spy)
+        rdr = ManifestBatchReader({"path": table, "columns": "g,name"})
+        rows = 0
+        for part in rdr.partitions():
+            for batch in rdr.read(part):
+                rows += batch.num_rows
+                assert batch.schema.names == ["g", "name"]
+        assert rows == 1000
+        assert seen and all(c == ["g", "name"] for c in seen)
+
+    def test_unknown_column_fails_loudly(self, spark, table):
+        with pytest.raises(Exception, match="not in the table"):
+            scan(spark, table, columns=["k", "nope"]).collect()
+
+    def test_predicate_plus_projection_prunes_and_projects(self, spark, table):
+        # key filter + non-key projection: the read widens to the
+        # conjunct column, prunes to one bucket, selects back down
+        df = scan(spark, table, predicate="k = 123", columns=["name"])
+        assert df.columns == ["name"]
+        assert [r["name"] for r in df.collect()] == ["name_123"]
+        rdr = ManifestBatchReader(
+            {"path": table, "predicate": "k = 123", "columns": "name,k"}
+        )
+        assert len(rdr.partitions()) == 1  # bucket pruning still on
+
+    def test_projection_spanning_schema_evolution(self, spark, tmp_path):
+        # files written BEFORE a column existed serve typed nulls for
+        # it under projection, same as the unprojected read
+        root = str(tmp_path / "tbl")
+        old = spark.range(0, 20).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        mf.create_table(old, root, ["k"], n_buckets=4)
+        evolved = spark.range(20, 40).select(
+            F.col("id").alias("k"), F.lit(2).alias("v"),
+            F.lit("x").alias("extra"),
+        )
+        mf.append_into(spark, root, evolved)
+        df = scan(spark, root, columns=["k", "extra"])
+        got = {(r["k"], r["extra"]) for r in df.collect()}
+        assert got == {(k, None) for k in range(20)} | {
+            (k, "x") for k in range(20, 40)
+        }
 
 
 class TestPruningPinned:

@@ -294,6 +294,53 @@ def bench_manifest_sink_native(spark, sf_dir: str, base: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_manifest_sink_native_range(spark, sf_dir: str, base: str) -> dict:
+    """The native sink on a RANGE-layout table (VERDICT r12 item 1):
+    identical append feed and volume to `manifest_sink_native`, but
+    the table partitions by `floor(o_orderkey / 65536)` — the
+    key-local changelog layout the manifest docs recommend. Bucketing
+    replays the floor division in numpy (layout_replay.py) instead of
+    the xxhash64 lanes; the per-batch delta vs the hash-layout row is
+    the range lane's cost (expected ≤: one float64 divide per row vs
+    a chained hash)."""
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.sources.manifest_source import register_manifest_source
+
+    register_manifest_source(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{base}/table"
+    mf.create_table(
+        orders, table, ["o_orderkey"],
+        partition_expr="floor(o_orderkey / 65536)",
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    appends = (
+        orders.where(F.col("o_orderkey") % 10 < N_BATCHES)
+        .withColumn("bat", (F.col("o_orderkey") % 10).cast("long"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(int(max_key) + 1))
+    )
+    change_dir = f"{base}/appends"
+    _write_shards(appends, change_dir, N_BATCHES, "bat")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in appends.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(change_dir)
+    ).drop("bat")
+    q = (
+        stream.writeStream.format("manifest")
+        .option("path", table)
+        .option("sinkId", "bench-range")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _batch_stats(q.recentProgress)
+
+
 def bench_manifest_sink_foreachbatch(spark, sf_dir: str, base: str) -> dict:
     """The same append feed through foreachBatch +
     ``manifest.append_into`` — the JVM-write path (bucket shuffle +
@@ -519,6 +566,9 @@ def main() -> int:
             "manifest_sink_native_str": bench_manifest_sink_native_str(
                 spark, sf_dir, f"{base}/sinks"
             ),
+            "manifest_sink_native_range": bench_manifest_sink_native_range(
+                spark, sf_dir, f"{base}/sinkr"
+            ),
             "manifest_sink_foreachbatch": bench_manifest_sink_foreachbatch(
                 spark, sf_dir, f"{base}/sinkf"
             ),
@@ -622,6 +672,12 @@ def main() -> int:
         "the vectorized UTF-8 byte-matrix xxhash64 lane (VERDICT r11 item 2 —",
         "previously a per-row Python loop); its steady-state delta vs the",
         "long-keyed row is the string lane's cost.",
+        "`manifest_sink_native_range` (r13, VERDICT r12 item 1) is the SAME",
+        "feed volume on a `floor(o_orderkey / 65536)` RANGE-layout table —",
+        "the key-local changelog layout that previously fell back to",
+        "foreachBatch at-least-once; rows bucket through one vectorized",
+        "float64 floor-divide (layout_replay.py), so its steady state should",
+        "sit at-or-below the hash row (no chained hash at all).",
         "Absolute per-batch times on this shared host drift ±30% between",
         "same-day regenerations (whole-table shifts with no code change,",
         "verified by back-to-back idle-machine runs) — compare rows WITHIN",
