@@ -145,6 +145,14 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("format('manifest') requires the 'path' option")
+        retries = options.get("commitretries") or options.get("commitRetries")
+        # under sustained multi-writer contention (N sinks + a
+        # compactor on one table) 4 attempts can genuinely exhaust —
+        # the stress test in tests/test_manifest_contention.py drives
+        # that shape; 8 with jittered backoff absorbs it
+        self.commit_retries = int(retries) if retries is not None else 8
+        if self.commit_retries < 1:
+            raise ValueError("commitRetries must be >= 1")
         self.sink_id = options.get("sinkid") or options.get("sinkId")
         if not self.sink_id:
             # ADVICE r11 (medium): a shared default cursor id would
@@ -237,9 +245,17 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             shutil.rmtree(os.path.join(self.path, m.rel), ignore_errors=True)
 
     def commit(self, messages, batchId: int) -> None:
+        import random
+        import time
+
         staged = self._staged(messages)
         last = None
-        for _ in range(4):
+        for attempt in range(self.commit_retries):
+            if attempt:
+                # jittered backoff desynchronizes racing committers —
+                # without it N writers re-read and re-publish in
+                # lockstep and one can starve through every retry
+                time.sleep(random.uniform(0, 0.05) * attempt)
             manifest = mf.read_manifest(self.path)
             if manifest["partition_expr"] != self.manifest_core["partition_expr"]:
                 # the table was REPARTITIONED after this stream

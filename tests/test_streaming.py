@@ -104,6 +104,72 @@ def test_streaming_attribution_join_matches_batch(spark, sf_dir, ev_stream):
     assert got == want
 
 
+def test_stream_stream_join_state_bounded(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 6: the watermarked stream-stream join must
+    hold BOUNDED state. Events arrive in EVENT-TIME ORDER (ts-decile
+    shards — the real arrival shape), so each batch's watermark
+    advance must EVICT buffered rows: the state store's final row
+    count stays well under the total rows both join sides buffered,
+    and the drained output still equals the batch join exactly."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n_shards = 6
+    shards = events.withColumn(
+        "bat", (F.ntile(n_shards).over(Window.orderBy("ts")) - 1).cast("long")
+    )
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    pdf = shards.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(n_shards):
+        p = os.path.join(shard_dir, f"shard{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf[pdf["bat"] == i], preserve_index=False),
+            p, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in shards.schema.fields
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+    ).drop("bat")
+    q = sp.run_available_now(
+        sp.streaming_attribution_join(stream, watermark="30 minutes"),
+        "t_ssjoin_bounded",
+        output_mode="append",
+    )
+    # output equivalence on the ordered arrival
+    batch = sp.streaming_attribution_join(load_table(spark, sf_dir, "events"))
+    assert _canon(spark.table("t_ssjoin_bounded")) == _canon(batch)
+    # state boundedness: by the final batch the watermark has passed
+    # five of six deciles — the store must hold far fewer rows than
+    # the two sides delivered in total (eviction actually happened)
+    progs = [
+        _json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+    ]
+    data_batches = [p for p in progs if p.get("numInputRows", 0) > 0]
+    assert len(data_batches) == n_shards
+    sides_total = (
+        events.where(F.col("event_type").isin("click", "purchase")).count()
+    )
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in data_batches]
+    assert state_rows[-1] < sides_total // 2, (state_rows, sides_total)
+    # and the buffer never simply accretes batch over batch
+    assert max(state_rows) < sides_total, (state_rows, sides_total)
+
+
 def test_streaming_corpus_ingest_matches_batch(spark, sf_dir):
     """The ingestion pipeline (single-pass profile + split tag +
     quality floor) must produce row-identical output whether the
