@@ -202,8 +202,17 @@ def kcore(
     # edge was never counted out earlier). The edge list is scanned
     # per round but NEVER rewritten, the per-round shuffle is sized by
     # edges adjacent to the round's victims, and the maintained degree
-    # IS the core degree at the fixpoint — 2 actions/round (one
-    # node-sized checkpoint, one one-row probe) and no final groupBy.
+    # IS the core degree at the fixpoint — and since r13 ONE job/round
+    # (VERDICT r12 item 8): the round's node-sized checkpoint is LAZY
+    # (localCheckpoint(eager=False)) and the one-row fixpoint probe is
+    # the action that materializes it, so the probe rides the
+    # checkpoint job instead of paying a second local[32] job floor
+    # (~0.16 s/round, the measured fixed cost in README's floor note).
+    # The probe is a SINGLE-branch aggregate over the lazy frame —
+    # the multi-branch-over-lazy-intermediate race (verify-skill
+    # gotcha; bit 3× in r6) cannot occur. The superseded round's
+    # blocks are freed only AFTER the next probe materializes the new
+    # checkpoint (the lazy frame still reads them until then).
     # Measured honestly: a WASH at sf0.1 (5.55 vs 5.62 s back-to-back
     # — both forms are fixed-cost dominated there); the win is shuffle
     # VOLUME, the axis that matters at scale: total shuffled rows
@@ -213,14 +222,21 @@ def kcore(
     # All victims still drop simultaneously per round, so the unrolled
     # DuckDB CTE oracle (plans/northstar._kcore_sql) replays
     # round-for-round unchanged (driver-hashed).
-    deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=False
+    )
+    prev = None
     for _ in range(max_rounds):
-        # one node-sized job yields the fixpoint probe AND the victim
-        # cardinality that gates the broadcast hint below
+        # one node-sized job: materializes deg's checkpoint AND yields
+        # the fixpoint probe + the victim cardinality that gates the
+        # broadcast hint below
         probe = deg.agg(
             F.count(F.when(F.col("d") < k, 1)).alias("n_victims"),
             F.count(F.when(F.col("d") >= k, 1)).alias("n_surv"),
         ).collect()[0]
+        if prev is not None:  # safe now: deg no longer reads prev
+            _unpersist_checkpoint(prev)
+            prev = None
         if probe["n_victims"] == 0:
             break
         victims = deg.where(F.col("d") < k).select(F.col("u").alias("v"))
@@ -244,11 +260,12 @@ def kcore(
             deg.where(F.col("d") >= k)
             .join(hint(loss), "u", "left")
             .select("u", (F.col("d") - F.coalesce(F.col("lost"), F.lit(0))).alias("d"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _unpersist_checkpoint(prev)
     else:
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    if prev is not None:
+        _unpersist_checkpoint(prev)
     _unpersist_checkpoint(edges)
     return deg.select(F.col("u").alias("node"), F.col("d").cast("int").alias("core_degree"))
 

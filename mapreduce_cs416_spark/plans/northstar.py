@@ -3536,10 +3536,10 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_semantic", dedup_semantic, SEMANTIC_DEDUP_SQL, similarity.semantic_dedup.__doc__, headline=True, tags=("northstar", "dedup", "similarity", "pipeline")),
         # r8 session-3 rotation: the brute-force topk baseline and the
         # centroid-score pipeline face keep their oracles in extras; their
-        # slots carry the NEW video fingerprint near-dup (completing the
-        # driver-hashed modality set) and the entity-resolution pipeline
-        # (plans/entity.py).
-        QuerySpec("multimodal_near_dup_video", multimodal_near_dup_video, MULTIMODAL_NEAR_DUP_VIDEO_SQL, multimodal.video_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "video")),
+        # slots carried the video fingerprint near-dup (rotated OUT r13
+        # after 5 driver-green rounds — phash/audio keep the modality
+        # family in-window; its exact oracle moves to EXTRA below) and
+        # the entity-resolution pipeline (plans/entity.py).
         # r6 rotation (VERDICT r5 item 7): the three rows-only window
         # entries (similarity_cosine_near_dup_lsh,
         # similarity_ivf_fitted_topk, events_distinct_rollup) moved to
@@ -3573,7 +3573,8 @@ QUERIES: dict[str, QuerySpec] = {
         # claim, and the recall/candidate-ratio numbers at BOTH
         # operating points are hash-checked, not just parity-checked.
         QuerySpec("similarity_near_dup_lsh_prod", similarity_near_dup_lsh_prod, LSH_NEAR_DUP_PROD_SQL, similarity_near_dup_lsh_prod.__doc__, headline=True, tags=("northstar", "similarity", "dedup", "lsh", "production")),
-        QuerySpec("similarity_eval_lsh", similarity_eval_lsh, SIMILARITY_EVAL_LSH_SQL, similarity.lsh_eval.__doc__, tags=("northstar", "similarity", "lsh", "eval")),
+        # r13 rotation OUT: similarity_eval_lsh (driver-green since r9;
+        # the similarity family keeps 4 in-window faces) → EXTRA below.
         QuerySpec("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_SQL, similarity.ivf_topk.__doc__, headline=True, tags=("northstar", "similarity", "ivf")),
         QuerySpec("text_bm25_search", text_bm25_search, TEXT_BM25_SQL, textstats.bm25_search.__doc__, headline=True, tags=("northstar", "text", "topk")),
         # r9: graph_triangles (exact-fed) joined graph_kcore in extras
@@ -3638,7 +3639,12 @@ QUERIES: dict[str, QuerySpec] = {
         # late-r7; standardize consumes the same moments in-window)
         # moves to extras — its slot goes to the transactional-table
         # CDC face in plans/relational.py (cdc_merge_orders_manifest).
-        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, embedding_standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
+        # r13 rotation OUT: embedding_standardize itself follows
+        # (driver-green since late-r7) → EXTRA below. The three r13
+        # slots carry scd2_point_in_time, manifest_delete_dv (both
+        # exactly-oracled extras never driver-hashed), and the NEW
+        # cross-table atomic-commit face group_atomic_ivm — all in
+        # plans/relational.py.
         # r11 rotation: text_model_quality (hashed green since late-r7;
         # the text/model family keeps text_model_quality_auc in-window)
         # moves to extras — its slot goes to the manifest delete face
@@ -3653,6 +3659,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_PAIRS_EXACT_SQL, dedup_minhash_lsh.__doc__, headline=True, tags=("northstar", "dedup", "lsh")),
+        # r13 rotation: three long-green veterans parked here with
+        # their exact oracles (tests/test_parity.py keeps checking
+        # them; headline flags keep them benched)
+        QuerySpec("multimodal_near_dup_video", multimodal_near_dup_video, MULTIMODAL_NEAR_DUP_VIDEO_SQL, multimodal.video_near_dups.__doc__, headline=True, tags=("northstar", "multimodal", "dedup", "decode", "video")),
+        QuerySpec("similarity_eval_lsh", similarity_eval_lsh, SIMILARITY_EVAL_LSH_SQL, similarity.lsh_eval.__doc__, tags=("northstar", "similarity", "lsh", "eval")),
+        QuerySpec("embedding_standardize", embedding_standardize, EMBEDDING_STANDARDIZE_SQL, embedding_standardize.__doc__, tags=("northstar", "similarity", "quantize", "pipeline")),
         QuerySpec("text_model_quality", text_model_quality, TEXT_MODEL_QUALITY_SQL, textstats.model_quality_score.__doc__, tags=("northstar", "text", "model", "pipeline")),
         QuerySpec("corpus_chunk_documents", corpus_chunk_documents, CORPUS_CHUNK_SQL, corpus_chunk_documents.__doc__, tags=("northstar", "packing", "pipeline")),
         QuerySpec("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_SQL, text_repetition_stats.__doc__, tags=("northstar", "text")),

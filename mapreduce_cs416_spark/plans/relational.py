@@ -1825,6 +1825,55 @@ def ivm_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_atomic_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ATOMIC commit (sources/table_group.py — VERDICT r12
+    item 7): facts and their materialized view are two first-class
+    manifest tables under ONE commit log; the same CDC changelog
+    ivm_orders_revenue maintains flows through ``group_transact`` —
+    facts merged (touched buckets only), view replaced — landing in
+    ONE put-if-absent publish, so a crash anywhere leaves the PAIR at
+    the previous version together (crash-injection-pinned in
+    tests/test_table_group.py). The returned frame is the view read
+    BACK through ``read_group_table`` (the member read path: synthetic
+    member manifest + the standard pruning brain), so the driver hash
+    verifies the whole group round-trip; the oracle recomputes the
+    aggregate over the merged snapshot in DuckDB — maintained view ==
+    recomputation, exactly ivm_orders_revenue's claim, now with the
+    atomic two-table commit in the loop."""
+    from ..operators import ivm
+    from ..sources import table_group as tg
+
+    base, changes = _cdc_orders_feed(load_table(spark, sf_dir, "orders"))
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    path = _query_scratch("group_atomic_ivm")
+    tg.create_group(
+        spark, path,
+        {
+            "facts": {"df": base, "key_cols": ["o_orderkey"], "n_buckets": 8},
+            "view": {
+                "df": ivm.build_view(base, group, measures),
+                "key_cols": group, "n_buckets": 4,
+            },
+        },
+    )
+    snap = tg.read_group_table(spark, path, "facts")
+    view = tg.read_group_table(spark, path, "view")
+    deltas = ivm.delta_view(
+        snap, changes, ["o_orderkey"], group, measures, op_col="op", seq_col="seq"
+    )
+    new_view = ivm.merge_deltas(view, deltas, group)
+    tg.group_transact(
+        spark, path, merges={"facts": changes}, replaces={"view": new_view}
+    )
+    out = ivm.finalize(tg.read_group_table(spark, path, "view"), group)
+    return out.select(
+        "o_custkey",
+        F.col("n_rows").alias("n_orders"),
+        "revenue",
+        (F.round(F.col("revenue") / F.col("n_rows") * 100.0) / 100.0).alias("avg_price"),
+    )
+
+
 IVM_ORDERS_SQL = """
 WITH merged AS (
     WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
@@ -1861,6 +1910,12 @@ SELECT o_custkey,
 FROM merged
 GROUP BY o_custkey
 """
+
+
+# maintained view == recomputation over the merged snapshot — the
+# SAME oracle as ivm_orders_revenue; what group_atomic_ivm adds on the
+# Spark side is the atomic two-table commit + member read round-trip.
+GROUP_ATOMIC_IVM_SQL = IVM_ORDERS_SQL
 
 
 CDC_MERGE_SQL = """
@@ -2098,6 +2153,13 @@ QUERIES: dict[str, QuerySpec] = {
         # similarity_cosine_near_dup_lsh / similarity_near_dup_lsh_prod).
         QuerySpec("manifest_native_scan", manifest_native_scan, MANIFEST_NATIVE_SCAN_SQL, manifest_native_scan.__doc__, tags=("relational", "storage", "datasource", "pipeline")),
         QuerySpec("manifest_repartition_scan", manifest_repartition_scan, MANIFEST_REPARTITION_SQL, manifest_repartition_scan.__doc__, tags=("relational", "storage", "repartition", "pipeline")),
+        # r13 rotation IN (slots freed by multimodal_near_dup_video /
+        # similarity_eval_lsh / embedding_standardize — see
+        # plans/northstar.py): two exactly-oracled extras the driver
+        # never hashed, plus the NEW cross-table atomic-commit face.
+        QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
+        QuerySpec("manifest_delete_dv", manifest_delete_dv, MANIFEST_DELETE_SQL, manifest_delete_dv.__doc__, tags=("relational", "storage", "delete", "dv", "pipeline")),
+        QuerySpec("group_atomic_ivm", group_atomic_ivm, GROUP_ATOMIC_IVM_SQL, group_atomic_ivm.__doc__, tags=("relational", "storage", "cdc", "ivm", "transaction", "pipeline")),
         # late-r8 rotation: grouping_variants / percentile_suite /
         # distinct_suite (driver-hashed green since the early rounds;
         # each is a consolidation whose granular twins — rollup/cube/
@@ -2157,10 +2219,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     q.name: q
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
-        QuerySpec("scd2_point_in_time", scd2_point_in_time, SCD2_PIT_SQL, scd2_point_in_time.__doc__, tags=("relational", "cdc", "window", "join", "temporal")),
-        # r11: deletion-vector twin of the in-window delete face (same
-        # oracle SQL — the answer-identity claim), parity-checked.
-        QuerySpec("manifest_delete_dv", manifest_delete_dv, MANIFEST_DELETE_SQL, manifest_delete_dv.__doc__, tags=("relational", "storage", "delete", "dv", "pipeline")),
+        # r13: scd2_point_in_time and manifest_delete_dv rotated INTO
+        # the driver window above.
         # r12 rotation OUT (driver-hashed green since r2; the as-of
         # custom op keeps its exact oracle here, parity-checked):
         QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),

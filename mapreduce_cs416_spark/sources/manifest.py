@@ -377,7 +377,10 @@ def history(path: str) -> list[dict]:
                 "version": v,
                 "op": m.get("op", "?"),
                 "committed_at": m.get("committed_at"),
-                "n_buckets": len(m["buckets"]),
+                # group manifests (table_group.py) count member buckets
+                "n_buckets": sum(
+                    len(e["buckets"]) for e in m["tables"].values()
+                ) if "tables" in m else len(m["buckets"]),
             }
         )
     return out
@@ -1123,6 +1126,17 @@ def read_table(
             raise ValueError("pass version OR as_of, not both")
         version = version_at(path, as_of)
     manifest = read_manifest(path, version)
+    return _read_from_manifest(spark, path, manifest, predicate)
+
+
+def _read_from_manifest(
+    spark: SparkSession, path: str, manifest: dict, predicate: str | None = None
+) -> DataFrame:
+    """``read_table``'s scan half, for a caller that already resolved
+    the manifest dict — ``read_table`` itself, and ``table_group``'s
+    member reads (a member's entry in the GROUP manifest has the same
+    shape as a standalone manifest, so the whole pruning brain is
+    shared)."""
     dirs = resolve_read_dirs(spark, path, predicate, manifest=manifest)
     if not dirs:
         schema = _schema_of(manifest)
@@ -1193,11 +1207,47 @@ def _merge_once(
     seq_col: str | None,
     aux: dict[str, DataFrame] | None,
 ) -> dict:
+    manifest = read_manifest(path)
+    new_manifest, rel = _merge_stage(
+        spark, path, manifest, changes, op_col, seq_col, aux,
+        manifest["version"] + 1,
+    )
+    if new_manifest is None:
+        # empty batch: no new version, nothing written — return the
+        # COMMITTED manifest, not the locally-evolved dict
+        return read_manifest(path)
+    try:
+        _commit(path, new_manifest)
+    except CommitConflict:
+        # a losing merge's data was computed against a superseded
+        # snapshot — useless to the retry; reclaim it now rather than
+        # leaving it for vacuum's age-gated orphan sweep
+        if rel is not None:
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        raise
+    return new_manifest
+
+
+def _merge_stage(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    changes: DataFrame,
+    op_col: str,
+    seq_col: str | None,
+    aux: dict[str, DataFrame] | None,
+    new_version: int,
+) -> tuple[dict | None, str | None]:
+    """The data-staging + manifest-building half of a merge, COMMIT
+    EXCLUDED: everything is written under a writer-unique directory of
+    ``path`` and the would-be manifest dict is returned for the caller
+    to publish — ``_merge_once`` publishes it to this table's own log;
+    ``table_group.group_transact`` embeds it (with siblings) in ONE
+    group commit so several tables' merges land atomically (VERDICT
+    r12 item 7). Returns (None, None) for an empty batch."""
     from ..operators import cdc
 
-    manifest = read_manifest(path)
     key_cols = manifest["key_cols"]
-    new_version = manifest["version"] + 1
 
     # schema evolution (VERDICT r10 item 1): validate the changelog's
     # data columns against the persisted schema and evolve it
@@ -1227,9 +1277,7 @@ def _merge_once(
             "partition expression evaluated to NULL (null key column?)"
         )
     if not touched and not aux:
-        # empty batch: no new version, nothing written — return the
-        # COMMITTED manifest, not the locally-evolved dict
-        return read_manifest(path)
+        return None, None  # empty batch: nothing staged
 
     buckets = dict(manifest["buckets"])
     stats = dict(manifest.get("stats", {}))
@@ -1300,15 +1348,7 @@ def _merge_once(
     }
     if aux_entry:
         new_manifest["aux"] = aux_entry
-    try:
-        _commit(path, new_manifest)
-    except CommitConflict:
-        # a losing merge's data was computed against a superseded
-        # snapshot — useless to the retry; reclaim it now rather than
-        # leaving it for vacuum's age-gated orphan sweep
-        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
-        raise
-    return new_manifest
+    return new_manifest, rel
 
 
 def read_changed_sides(
@@ -2156,28 +2196,42 @@ def vacuum(path: str, keep_versions: int = 1, orphan_min_age_s: float = 3600.0) 
     live: set[str] = set()
     live_aux: set[str] = set()
     referenced: set[str] = set()  # by ANY still-present manifest
+    data_roots = {os.path.join(path, "data")}
+
+    def _units(manifest: dict) -> list[tuple[str, dict]]:
+        # a GROUP manifest (table_group.py) nests member entries under
+        # 'tables', each rooted at path/<name> — vacuum sweeps every
+        # member's data root with the same rules
+        if "tables" in manifest:
+            return [
+                (os.path.join(path, n), e)
+                for n, e in manifest["tables"].items()
+            ]
+        return [(path, manifest)]
+
     for v in versions:
         manifest = read_manifest(path, v)
-        dirs = {
-            os.path.normpath(os.path.join(path, rel, f"{_BUCKET_COL}={b}"))
-            for key in ("buckets", "dvs")
-            for b, rels in manifest.get(key, {}).items()
-            for rel in rels
-        }
-        auxes = {
-            os.path.normpath(os.path.join(path, rel))
-            for v in manifest.get("aux", {}).values()
-            for rel in (v if isinstance(v, list) else [v])
-        }
+        dirs: set[str] = set()
+        auxes: set[str] = set()
+        for base, m in _units(manifest):
+            data_roots.add(os.path.join(base, "data"))
+            dirs |= {
+                os.path.normpath(os.path.join(base, rel, f"{_BUCKET_COL}={b}"))
+                for key in ("buckets", "dvs")
+                for b, rels in m.get(key, {}).items()
+                for rel in rels
+            }
+            auxes |= {
+                os.path.normpath(os.path.join(base, rel))
+                for av in m.get("aux", {}).values()
+                for rel in (av if isinstance(av, list) else [av])
+            }
         referenced |= dirs | auxes
         if v in kept:
             live |= dirs
             live_aux |= auxes
     removed = 0
     now = time.time()
-    data_root = os.path.join(path, "data")
-    if not os.path.isdir(data_root):
-        return 0
 
     def _payload_leaves(vpath: str) -> list[str]:
         """Payload leaves of a version directory, relative to it —
@@ -2193,8 +2247,13 @@ def vacuum(path: str, keep_versions: int = 1, orphan_min_age_s: float = 3600.0) 
                 out.append(leaf)
         return out
 
-    for vdir in os.listdir(data_root):
-        vpath = os.path.join(data_root, vdir)
+    version_dirs = [
+        os.path.join(data_root, vdir)
+        for data_root in sorted(data_roots)
+        if os.path.isdir(data_root)
+        for vdir in os.listdir(data_root)
+    ]
+    for vpath in version_dirs:
         if not os.path.isdir(vpath):
             continue
         dropped_leaf = False

@@ -1,0 +1,248 @@
+"""Cross-table ATOMIC commits — a TABLE GROUP: N named manifest
+tables under one root sharing ONE commit log (VERDICT r12 item 7:
+the IVM snapshot+view pattern as first-class API, not aux payloads).
+
+Why a shared log instead of coordinating two independent logs: a
+filesystem gives exactly one atomic primitive (put-if-absent link of
+one file — ``manifest._commit``). Two tables with two logs need a
+coordinator to be atomic across a crash between their publishes;
+with ONE log there is nothing to coordinate — a group commit IS one
+put-if-absent, so a crash anywhere before it leaves EVERY member at
+the previous version together, and a replayed batch applies exactly
+once. This mirrors how the public lakehouse designs frame multi-table
+transactions (catalog-level commit coordination): the commit point
+moves up one level; the data layout stays per-table.
+
+Layout::
+
+    root/_manifests/v{N}.json        one log for the whole group:
+                                     {"version", "op", "tables":
+                                      {name: member-entry}}
+    root/<name>/data/v{N}-<uuid>/    member data, standard bucket
+                                     layout (relative rels, so every
+                                     existing helper works)
+
+A member ENTRY has exactly a standalone manifest's shape (columns /
+schema / key_cols / partition_expr / buckets / stats / dvs) minus the
+version — reads synthesize ``{**entry, "version": gv}`` and reuse
+``manifest._read_from_manifest`` (the whole pruning brain: bucket
+replay for key equality, min/max stats for ranges); merges reuse
+``manifest._merge_stage`` (touched-bucket rewrite, schema evolution,
+DV clearing). Delta encoding, the ``_latest`` pointer, vacuum's
+orphan sweep, and time travel all come straight from the shared log
+machinery. Metadata note: the log's delta encoding diffs per member —
+a commit touching one member persists that member's whole entry
+(O(member manifest), not O(changed bucket)); acceptable because group
+members are tables that must move together, which in practice means a
+handful, not thousands.
+
+Concurrency: group writers conflict on the one log and retry the
+whole transaction (same model as single-table writers); losing
+attempts' staged directories are reclaimed immediately, crash orphans
+by ``vacuum``'s age gate.
+
+Reference parity anchor: the reference engine has no transactional
+storage at all (SURVEY §2.C sinks are append-only files); this is
+north-star warehouse surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import manifest as mf
+
+
+def _entry_of(df: DataFrame, key_cols: list[str], expr: str) -> dict:
+    return {
+        "partition_expr": expr,
+        "key_cols": list(key_cols),
+        "columns": df.columns,
+        "schema": df.schema.json(),
+        "writer_timezone": df.sparkSession.conf.get(
+            "spark.sql.session.timeZone"
+        ),
+        "buckets": {},
+        "stats": {},
+    }
+
+
+def _check_name(name: str) -> None:
+    if not name or name.startswith("_") or "/" in name or "\\" in name:
+        raise ValueError(f"invalid group member name {name!r}")
+
+
+def _stage_member(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+    partition_expr: str | None,
+    version: int,
+) -> tuple[dict, str]:
+    """Write ``df`` as member ``name``'s full image under a fresh
+    writer-unique directory; return (manifest entry, staged rel).
+    Nothing is visible until the caller's ONE group commit."""
+    expr = partition_expr or mf.default_partition_expr(key_cols, n_buckets)
+    mf._validate_partition_expr(expr, key_cols, df.columns)
+    entry = _entry_of(df, key_cols, expr)
+    member = os.path.join(root, name)
+    rel = mf._new_rel(version)
+    mf._write_buckets(
+        df.withColumn(mf._BUCKET_COL, mf._bucket_col(entry)), member, rel
+    )
+    written = mf._written_buckets(member, rel)
+    entry["buckets"] = {str(b): [rel] for b in written}
+    entry["stats"] = {rel: mf._collect_stats(spark, member, rel)}
+    return entry, rel
+
+
+def create_group(
+    spark: SparkSession,
+    root: str,
+    members: dict[str, dict],
+) -> dict:
+    """Create a table group in ONE commit. ``members`` maps each name
+    to a spec dict: ``{"df": DataFrame, "key_cols": [...],
+    "n_buckets": 16, "partition_expr": None}`` (the last two
+    optional, same semantics as ``manifest.create_table``)."""
+    if mf.current_version(root) != 0:
+        raise ValueError(f"a table group already exists under {root}")
+    if not members:
+        raise ValueError("a table group needs at least one member")
+    tables = {}
+    for name, spec in members.items():
+        _check_name(name)
+        tables[name], _ = _stage_member(
+            spark, root, name, spec["df"], spec["key_cols"],
+            spec.get("n_buckets", 16), spec.get("partition_expr"), 1,
+        )
+    manifest = {"version": 1, "op": "create_group", "tables": tables}
+    mf._commit(root, manifest)
+    return manifest
+
+
+def _member_entry(g: dict, name: str) -> dict:
+    tables = g.get("tables")
+    if tables is None:
+        raise ValueError("not a table-group manifest (no 'tables' map)")
+    if name not in tables:
+        raise KeyError(
+            f"no member {name!r} in this group; members: {sorted(tables)}"
+        )
+    return tables[name]
+
+
+def read_group_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Snapshot read of one member at a group version (default
+    latest) — every member read at one version is MUTUALLY CONSISTENT
+    by construction (they came from the same commit). Pruning is the
+    standard brain (key-equality bucket replay + min/max stats)."""
+    g = mf.read_manifest(root, version)
+    entry = _member_entry(g, name)
+    member_manifest = {**entry, "version": g["version"]}
+    return mf._read_from_manifest(
+        spark, os.path.join(root, name), member_manifest, predicate
+    )
+
+
+def group_transact(
+    spark: SparkSession,
+    root: str,
+    merges: dict[str, DataFrame] | None = None,
+    replaces: dict[str, DataFrame] | None = None,
+    op_col: str = "op",
+    seq_col: str | None = "seq",
+    conflict_retries: int = 3,
+) -> dict:
+    """ONE atomic commit over several members: ``merges[name]`` is a
+    CDC changelog merged into that member (touched-bucket rewrite,
+    ``manifest.merge_into`` semantics including schema evolution);
+    ``replaces[name]`` is a full new image for that member (the
+    materialized-view shape — view-sized, rewritten wholesale). All
+    named members' new states become visible in one put-if-absent
+    publish; a crash before it leaves every member at the previous
+    version TOGETHER (crash-injection-pinned in
+    tests/test_table_group.py). Conflicts retry the whole transaction
+    from the fresh group manifest."""
+    last: mf.CommitConflict | None = None
+    for _ in range(max(1, conflict_retries + 1)):
+        try:
+            return _transact_once(
+                spark, root, merges or {}, replaces or {}, op_col, seq_col
+            )
+        except mf.CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _transact_once(
+    spark: SparkSession,
+    root: str,
+    merges: dict[str, DataFrame],
+    replaces: dict[str, DataFrame],
+    op_col: str,
+    seq_col: str | None,
+) -> dict:
+    overlap = set(merges) & set(replaces)
+    if overlap:
+        raise ValueError(f"members both merged and replaced: {sorted(overlap)}")
+    g = mf.read_manifest(root)
+    new_version = g["version"] + 1
+    tables = {n: dict(e) for n, e in g["tables"].items()}
+    staged: list[str] = []  # member-relative dirs to reclaim on a loss
+    changed = False
+    try:
+        for name, changes in merges.items():
+            entry = _member_entry(g, name)
+            member = os.path.join(root, name)
+            member_manifest = {**entry, "version": g["version"]}
+            new_member, rel = mf._merge_stage(
+                spark, member, member_manifest, changes,
+                op_col, seq_col, None, new_version,
+            )
+            if new_member is None:
+                continue  # empty changelog for this member
+            if rel is not None:
+                staged.append(os.path.join(member, rel))
+            new_member.pop("version", None)
+            new_member.pop("op", None)
+            tables[name] = new_member
+            changed = True
+        for name, df in replaces.items():
+            entry = _member_entry(g, name)
+            member = os.path.join(root, name)
+            new_entry, rel = _stage_member(
+                spark, root, name, df, entry["key_cols"],
+                # keep the member's layout across replacement
+                1, entry["partition_expr"], new_version,
+            )
+            staged.append(os.path.join(member, rel))
+            tables[name] = new_entry
+            changed = True
+    except BaseException:
+        for d in staged:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    if not changed:
+        return g  # nothing to publish, no version burn
+    new_manifest = {**g, "version": new_version, "op": "group_transact",
+                    "tables": tables}
+    try:
+        mf._commit(root, new_manifest)
+    except mf.CommitConflict:
+        for d in staged:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    return new_manifest

@@ -750,6 +750,54 @@ def streaming_view_maintenance_manifest(
     )
 
 
+def streaming_view_maintenance_group(
+    changes: DataFrame,
+    group_root: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    measures: dict[str, str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """streaming_view_maintenance on a TABLE GROUP (VERDICT r12
+    item 7 — sources/table_group.py): facts and view are two
+    first-class named manifest tables under ONE commit log, so per
+    micro-batch the facts merge (touched buckets only) and the view
+    replacement land in ONE put-if-absent group commit. A crash
+    anywhere before it leaves BOTH tables at the previous version
+    together, and the replayed batch applies exactly once — the same
+    guarantee the aux-payload variant
+    (streaming_view_maintenance_manifest) provides, but the view is
+    now a real table: independently readable at any group version,
+    key-pruned, and mutually consistent with its facts version by
+    construction. Seed with ``table_group.create_group(spark, root,
+    {"facts": ..., "view": ...})`` before starting."""
+    from ..operators import ivm
+    from ..sources import table_group as tg
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        snap = tg.read_group_table(session, group_root, "facts")
+        view = tg.read_group_table(session, group_root, "view")
+        delta = ivm.delta_view(
+            snap, batch_df, key_cols, group_cols, measures,
+            op_col=op_col, seq_col=seq_col,
+        )
+        new_view = ivm.merge_deltas(view, delta, group_cols)
+        tg.group_transact(
+            session, group_root,
+            merges={"facts": batch_df}, replaces={"view": new_view},
+            op_col=op_col, seq_col=seq_col,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{group_root}_group_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_view_maintenance_cdf(
     changes: DataFrame,
     source_path: str,

@@ -1,0 +1,231 @@
+"""Cross-table atomic commits (sources/table_group.py — VERDICT r12
+item 7): N named manifest tables under ONE commit log, so a group
+commit is one put-if-absent file link and every member's new state
+becomes visible together.
+
+Claims pinned:
+
+1. create/read round-trip, member pruning through the standard brain.
+2. group_transact (merge + replace) lands atomically; time travel
+   reads a mutually consistent member PAIR at every version.
+3. CRASH INJECTION: a crash anywhere before the one commit leaves
+   BOTH members at the previous version together, and the replayed
+   transaction applies exactly once.
+4. Commit races retry the whole transaction without data loss.
+5. vacuum reclaims superseded member directories and crash orphans
+   (age-gated) across all member data roots.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.operators import ivm
+from mapreduce_cs416_spark.sources import manifest as mf
+from mapreduce_cs416_spark.sources import table_group as tg
+
+GROUP_COLS = ["g"]
+MEASURES = {"total": "v"}
+
+
+def _facts(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 2.0), (3, "b", 7.0), (4, "c", 5.0)],
+        "k long, g string, v double",
+    )
+
+
+def _mk_group(spark, root: str) -> dict:
+    facts = _facts(spark)
+    return tg.create_group(
+        spark,
+        root,
+        {
+            "facts": {"df": facts, "key_cols": ["k"], "n_buckets": 4},
+            "view": {
+                "df": ivm.build_view(facts, GROUP_COLS, MEASURES),
+                "key_cols": GROUP_COLS,
+                "n_buckets": 2,
+            },
+        },
+    )
+
+
+def _snap(spark, root: str, version=None):
+    facts = sorted(
+        map(tuple, tg.read_group_table(spark, root, "facts", version).collect())
+    )
+    view = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in ivm.finalize(
+            tg.read_group_table(spark, root, "view", version), GROUP_COLS
+        ).collect()
+    }
+    return facts, view
+
+
+def _transact_batch(spark, root: str, rows) -> dict:
+    """One IVM step: merge the changelog into facts and replace the
+    view — computed against the committed pair, landed in ONE commit."""
+    changes = spark.createDataFrame(
+        rows, "k long, g string, v double, op string, seq long"
+    )
+    snap = tg.read_group_table(spark, root, "facts")
+    view = tg.read_group_table(spark, root, "view")
+    delta = ivm.delta_view(snap, changes, ["k"], GROUP_COLS, MEASURES)
+    new_view = ivm.merge_deltas(view, delta, GROUP_COLS)
+    return tg.group_transact(
+        spark, root, merges={"facts": changes}, replaces={"view": new_view}
+    )
+
+
+BATCH1 = [(2, "b", 2.0, "U", 1), (4, "c", None, "D", 1), (6, "d", 4.0, "U", 1)]
+AFTER1_FACTS = [(1, "a", 10.0), (2, "b", 2.0), (3, "b", 7.0), (6, "d", 4.0)]
+AFTER1_VIEW = {"a": (1, 10.0), "b": (2, 9.0), "d": (1, 4.0)}
+
+
+class TestGroupBasics:
+    def test_create_and_read_round_trip(self, spark, tmp_path):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        facts, view = _snap(spark, root)
+        assert facts == sorted(map(tuple, _facts(spark).collect()))
+        assert view == {"a": (2, 12.0), "b": (1, 7.0), "c": (1, 5.0)}
+
+    def test_member_point_read_prunes_to_one_bucket(self, spark, tmp_path):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        got = tg.read_group_table(spark, root, "facts", predicate="k = 3")
+        assert [tuple(r) for r in got.collect()] == [(3, "b", 7.0)]
+
+    def test_unknown_member_fails_loudly(self, spark, tmp_path):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        with pytest.raises(KeyError, match="facts"):
+            tg.read_group_table(spark, root, "nope")
+
+    def test_transact_and_time_travel_pairs(self, spark, tmp_path):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        man = _transact_batch(spark, root, BATCH1)
+        assert man["version"] == 2 and man["op"] == "group_transact"
+        assert _snap(spark, root) == (AFTER1_FACTS, AFTER1_VIEW)
+        # version 1 still reads the ORIGINAL pair — consistent together
+        facts1, view1 = _snap(spark, root, version=1)
+        assert facts1 == sorted(map(tuple, _facts(spark).collect()))
+        assert view1 == {"a": (2, 12.0), "b": (1, 7.0), "c": (1, 5.0)}
+
+    def test_view_always_recomputable_from_its_facts_version(self, spark, tmp_path):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        _transact_batch(spark, root, BATCH1)
+        _transact_batch(spark, root, [(1, "a", 11.0, "U", 2)])
+        for v in (1, 2, 3):
+            facts = tg.read_group_table(spark, root, "facts", version=v)
+            view = tg.read_group_table(spark, root, "view", version=v)
+            want = {
+                r["g"]: (r["n_rows"], r["total"])
+                for r in ivm.finalize(
+                    ivm.build_view(facts, GROUP_COLS, MEASURES), GROUP_COLS
+                ).collect()
+            }
+            got = {
+                r["g"]: (r["n_rows"], r["total"])
+                for r in ivm.finalize(view, GROUP_COLS).collect()
+            }
+            assert got == want, f"version {v} pair inconsistent"
+
+
+class TestCrashAtomicity:
+    def test_crash_before_commit_reverts_both_then_replay_applies_once(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The headline claim: ALL staging is done (both members' data
+        written) and the process dies before the one group commit —
+        neither member moves; the replayed transaction lands exactly
+        once."""
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        before = _snap(spark, root)
+
+        real_commit = mf._commit
+
+        def dying_commit(path, manifest):
+            raise RuntimeError("injected crash before group publish")
+
+        monkeypatch.setattr(mf, "_commit", dying_commit)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _transact_batch(spark, root, BATCH1)
+        monkeypatch.setattr(mf, "_commit", real_commit)
+
+        # both members revert TOGETHER — the old pair is intact
+        assert mf.current_version(root) == 1
+        assert _snap(spark, root) == before
+        # replay applies exactly once
+        _transact_batch(spark, root, BATCH1)
+        assert _snap(spark, root) == (AFTER1_FACTS, AFTER1_VIEW)
+        assert mf.current_version(root) == 2
+
+    def test_commit_race_retries_whole_transaction(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A racing group writer steals the version mid-transaction:
+        group_transact must retry from the fresh manifest and apply on
+        top of the racer's commit — no lost updates on either side."""
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        real_commit = mf._commit
+        state = {"raced": False}
+
+        def racing(path, manifest):
+            if not state["raced"] and manifest.get("op") == "group_transact":
+                state["raced"] = True
+                racer = spark.createDataFrame(
+                    [(9, "z", 1.0, "U", 1)],
+                    "k long, g string, v double, op string, seq long",
+                )
+                tg.group_transact(spark, root, merges={"facts": racer})
+            return real_commit(path, manifest)
+
+        monkeypatch.setattr(mf, "_commit", racing)
+        _transact_batch(spark, root, BATCH1)
+        monkeypatch.setattr(mf, "_commit", real_commit)
+        assert state["raced"]
+        facts, _ = _snap(spark, root)
+        assert facts == sorted(AFTER1_FACTS + [(9, "z", 1.0)])
+
+    def test_vacuum_reclaims_superseded_and_orphaned_member_dirs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        _transact_batch(spark, root, BATCH1)
+        # leave a crash orphan under a member
+        real_commit = mf._commit
+        monkeypatch.setattr(
+            mf, "_commit",
+            lambda *a: (_ for _ in ()).throw(RuntimeError("crash")),
+        )
+        with pytest.raises(RuntimeError):
+            _transact_batch(spark, root, [(7, "e", 1.0, "U", 3)])
+        monkeypatch.setattr(mf, "_commit", real_commit)
+        before = _snap(spark, root)
+        removed = mf.vacuum(root, keep_versions=1, orphan_min_age_s=0.0)
+        assert removed > 0  # superseded v1 dirs + the crash orphans
+        assert _snap(spark, root) == before
+        # every member data dir that remains is referenced by the one
+        # kept manifest
+        g = mf.read_manifest(root)
+        live = set()
+        for name, e in g["tables"].items():
+            for rels in e["buckets"].values():
+                live |= {os.path.join(root, name, r) for r in rels}
+        on_disk = set()
+        for name in g["tables"]:
+            droot = os.path.join(root, name, "data")
+            on_disk |= {os.path.join(root, name, "data", d)
+                        for d in os.listdir(droot)}
+        assert on_disk == live
