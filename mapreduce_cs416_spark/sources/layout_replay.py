@@ -111,6 +111,31 @@ class ReplayableLayout:
             )
         return vals % np.int64(self.n)  # pmod: numpy % == floored mod
 
+    def bucket_of_row(self, values) -> int:
+        """Scalar replay for ONE key combination — the native source's
+        key-equality pruning path (manifest_source.replay_buckets),
+        where a predicate pins a handful of literals rather than a
+        whole Arrow batch. Values arrive already cast to the column's
+        lane (``manifest_source._cast_for_lane``: ints for integral
+        columns, tz-aware datetimes for timestamps)."""
+        import math
+
+        if self.kind == "hash":
+            return spark_hash.bucket_of(values, self.fields, self.n)
+        (v,) = values
+        if self.kind == "ts_floor_div":
+            if not (hasattr(v, "tzinfo") and v.tzinfo is not None):
+                raise spark_hash.UnsupportedLane(
+                    "timestamp without an explicit timezone"
+                )
+            # float64 division exactly as the JVM (and the vector
+            # lane) computes it — cast BEFORE dividing
+            return math.floor(float(spark_hash.micros_of(v)) / float(self.n))
+        v = int(v)
+        if self.kind == "floor_div":
+            return math.floor(float(v) / float(self.n))
+        return v % self.n  # pmod
+
     def _hash_ids(self, table):
         import numpy as np
 

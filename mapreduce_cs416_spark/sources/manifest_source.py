@@ -63,7 +63,6 @@ from __future__ import annotations
 
 import itertools
 import json
-import re
 import struct
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -71,11 +70,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from . import manifest as mf
 from . import spark_hash
 
-_DEFAULT_EXPR_RE = re.compile(
-    r"^\s*pmod\s*\(\s*xxhash64\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)"
-    r"\s*,\s*(\d+)\s*\)\s*$",
-    re.I,
-)
+# layout grammar moved to layout_replay.py (r13): the source and the
+# sink share one compiled-replay brain for every supported family
 
 
 class BucketScan(InputPartition):
@@ -109,17 +105,27 @@ def replay_buckets(
 ) -> list[int] | None:
     """Pure-Python twin of ``manifest._resolve_candidate_buckets``:
     candidate bucket ids when equality/IN conjuncts pin every key
-    column of the DEFAULT hash layout, else None (no bucket pruning).
-    Same gates: literal type classes must match their columns
+    column the partition expression references, else None (no bucket
+    pruning). Since r13 this covers every REPLAYABLE layout family
+    (``layout_replay.compile_layout``) — the default hash layout AND
+    the range families (``floor(key / n)``, ``pmod(key, n)``,
+    ``floor(unix_micros(key) / n)``) — so key point reads on
+    range-partitioned tables prune to one bucket through the native
+    no-JVM path too, instead of degrading to stats. Same gates:
+    literal type classes must match their columns
     (``_literal_type_ok``), ≤ ``_MAX_KEY_COMBOS`` combinations, and
-    any lane spark_hash cannot replay exactly refuses the whole
+    any lane the replay cannot compute exactly refuses the whole
     prune."""
-    m = _DEFAULT_EXPR_RE.match(manifest["partition_expr"])
+    from .layout_replay import compile_layout
+
     schema = mf._schema_of(manifest)
-    if not m or schema is None:
+    if schema is None:
         return None
-    ref = [c.strip() for c in m.group(1).split(",")]
-    n_buckets = int(m.group(2))
+    try:
+        layout = compile_layout(manifest)
+    except (ValueError, KeyError):
+        return None  # non-replayable expression: stats-only pruning
+    ref = [f.name for f in layout.fields]
     pinned: dict[str, list] = {}
     for col, op, lit in conjs:
         if op == "=":
@@ -145,12 +151,12 @@ def replay_buckets(
         return []  # contradictory conjuncts: provably empty
     if len(combos) > mf._MAX_KEY_COMBOS:
         return None
-    fields = [by_name[c] for c in ref]
+    fields = layout.fields
     out = set()
     try:
         for combo in combos:
             lanes = [_cast_for_lane(v, f.dataType, tz) for v, f in zip(combo, fields)]
-            out.add(spark_hash.bucket_of(lanes, fields, n_buckets))
+            out.add(layout.bucket_of_row(lanes))
     except (
         spark_hash.UnsupportedLane,
         ValueError,

@@ -570,21 +570,43 @@ class TestPruningPinned:
         rdr = ManifestBatchReader({"path": table, "predicate": "not (k = 5)"})
         assert len(rdr.partitions()) == len(full.partitions()) == len(man["buckets"])
 
-    def test_custom_partition_expr_falls_back_to_stats(self, spark, tmp_path):
-        # range layout: bucket replay refuses (non-default expr) but
-        # the per-bucket min/max stats prune a range predicate
+    def test_range_layout_point_read_prunes_to_one_bucket(self, spark, tmp_path):
+        # r13: the range families bucket-replay through layout_replay
+        # in the no-JVM path too — a key point read on a floor(k/128)
+        # table resolves to EXACTLY the one bucket floor names
         root = str(tmp_path / "range_tbl")
         df = spark.range(0, 1000).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("v")
         )
         mf.create_table(df, root, ["k"], partition_expr="floor(k / 128)")
         man = mf.read_manifest(root)
-        assert replay_buckets(man, mf._conjuncts("k = 5")) is None
+        assert replay_buckets(man, mf._conjuncts("k = 5")) == [0]
+        assert replay_buckets(man, mf._conjuncts("k in (5, 900)")) == [0, 7]
+        rdr = ManifestBatchReader({"path": root, "predicate": "k = 900"})
+        assert len(rdr.partitions()) == 1
+        assert _rows_sorted(scan(spark, root, predicate="k = 900")) == _rows_sorted(
+            mf.read_table(spark, root, predicate="k = 900")
+        )
+        # range predicates still prune through per-bucket min/max stats
         rdr = ManifestBatchReader({"path": root, "predicate": "k >= 900"})
         full = ManifestBatchReader({"path": root})
         assert len(rdr.partitions()) < len(full.partitions())
         assert _rows_sorted(scan(spark, root, predicate="k >= 900")) == _rows_sorted(
             mf.read_table(spark, root, predicate="k >= 900")
+        )
+
+    def test_non_replayable_expr_falls_back_to_stats(self, spark, tmp_path):
+        # a genuinely non-replayable expression: bucket replay refuses,
+        # stats still prune, results stay exact
+        root = str(tmp_path / "custom_tbl")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        mf.create_table(df, root, ["k"], partition_expr="pmod(k * 7, 8)")
+        man = mf.read_manifest(root)
+        assert replay_buckets(man, mf._conjuncts("k = 5")) is None
+        assert _rows_sorted(scan(spark, root, predicate="k = 5")) == _rows_sorted(
+            mf.read_table(spark, root, predicate="k = 5")
         )
 
     def test_all_pruned_returns_typed_empty(self, spark, table):
