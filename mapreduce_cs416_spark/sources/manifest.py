@@ -1369,6 +1369,17 @@ def read_changed_sides(
     the evolved shape (added columns → NULL, widened → up-cast)."""
     m0 = read_manifest(path, from_version)
     m1 = read_manifest(path, to_version)
+    return _changed_sides(spark, path, m0, m1)
+
+
+def _changed_sides(
+    spark: SparkSession, path: str, m0: dict, m1: dict
+) -> tuple[DataFrame, DataFrame]:
+    """``read_changed_sides`` for callers that already resolved the
+    two manifest dicts — ``table_group.read_group_changes`` passes
+    synthesized member manifests here (a member entry + the group
+    version), so group members get the same changed-bucket-bounded
+    feed."""
     if m1["version"] < m0["version"]:
         raise ValueError(
             f"to_version v{m1['version']} precedes from_version v{m0['version']}"
@@ -1424,8 +1435,21 @@ def read_changes(
     changed-bucket data, never the table. Requires both manifests to
     still be retained (``vacuum`` retention) and the persisted schema
     (any r10+ table)."""
-    key_cols = read_manifest(path, to_version)["key_cols"]
-    old, new = read_changed_sides(spark, path, from_version, to_version)
+    m0 = read_manifest(path, from_version)
+    m1 = read_manifest(path, to_version)
+    return _changes_core(spark, path, m0, m1, op_col, preimages)
+
+
+def _changes_core(
+    spark: SparkSession,
+    path: str,
+    m0: dict,
+    m1: dict,
+    op_col: str,
+    preimages: bool,
+) -> DataFrame:
+    key_cols = m1["key_cols"]
+    old, new = _changed_sides(spark, path, m0, m1)
     upserts = new.exceptAll(old).withColumn(op_col, F.lit("U"))
     if not preimages:
         deletes = old.join(new.select(*key_cols), key_cols, "left_anti").withColumn(

@@ -15,6 +15,11 @@ Options:
   directories, so callers must still apply the predicate as a row
   filter — :func:`scan` is the helper that does both, mirroring
   ``read_table``'s pruned-read ≡ full-read + filter contract.
+- ``member`` — read ONE member of a TABLE GROUP (table_group.py):
+  ``path`` names the group root, the member's manifest entry is
+  pinned at the group version (mutually consistent with its
+  siblings), and everything below — pruning, columns, time travel —
+  applies unchanged.
 - ``columns`` — comma-separated projection (VERDICT r12 item 2): the
   relation's schema narrows to exactly these columns and the
   per-file Arrow reads fetch ONLY their column chunks, so a 2-column
@@ -352,23 +357,38 @@ class ManifestDataSource(DataSource):
     def name(cls) -> str:
         return "manifest"
 
-    def _pinned_manifest(self) -> dict:
-        """Resolve (path, version) → manifest exactly ONCE per
-        DataSource instance: ``schema()`` and ``reader()`` must
-        describe the SAME snapshot even if a schema-evolving commit
-        lands between the two calls (ADVICE r11)."""
+    def _pinned(self) -> tuple[str, dict]:
+        """Resolve (path, version[, member]) → (data path, manifest)
+        exactly ONCE per DataSource instance: ``schema()`` and
+        ``reader()`` must describe the SAME snapshot even if a
+        schema-evolving commit lands between the two calls (ADVICE
+        r11). With the ``member`` option (r13) the path names a TABLE
+        GROUP (table_group.py): the member's entry — same shape as a
+        standalone manifest — is synthesized at the group version and
+        the data path descends into the member directory, so the whole
+        pruning/scan machinery below runs unchanged."""
         if getattr(self, "_pin", None) is None:
+            import os
+
             path, v = _resolve_version(dict(self.options))
-            self._pin = mf.read_manifest(path, v)
+            man = mf.read_manifest(path, v)
+            member = self.options.get("member")
+            if member:
+                from .table_group import _member_entry
+
+                man = {**_member_entry(man, member), "version": man["version"]}
+                path = os.path.join(path, member)
+            self._pin = (path, man)
         return self._pin
 
     def schema(self):
-        man = self._pinned_manifest()
+        _, man = self._pinned()
         return _spark_schema(man, _projected_columns(man, dict(self.options)))
 
     def reader(self, schema) -> ManifestBatchReader:
+        path, man = self._pinned()
         return ManifestBatchReader(
-            dict(self.options), pinned_manifest=self._pinned_manifest()
+            {**dict(self.options), "path": path}, pinned_manifest=man
         )
 
     def streamWriter(self, schema, overwrite: bool):
@@ -377,6 +397,13 @@ class ManifestDataSource(DataSource):
         if overwrite:
             raise ValueError(
                 "the manifest sink is append-only (outputMode('append'))"
+            )
+        if self.options.get("member"):
+            raise ValueError(
+                "the native sink writes standalone manifest tables only — "
+                "group members move together under one group commit; use "
+                "table_group.group_transact (e.g. via foreachBatch) so the "
+                "sibling members advance atomically with this one"
             )
         return ManifestStreamWriter(dict(self.options), schema)
 
@@ -394,6 +421,7 @@ def scan(
     version: int | None = None,
     timestamp_as_of: float | None = None,
     columns: list[str] | None = None,
+    member: str | None = None,
 ):
     """The user face of the native format: a pruned scan WITH the
     predicate re-applied as a row filter — result ≡ unpruned read +
@@ -410,6 +438,8 @@ def scan(
     ``columns`` to include it."""
     register_manifest_source(spark)
     reader = spark.read.format("manifest").option("path", path)
+    if member is not None:
+        reader = reader.option("member", member)
     if version is not None:
         reader = reader.option("version", str(version))
     if timestamp_as_of is not None:

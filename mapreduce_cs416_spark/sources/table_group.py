@@ -157,6 +157,29 @@ def read_group_table(
     )
 
 
+def read_group_changes(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    from_version: int,
+    to_version: int | None = None,
+    op_col: str = "op",
+    preimages: bool = False,
+) -> DataFrame:
+    """Change feed of ONE member between two GROUP versions — the CDF
+    face for groups, so a downstream consumer (e.g. one tailing the
+    IVM 'facts' member while the 'view' member co-advances) gets the
+    same changed-bucket-bounded feed ``manifest.read_changes`` gives
+    standalone tables. Both group versions must still be retained."""
+    g0 = mf.read_manifest(root, from_version)
+    g1 = mf.read_manifest(root, to_version)
+    e0 = {**_member_entry(g0, name), "version": g0["version"]}
+    e1 = {**_member_entry(g1, name), "version": g1["version"]}
+    return mf._changes_core(
+        spark, os.path.join(root, name), e0, e1, op_col, preimages
+    )
+
+
 def group_transact(
     spark: SparkSession,
     root: str,

@@ -139,6 +139,67 @@ class TestGroupBasics:
             assert got == want, f"version {v} pair inconsistent"
 
 
+class TestNativeFaces:
+    def test_format_manifest_member_option(self, spark, tmp_path):
+        # r13: spark.read.format('manifest').option('member', name)
+        # reads one member of a group — equal to read_group_table,
+        # schema pinned at the group version, pruning intact
+        from mapreduce_cs416_spark.sources.manifest_source import (
+            register_manifest_source, scan,
+        )
+
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        _transact_batch(spark, root, BATCH1)
+        register_manifest_source(spark)
+        got = scan(spark, root, member="facts")
+        assert sorted(map(tuple, got.collect())) == AFTER1_FACTS
+        # time travel through the native face reads the v1 member
+        v1 = scan(spark, root, member="facts", version=1)
+        assert sorted(map(tuple, v1.collect())) == sorted(
+            map(tuple, _facts(spark).collect())
+        )
+        # point read prunes + projects
+        one = scan(spark, root, member="facts", predicate="k = 3",
+                   columns=["g"])
+        assert [r["g"] for r in one.collect()] == ["b"]
+        with pytest.raises(Exception, match="member"):
+            scan(spark, root, member="nope").collect()
+
+    def test_member_option_refused_by_sink(self, spark, tmp_path):
+        from mapreduce_cs416_spark.sources.manifest_source import (
+            ManifestDataSource,
+        )
+
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        ds = ManifestDataSource({"path": root, "member": "facts"})
+        with pytest.raises(ValueError, match="group_transact"):
+            ds.streamWriter(None, False)
+
+    def test_read_group_changes(self, spark, tmp_path):
+        # the member CDF: facts changes between group versions replay
+        # the batch exactly; cdc_merge round-trips snapshot@1 -> @2
+        from mapreduce_cs416_spark.operators import cdc
+
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        _transact_batch(spark, root, BATCH1)
+        feed = tg.read_group_changes(spark, root, "facts", 1, 2)
+        rows = {(r["k"], r["g"], r["v"], r["op"]) for r in feed.collect()}
+        assert rows == {
+            (2, "b", 2.0, "U"), (6, "d", 4.0, "U"), (4, None, None, "D"),
+        } or rows == {
+            (2, "b", 2.0, "U"), (6, "d", 4.0, "U"), (4, "c", 5.0, "D"),
+        }
+        snap1 = tg.read_group_table(spark, root, "facts", version=1)
+        rebuilt = cdc.cdc_merge(snap1, feed, ["k"], op_col="op", seq_col=None)
+        assert sorted(map(tuple, rebuilt.collect())) == AFTER1_FACTS
+        # the view member's feed exists over the same window too
+        vfeed = tg.read_group_changes(spark, root, "view", 1, 2)
+        assert vfeed.count() > 0
+
+
 class TestCrashAtomicity:
     def test_crash_before_commit_reverts_both_then_replay_applies_once(
         self, spark, tmp_path, monkeypatch
