@@ -1856,14 +1856,19 @@ def group_atomic_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         },
     )
-    snap = tg.read_group_table(spark, path, "facts")
-    view = tg.read_group_table(spark, path, "view")
-    deltas = ivm.delta_view(
-        snap, changes, ["o_orderkey"], group, measures, op_col="op", seq_col="seq"
-    )
-    new_view = ivm.merge_deltas(view, deltas, group)
+    # replace THUNK (ADVICE r13): the view image derives from the group
+    # snapshot version each commit attempt lands on, not a pre-pinned plan
+    def _fresh_view(s, root, version):
+        snap = tg.read_group_table(s, root, "facts", version=version)
+        view = tg.read_group_table(s, root, "view", version=version)
+        deltas = ivm.delta_view(
+            snap, changes, ["o_orderkey"], group, measures,
+            op_col="op", seq_col="seq",
+        )
+        return ivm.merge_deltas(view, deltas, group)
+
     tg.group_transact(
-        spark, path, merges={"facts": changes}, replaces={"view": new_view}
+        spark, path, merges={"facts": changes}, replaces={"view": _fresh_view}
     )
     out = ivm.finalize(tg.read_group_table(spark, path, "view"), group)
     return out.select(

@@ -37,9 +37,14 @@ members are tables that must move together, which in practice means a
 handful, not thousands.
 
 Concurrency: group writers conflict on the one log and retry the
-whole transaction (same model as single-table writers); losing
-attempts' staged directories are reclaimed immediately, crash orphans
-by ``vacuum``'s age gate.
+whole transaction (same model as single-table writers) — merges re-run
+against the fresh group manifest, and replace THUNKS are re-invoked
+against it, so snapshot-derived images (the IVM view) are recomputed
+on top of the racer's commit (ADVICE r13). Plain-DataFrame replaces
+cannot be retried safely (their lazy plans pin the pre-conflict
+snapshot) and raise on conflict instead. Losing attempts' staged
+directories are reclaimed immediately, crash orphans by ``vacuum``'s
+age gate.
 
 Reference parity anchor: the reference engine has no transactional
 storage at all (SURVEY §2.C sinks are append-only files); this is
@@ -184,7 +189,7 @@ def group_transact(
     spark: SparkSession,
     root: str,
     merges: dict[str, DataFrame] | None = None,
-    replaces: dict[str, DataFrame] | None = None,
+    replaces: dict | None = None,
     op_col: str = "op",
     seq_col: str | None = "seq",
     conflict_retries: int = 3,
@@ -197,13 +202,38 @@ def group_transact(
     named members' new states become visible in one put-if-absent
     publish; a crash before it leaves every member at the previous
     version TOGETHER (crash-injection-pinned in
-    tests/test_table_group.py). Conflicts retry the whole transaction
-    from the fresh group manifest."""
+    tests/test_table_group.py).
+
+    **Conflicts and replace staleness (ADVICE r13, medium):** a
+    ``replaces`` value may be either a DataFrame or a CALLABLE
+    ``fn(spark, root, version) -> DataFrame`` invoked per attempt
+    against the group manifest version the attempt commits on top of
+    (read members inside it with ``read_group_table(..., version=
+    version)``). A conflict retry re-runs merges against the fresh
+    group manifest and re-invokes replace callables, so a view derived
+    from member snapshots is recomputed from the racer's commit — the
+    'members mutually consistent' invariant survives the race. A PLAIN
+    DataFrame replace is a lazy plan pinned to the snapshot it was
+    built from; retrying it would silently publish a stale image next
+    to freshly-merged facts, so a conflict with a plain-DataFrame
+    replace RAISES instead of retrying — pass a callable (or retry at
+    the call site with a freshly derived image)."""
     last: mf.CommitConflict | None = None
-    for _ in range(max(1, conflict_retries + 1)):
+    replaces = replaces or {}
+    for attempt in range(max(1, conflict_retries + 1)):
+        if attempt and any(not callable(v) for v in replaces.values()):
+            stale = sorted(n for n, v in replaces.items() if not callable(v))
+            raise mf.CommitConflict(
+                f"group commit under {root} conflicted with another writer, "
+                f"and replaces={stale} are plain DataFrames whose plans were "
+                "built from the pre-conflict snapshot — retrying would "
+                "publish a stale member image. Pass replace values as "
+                "callables fn(spark, root, version) -> DataFrame so each "
+                "attempt derives its image from the fresh group snapshot."
+            ) from last
         try:
             return _transact_once(
-                spark, root, merges or {}, replaces or {}, op_col, seq_col
+                spark, root, merges or {}, replaces, op_col, seq_col
             )
         except mf.CommitConflict as exc:
             last = exc
@@ -214,7 +244,7 @@ def _transact_once(
     spark: SparkSession,
     root: str,
     merges: dict[str, DataFrame],
-    replaces: dict[str, DataFrame],
+    replaces: dict,
     op_col: str,
     seq_col: str | None,
 ) -> dict:
@@ -222,6 +252,13 @@ def _transact_once(
     if overlap:
         raise ValueError(f"members both merged and replaced: {sorted(overlap)}")
     g = mf.read_manifest(root)
+    # resolve replace thunks against THIS attempt's snapshot version —
+    # read_group_table(..., version=g["version"]) inside the callable
+    # pins every member read to the manifest this commit lands on top of
+    replaces = {
+        name: (v(spark, root, g["version"]) if callable(v) else v)
+        for name, v in replaces.items()
+    }
     new_version = g["version"] + 1
     tables = {n: dict(e) for n, e in g["tables"].items()}
     staged: list[str] = []  # member-relative dirs to reclaim on a loss

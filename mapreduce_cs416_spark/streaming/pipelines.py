@@ -777,16 +777,23 @@ def streaming_view_maintenance_group(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        snap = tg.read_group_table(session, group_root, "facts")
-        view = tg.read_group_table(session, group_root, "view")
-        delta = ivm.delta_view(
-            snap, batch_df, key_cols, group_cols, measures,
-            op_col=op_col, seq_col=seq_col,
-        )
-        new_view = ivm.merge_deltas(view, delta, group_cols)
+
+        # a THUNK, not a materialized image (ADVICE r13): each commit
+        # attempt derives the view from the group snapshot it lands on
+        # top of, so a conflict retry recomputes against the racer's
+        # facts instead of republishing a stale pre-race view
+        def _fresh_view(s, root, version):
+            snap = tg.read_group_table(s, root, "facts", version=version)
+            view = tg.read_group_table(s, root, "view", version=version)
+            delta = ivm.delta_view(
+                snap, batch_df, key_cols, group_cols, measures,
+                op_col=op_col, seq_col=seq_col,
+            )
+            return ivm.merge_deltas(view, delta, group_cols)
+
         tg.group_transact(
             session, group_root,
-            merges={"facts": batch_df}, replaces={"view": new_view},
+            merges={"facts": batch_df}, replaces={"view": _fresh_view},
             op_col=op_col, seq_col=seq_col,
         )
 

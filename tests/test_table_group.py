@@ -69,16 +69,20 @@ def _snap(spark, root: str, version=None):
 
 def _transact_batch(spark, root: str, rows) -> dict:
     """One IVM step: merge the changelog into facts and replace the
-    view — computed against the committed pair, landed in ONE commit."""
+    view — the replace is a THUNK (ADVICE r13) recomputed per commit
+    attempt against the fresh group snapshot, landed in ONE commit."""
     changes = spark.createDataFrame(
         rows, "k long, g string, v double, op string, seq long"
     )
-    snap = tg.read_group_table(spark, root, "facts")
-    view = tg.read_group_table(spark, root, "view")
-    delta = ivm.delta_view(snap, changes, ["k"], GROUP_COLS, MEASURES)
-    new_view = ivm.merge_deltas(view, delta, GROUP_COLS)
+
+    def _fresh_view(s, r, version):
+        snap = tg.read_group_table(s, r, "facts", version=version)
+        view = tg.read_group_table(s, r, "view", version=version)
+        delta = ivm.delta_view(snap, changes, ["k"], GROUP_COLS, MEASURES)
+        return ivm.merge_deltas(view, delta, GROUP_COLS)
+
     return tg.group_transact(
-        spark, root, merges={"facts": changes}, replaces={"view": new_view}
+        spark, root, merges={"facts": changes}, replaces={"view": _fresh_view}
     )
 
 
@@ -233,9 +237,12 @@ class TestCrashAtomicity:
     def test_commit_race_retries_whole_transaction(
         self, spark, tmp_path, monkeypatch
     ):
-        """A racing group writer steals the version mid-transaction:
+        """A racing IVM maintainer steals the version mid-transaction:
         group_transact must retry from the fresh manifest and apply on
-        top of the racer's commit — no lost updates on either side."""
+        top of the racer's commit — no lost updates on either side, AND
+        (ADVICE r13) the retried view REPLACE must be recomputed from
+        the racer's snapshot, not republished stale: view == recompute
+        from the final facts."""
         root = str(tmp_path / "grp")
         _mk_group(spark, root)
         real_commit = mf._commit
@@ -244,19 +251,68 @@ class TestCrashAtomicity:
         def racing(path, manifest):
             if not state["raced"] and manifest.get("op") == "group_transact":
                 state["raced"] = True
-                racer = spark.createDataFrame(
-                    [(9, "z", 1.0, "U", 1)],
-                    "k long, g string, v double, op string, seq long",
-                )
-                tg.group_transact(spark, root, merges={"facts": racer})
+                # the racer is itself a proper maintainer: merges facts
+                # AND replaces the view in its own atomic commit
+                _transact_batch(spark, root, [(9, "z", 1.0, "U", 1)])
             return real_commit(path, manifest)
 
         monkeypatch.setattr(mf, "_commit", racing)
         _transact_batch(spark, root, BATCH1)
         monkeypatch.setattr(mf, "_commit", real_commit)
         assert state["raced"]
-        facts, _ = _snap(spark, root)
+        facts, view = _snap(spark, root)
         assert facts == sorted(AFTER1_FACTS + [(9, "z", 1.0)])
+        # the invariant the thunk protects: the published view equals a
+        # recomputation over the final facts (includes the racer's 'z')
+        want = {
+            r["g"]: (r["n_rows"], r["total"])
+            for r in ivm.finalize(
+                ivm.build_view(
+                    tg.read_group_table(spark, root, "facts"),
+                    GROUP_COLS, MEASURES,
+                ),
+                GROUP_COLS,
+            ).collect()
+        }
+        assert view == want
+
+    def test_conflict_with_plain_dataframe_replace_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A plain-DataFrame replace is a lazy plan pinned to the
+        pre-conflict snapshot — on CommitConflict group_transact must
+        REFUSE to retry it (silent retry would publish a stale view
+        next to freshly-merged facts)."""
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        real_commit = mf._commit
+        state = {"raced": False}
+
+        def racing(path, manifest):
+            if not state["raced"] and manifest.get("op") == "group_transact":
+                state["raced"] = True
+                _transact_batch(spark, root, [(9, "z", 1.0, "U", 1)])
+            return real_commit(path, manifest)
+
+        changes = spark.createDataFrame(
+            BATCH1, "k long, g string, v double, op string, seq long"
+        )
+        snap = tg.read_group_table(spark, root, "facts")
+        view = tg.read_group_table(spark, root, "view")
+        stale_view = ivm.merge_deltas(
+            view, ivm.delta_view(snap, changes, ["k"], GROUP_COLS, MEASURES),
+            GROUP_COLS,
+        )
+        monkeypatch.setattr(mf, "_commit", racing)
+        with pytest.raises(mf.CommitConflict, match="stale"):
+            tg.group_transact(
+                spark, root,
+                merges={"facts": changes}, replaces={"view": stale_view},
+            )
+        monkeypatch.setattr(mf, "_commit", real_commit)
+        # nothing half-landed: the group is exactly at the racer's commit
+        facts, view_now = _snap(spark, root)
+        assert (9, "z", 1.0) in facts and (2, "a", 2.0) in facts
 
     def test_vacuum_reclaims_superseded_and_orphaned_member_dirs(
         self, spark, tmp_path, monkeypatch
