@@ -264,42 +264,50 @@ _CHECKPOINT_EVERY = 10
 _MISSING = object()
 
 
-def _diff_manifest(base: dict, new: dict) -> dict:
-    """Delta record turning ``base`` into ``new``: scalar fields land
-    in ``set``/``del`` whole; dict-valued fields (buckets, stats, dvs,
-    aux, stream_cursors — anything dict-on-both-sides) diff per key so
-    a commit that touches 2 of 4096 buckets persists 2 entries."""
-    delta: dict = {"kind": "delta", "set": {}, "del": [], "d": {}}
-    for k in base:
-        if k not in new:
-            delta["del"].append(k)
+def _diff_dict(base: dict, new: dict) -> dict:
+    """Recursive per-key diff: keys present as dicts on BOTH sides
+    descend (``d``); everything else lands whole in ``set``/``del``.
+    Empty sections are pruned to keep delta files minimal."""
+    ent: dict = {"set": {}, "del": [k for k in base if k not in new], "d": {}}
     for k, v in new.items():
         b = base.get(k, _MISSING)
         if b is not _MISSING and b == v:
             continue
         if isinstance(v, dict) and isinstance(b, dict):
-            ent = {
-                "set": {kk: vv for kk, vv in v.items() if b.get(kk, _MISSING) != vv},
-                "del": [kk for kk in b if kk not in v],
-            }
-            delta["d"][k] = ent
+            ent["d"][k] = _diff_dict(b, v)
         else:
-            delta["set"][k] = v
-    return delta
+            ent["set"][k] = v
+    return {k: v for k, v in ent.items() if v}
+
+
+def _diff_manifest(base: dict, new: dict) -> dict:
+    """Delta record turning ``base`` into ``new``: scalar fields land
+    in ``set``/``del`` whole; dict-valued fields (buckets, stats, dvs,
+    aux, stream_cursors — anything dict-on-both-sides) diff per key,
+    RECURSIVELY (r14) — so a single-table commit that touches 2 of
+    4096 buckets persists 2 entries, and a table-GROUP commit
+    (table_group.py: one ``tables`` map of member entries) that
+    touches 2 buckets of one member persists those 2 bucket entries,
+    not the member's whole manifest. List-valued leaves (a bucket's
+    rel list) still persist whole — they ARE the unit of change."""
+    return {"kind": "delta", **_diff_dict(base, new)}
+
+
+def _fold_dict(base: dict, ent: dict) -> dict:
+    out = dict(base)
+    for k in ent.get("del", []):
+        out.pop(k, None)
+    out.update(ent.get("set", {}))
+    for k, sub in ent.get("d", {}).items():
+        cur = out.get(k)
+        out[k] = _fold_dict(cur if isinstance(cur, dict) else {}, sub)
+    return out
 
 
 def _fold_manifest(base: dict, delta: dict) -> dict:
-    out = dict(base)
-    for k in delta.get("del", []):
-        out.pop(k, None)
-    out.update(delta.get("set", {}))
-    for k, ent in delta.get("d", {}).items():
-        cur = dict(out.get(k, {}))
-        for kk in ent.get("del", []):
-            cur.pop(kk, None)
-        cur.update(ent.get("set", {}))
-        out[k] = cur
-    return out
+    # pre-r14 delta files carry flat {"set","del"} entries under "d";
+    # _fold_dict reads them identically (absent nested "d" sections)
+    return _fold_dict(base, delta)
 
 
 def read_manifest(path: str, version: int | None = None) -> dict:

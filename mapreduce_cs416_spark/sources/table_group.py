@@ -30,11 +30,13 @@ replay for key equality, min/max stats for ranges); merges reuse
 ``manifest._merge_stage`` (touched-bucket rewrite, schema evolution,
 DV clearing). Delta encoding, the ``_latest`` pointer, vacuum's
 orphan sweep, and time travel all come straight from the shared log
-machinery. Metadata note: the log's delta encoding diffs per member —
-a commit touching one member persists that member's whole entry
-(O(member manifest), not O(changed bucket)); acceptable because group
-members are tables that must move together, which in practice means a
-handful, not thousands.
+machinery. Metadata note (r14): the log's delta encoding is RECURSIVE
+(``manifest._diff_dict``), so a group commit persists O(changed
+buckets) across all members — a streaming group with a many-bucketed
+member pays per-batch metadata proportional to the buckets the batch
+touched, not the member's whole manifest
+(tests/test_manifest_checkpoint.py pins both the fold-exactness and
+the size bound).
 
 Concurrency: group writers conflict on the one log and retry the
 whole transaction (same model as single-table writers) — merges re-run

@@ -87,6 +87,54 @@ class TestDeltaEncoding:
         for man in returned:
             assert mf.read_manifest(root, man["version"]) == man
 
+    def test_group_commit_deltas_are_per_bucket_not_per_member(
+        self, spark, tmp_path
+    ):
+        """r14 (VERDICT r13 item 4): the recursive differ makes a
+        table-GROUP commit persist O(changed buckets), not O(member
+        manifest) — a one-bucket merge into a 32-bucket member writes
+        ONE bucket entry under d.tables.<member>.d.buckets, and the
+        fold reproduces the writer's dict exactly across a long chain."""
+        from mapreduce_cs416_spark.sources import table_group as tg
+
+        root = str(tmp_path / "grp")
+        facts = spark.range(0, 256).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        tg.create_group(
+            spark, root,
+            {
+                "facts": {"df": facts, "key_cols": ["k"], "n_buckets": 32},
+                "side": {"df": facts.limit(4), "key_cols": ["k"],
+                         "n_buckets": 2},
+            },
+        )
+        returned = []
+        for i in range(2, 8):  # v2..v7, all deltas (checkpoint at 10)
+            ch = spark.createDataFrame(
+                [(i, 1000 + i, "U", 1)], "k long, v long, op string, seq int"
+            )
+            returned.append(
+                tg.group_transact(spark, root, merges={"facts": ch})
+            )
+        n_buckets_total = len(mf.read_manifest(root)["tables"]["facts"]["buckets"])
+        assert n_buckets_total > 8
+        for v in range(2, 8):
+            raw = _raw(root, v)
+            assert raw["kind"] == "delta"
+            member = raw["d"]["tables"]["d"]["facts"]
+            # the untouched member never appears in the delta at all
+            assert "side" not in raw["d"]["tables"].get("d", {})
+            assert "side" not in raw["d"]["tables"].get("set", {})
+            # O(changed buckets): exactly the one bucket the merge touched
+            touched = member["d"]["buckets"].get("set", {})
+            assert len(touched) == 1
+            assert len(json.dumps(raw)) < len(json.dumps(mf.read_manifest(root, v))) / 4
+        # fold-exactness across the whole chain: replaying the log
+        # reproduces every writer-returned dict byte-for-byte
+        for man in returned:
+            assert mf.read_manifest(root, man["version"]) == man
+
     def test_read_table_unchanged_across_delta_chain(self, spark, tmp_path):
         root = str(tmp_path / "tbl")
         _mk_table(spark, root, n=40, n_buckets=4)
