@@ -49,6 +49,24 @@ Design (all public machinery):
   cumcount merge), op ``"D"`` = old rows whose key vanished. Rows
   are yielded as Arrow RecordBatches.
 
+- **Table-group members stream too (r14):** ``option("member", name)``
+  on a group root (sources/table_group.py) tails ONE member — offsets
+  are GROUP versions from the shared log, partitions the member's
+  changed buckets (the same diff ``table_group.read_group_changes``
+  computes batch-side), so a decoupled consumer can follow e.g. the
+  IVM 'facts' member with every offset mutually consistent with its
+  sibling members at that version. Commits that leave the member
+  untouched plan zero partitions — empty batches, no data I/O.
+- **Durable delivered-floor (r14, ADVICE r12):**
+  ``option("sourceId", id)`` persists the newest planned version in
+  ``<path>/_cdf_sources/<id>.json`` per batch, so a RESTART of a
+  rate-limited stream without an explicit ``startingVersion`` resumes
+  bounded (first batch ≤ ~maxVersionsPerTrigger versions, ~2x after a
+  crash between planning and the offset WAL) instead of taking the
+  whole downtime backlog as one batch. The engine's checkpoint still
+  owns correctness (partitions() serves whatever span it plans); the
+  sidecar only seeds the limiter.
+
 stream==batch is pinned in tests/test_streaming.py: the streamed
 micro-batches, concatenated, equal ``manifest.read_changes`` over the
 same version range, including across schema-evolution boundaries and
@@ -61,6 +79,8 @@ and the fix is the same (more buckets).
 from __future__ import annotations
 
 import json
+import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -101,8 +121,31 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         from ..sources import manifest as mf
 
         self._mf = mf
+        # r14 (VERDICT r13 item 1): 'member' tails ONE member of a
+        # TABLE GROUP (sources/table_group.py) — offsets are GROUP
+        # versions (the shared log), partitions are the member's
+        # changed buckets, so a decoupled consumer can follow e.g. the
+        # IVM 'facts' member knowing every offset it sees is mutually
+        # consistent with its sibling members at that same version.
+        self.member = options.get("member")
+        # r14 (ADVICE r12 medium, VERDICT r13 item 2): 'sourceId'
+        # enables a durable delivered-floor sidecar under the table
+        # (<path>/_cdf_sources/<sourceId>.json, written per planned
+        # batch) so a RESTART of a rate-limited stream without an
+        # explicit startingVersion seeds the limiter from the last
+        # version a planned batch covered instead of the current table
+        # head — the downtime backlog drains in maxVersionsPerTrigger
+        # chunks instead of arriving as ONE unbounded catch-up batch.
+        self.source_id = options.get("sourceid") or options.get("sourceId")
         start = options.get("startingversion") or options.get("startingVersion")
-        self._start = int(start) if start is not None else mf.current_version(self.path)
+        if start is not None:
+            self._start = int(start)
+        else:
+            head = mf.current_version(self.path)
+            floor = self._load_floor() if self.source_id else None
+            # clamp to head: a sidecar from a dropped-and-recreated
+            # table must not point past the new log
+            self._start = head if floor is None else min(floor, head)
         # VERDICT r11 item 3 (Delta's maxFilesPerTrigger analog):
         # without a limit, latestOffset always jumps to the newest
         # version, so a backlogged consumer — or a startingVersion=0
@@ -134,16 +177,68 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         #   startingVersion when restarting rate-limited streams —
         #   Delta likewise ignores startingVersion once a checkpoint
         #   exists).
-        # ADVICE r12 (medium): on restart WITHOUT an explicit
-        #   startingVersion, _start seeds from the CURRENT head, so the
-        #   first latestOffset returns the head while the engine's
-        #   checkpointed start may be far behind — the downtime backlog
-        #   arrives as ONE catch-up batch; maxVersionsPerTrigger bounds
-        #   every batch after it. Unfixable at this layer (no admission
-        #   control in the Python DataSource API); pin startingVersion
-        #   on restart to bound the first batch too.
+        # ADVICE r12 (medium), resolved in r14 via the sourceId
+        #   sidecar: on restart WITHOUT an explicit startingVersion,
+        #   _start seeds from the durable delivered-floor when
+        #   sourceId is given (bounded first batch); without sourceId
+        #   it still seeds from the CURRENT head and the downtime
+        #   backlog arrives as ONE catch-up batch (no admission
+        #   control in the Python DataSource API — the engine never
+        #   shows latestOffset the checkpointed cursor). A crash
+        #   between planning and the offset WAL write can make the
+        #   first post-restart batch span up to ~2x
+        #   maxVersionsPerTrigger (the lost batch's span + one
+        #   increment) — still bounded.
         self._cursor: int = self._start
         self._floor: int = 0
+
+    # ---- durable delivered-floor sidecar (r14) ----------------------
+    def _floor_path(self) -> str:
+        return os.path.join(self.path, "_cdf_sources", f"{self.source_id}.json")
+
+    def _load_floor(self) -> int | None:
+        try:
+            with open(self._floor_path()) as fh:
+                return int(json.load(fh)["floor"])
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return None
+
+    def _save_floor(self, version: int) -> None:
+        """Monotonic, atomic (tmp + os.replace); called once per
+        PLANNED batch — a replayed batch rewrites the same value."""
+        prev = self._load_floor()
+        if prev is not None and prev >= version:
+            return
+        d = os.path.join(self.path, "_cdf_sources")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"floor": version}, fh)
+        os.replace(tmp, self._floor_path())
+
+    def _snapshot(self, version: int) -> tuple[dict, str]:
+        """(manifest-shaped dict, data path) at ``version`` — for a
+        group member, the member entry at that GROUP version rooted at
+        ``<path>/<member>`` (exactly what table_group.read_group_changes
+        diffs batch-side)."""
+        man = self._mf.read_manifest(self.path, version)
+        if self.member is None:
+            return man, self.path
+        tables = man.get("tables")
+        if tables is None:
+            raise ValueError(
+                f"{self.path} is not a table group (no 'tables' map) — "
+                "drop the 'member' option to tail a standalone table"
+            )
+        if self.member not in tables:
+            raise ValueError(
+                f"no member {self.member!r} in the group at {self.path}; "
+                f"members: {sorted(tables)}"
+            )
+        return (
+            {**tables[self.member], "version": man["version"]},
+            os.path.join(self.path, self.member),
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -162,6 +257,8 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         v0 = max(v0, self._floor)  # never re-emit a span a planned
         # batch of this reader lifetime already covered
         self._floor = max(self._floor, v0, v1)
+        if self.source_id:
+            self._save_floor(self._floor)
         if v1 <= v0:
             return []
         # startingVersion=0 is the BOOTSTRAP read (Delta's
@@ -170,12 +267,12 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         # op='U' rows and subsequent batches stream ordinary changes —
         # a brand-new consumer builds its state from one stream, no
         # separate backfill job
+        m1, dpath = self._snapshot(v1)
         m0 = (
             {"buckets": {}, "dvs": {}}
             if v0 == 0
-            else mf.read_manifest(self.path, v0)
+            else self._snapshot(v0)[0]
         )
-        m1 = mf.read_manifest(self.path, v1)
         schema = mf._schema_of(m1)
         if schema is None:
             raise ValueError("manifest_cdf needs the persisted schema (r10+ table)")
@@ -197,14 +294,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             return [
                 ChangedBucket(
                     {
-                        "table_path": self.path,
+                        "table_path": dpath,
                         "schema_json": m1["schema"],
                         "columns": m1["columns"],
                         "key_cols": m1["key_cols"],
-                        "old_dirs": mf._bucket_dirs(self.path, m0, all0),
-                        "new_dirs": mf._bucket_dirs(self.path, m1, all1),
-                        "old_dvs": mf._dv_dirs(self.path, m0, all0),
-                        "new_dvs": mf._dv_dirs(self.path, m1, all1),
+                        "old_dirs": mf._bucket_dirs(dpath, m0, all0),
+                        "new_dirs": mf._bucket_dirs(dpath, m1, all1),
+                        "old_dvs": mf._dv_dirs(dpath, m0, all0),
+                        "new_dvs": mf._dv_dirs(dpath, m1, all1),
                     }
                 )
             ]
@@ -219,18 +316,18 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             parts.append(
                 ChangedBucket(
                     {
-                        "table_path": self.path,
+                        "table_path": dpath,
                         "schema_json": m1["schema"],
                         "columns": m1["columns"],
                         "key_cols": m1["key_cols"],
-                        "old_dirs": mf._bucket_dirs(self.path, m0, [b])
+                        "old_dirs": mf._bucket_dirs(dpath, m0, [b])
                         if str(b) in m0["buckets"]
                         else [],
-                        "new_dirs": mf._bucket_dirs(self.path, m1, [b])
+                        "new_dirs": mf._bucket_dirs(dpath, m1, [b])
                         if str(b) in m1["buckets"]
                         else [],
-                        "old_dvs": mf._dv_dirs(self.path, m0, [b]),
-                        "new_dvs": mf._dv_dirs(self.path, m1, [b]),
+                        "old_dvs": mf._dv_dirs(dpath, m0, [b]),
+                        "new_dvs": mf._dv_dirs(dpath, m1, [b]),
                     }
                 )
             )
@@ -280,6 +377,15 @@ class ManifestCDFDataSource(DataSource):
         from ..sources import manifest as mf
 
         man = mf.read_manifest(self.options["path"])
+        member = self.options.get("member")
+        if member is not None:
+            tables = man.get("tables")
+            if tables is None or member not in tables:
+                raise ValueError(
+                    f"no member {member!r} in a table group at "
+                    f"{self.options['path']}"
+                )
+            man = {**tables[member], "version": man["version"]}
         schema = mf._schema_of(man)
         if schema is None:
             raise ValueError("manifest_cdf needs the persisted schema (r10+ table)")
