@@ -1058,6 +1058,7 @@ def create_table(
     partition_expr: str | None = None,
     n_buckets: int = 16,
     aux: dict[str, DataFrame] | None = None,
+    properties: dict | None = None,
 ) -> dict:
     """Seed a manifest table from a snapshot DataFrame: compute each
     row's partition via ``partition_expr`` (a deterministic Spark SQL
@@ -1091,6 +1092,8 @@ def create_table(
         "buckets": {},
         "stats": {},
     }
+    if properties:
+        manifest["properties"] = dict(properties)
     with_bucket = df.withColumn(_BUCKET_COL, _bucket_col(manifest))
     rel = _new_rel(1)
     _write_buckets(with_bucket, path, rel)
@@ -2032,6 +2035,86 @@ def compact(
             last = exc
             shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
     raise last
+
+
+def set_properties(path: str, props: dict, conflict_retries: int = 3) -> dict:
+    """Merge ``props`` into the table's ``properties`` map in one
+    metadata-only commit (a ``None`` value deletes the key) — the
+    ALTER TABLE SET TBLPROPERTIES face. The maintenance policy reads
+    ``maintain.max_fragments`` / ``maintain.keep_versions`` /
+    ``maintain.orphan_age_s`` from here (:func:`maintain`, and the
+    native sink's ``autoMaintain`` post-commit hook). Delta-encoded
+    per key like every other manifest map."""
+    last: CommitConflict | None = None
+    for _ in range(max(1, conflict_retries + 1)):
+        manifest = read_manifest(path)
+        merged = dict(manifest.get("properties", {}))
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
+        new_manifest = {
+            **manifest,
+            "version": manifest["version"] + 1,
+            "op": "set_properties",
+            "properties": merged,
+        }
+        try:
+            _commit(path, new_manifest)
+            return new_manifest
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    max_fragments: int | None = None,
+    keep_versions: int | None = None,
+    orphan_min_age_s: float | None = None,
+    conflict_retries: int = 3,
+) -> dict:
+    """Threshold-driven table maintenance (VERDICT r13 item 5) — the
+    production loop that keeps a long-running streaming table's read
+    latency flat: ``compact`` when any bucket's fragment count (or a
+    deletion vector) crosses the threshold, then age-gated ``vacuum``
+    when a retention is configured. Idempotent and cheap when nothing
+    crossed a threshold (one manifest read, no data I/O), so callers
+    can invoke it after every batch. Explicit arguments override the
+    table properties ``maintain.max_fragments`` /
+    ``maintain.keep_versions`` / ``maintain.orphan_age_s``; with
+    neither set the call is a no-op. Returns
+    ``{"compacted": bool, "vacuum_removed": int}``. Concurrency: both
+    sub-operations are the ordinary transactional faces — racing
+    writers conflict on the log and retry; vacuum's age gate protects
+    in-flight staging."""
+    man = read_manifest(path)
+    props = man.get("properties", {})
+    if max_fragments is None:
+        v = props.get("maintain.max_fragments")
+        max_fragments = int(v) if v is not None else None
+    if keep_versions is None:
+        v = props.get("maintain.keep_versions")
+        keep_versions = int(v) if v is not None else None
+    if orphan_min_age_s is None:
+        v = props.get("maintain.orphan_age_s")
+        orphan_min_age_s = float(v) if v is not None else 3600.0
+    out = {"compacted": False, "vacuum_removed": 0}
+    if max_fragments is not None and max_fragments >= 1:
+        dv_map = man.get("dvs", {})
+        if any(
+            len(rels) > max_fragments or dv_map.get(b)
+            for b, rels in man["buckets"].items()
+        ):
+            compact(spark, path, conflict_retries=conflict_retries)
+            out["compacted"] = True
+    if keep_versions is not None and keep_versions >= 1:
+        out["vacuum_removed"] = vacuum(
+            path, keep_versions=keep_versions, orphan_min_age_s=orphan_min_age_s
+        )
+    return out
 
 
 def _write_zorder_slices(

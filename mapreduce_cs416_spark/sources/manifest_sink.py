@@ -69,8 +69,21 @@ table's partition expression must belong to one of the replayable
 families above (an arbitrary expression cannot be evaluated without
 a JVM; the writer refuses at stream start, never mis-buckets).
 
+- **Automatic maintenance (r14, VERDICT r13 item 5).**
+  ``option("autoMaintain", "true")`` turns on the post-commit hook:
+  after each published batch, every bucket whose fragment count
+  crossed the table's ``maintain.max_fragments`` property is folded
+  into one file (:func:`_auto_maintain_arrow` — pyarrow, bucket-
+  bounded work, transactional publish, conflicts absorbed or deferred
+  to the next batch) and age-gated ``vacuum`` runs under
+  ``maintain.keep_versions`` — the production loop that keeps a
+  long-running sink's point-read file count flat
+  (tests/test_maintenance.py pins a 100-batch run). Driver-callable
+  maintenance with full DV folding is ``manifest.maintain``.
+
 stream==batch and replay absorption are pinned in
-tests/test_manifest_sink.py.
+tests/test_manifest_sink.py; fragment/file-count boundedness in
+tests/test_maintenance.py.
 """
 
 from __future__ import annotations
@@ -107,6 +120,108 @@ def _replayable_layout(manifest: dict):
     from .layout_replay import compile_layout
 
     return compile_layout(manifest)
+
+
+def _auto_maintain_arrow(path: str, commit_retries: int) -> int:
+    """Post-commit maintenance for the native sink (VERDICT r13
+    item 5), WITHOUT a SparkSession — the sink's commit hook runs in
+    the Python data-source worker, so the fold is pyarrow: every
+    bucket whose fragment count crossed the table's
+    ``maintain.max_fragments`` property is read (its fragment
+    directories), concatenated, and rewritten as ONE file under a new
+    version directory, published transactionally like any other
+    commit. Work is bucket-bounded — the same unit every other op in
+    the format is sized by (a bucket too big to fold in one process is
+    a bucket too big to merge). Buckets carrying deletion vectors are
+    left to the Spark-powered :func:`manifest.maintain` (folding DVs
+    needs the row-position join). A racing writer's conflict restarts
+    the whole fold from the fresh manifest; on exhausted retries the
+    round gives up quietly — the NEXT batch's hook re-checks, so
+    fragment counts stay bounded without ever failing a committed
+    batch. Age-gated ``vacuum`` runs after a successful fold when
+    ``maintain.keep_versions`` is set. Returns folded-bucket count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    folded_total = 0
+    for _ in range(max(1, commit_retries)):
+        manifest = mf.read_manifest(path)
+        props = manifest.get("properties", {})
+        v = props.get("maintain.max_fragments")
+        if v is None:
+            return 0
+        threshold = int(v)
+        if threshold < 1:
+            return 0
+        dv_map = manifest.get("dvs", {})
+        targets = {
+            b: list(rels)
+            for b, rels in manifest["buckets"].items()
+            if len(rels) > threshold and not dv_map.get(b)
+        }
+        if not targets:
+            break
+        from pyspark.sql.types import StructField
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        cols = manifest["columns"]
+        by_name = {f.name: f for f in schema.fields}
+        # pin fragments to the persisted column order and types — the
+        # same cast the sink's write path applies
+        arrow_schema = to_arrow_schema(
+            StructType([StructField(c, by_name[c].dataType, True) for c in cols])
+        )
+        rel = os.path.join("data", f"vs-maint-{uuid.uuid4().hex[:12]}")
+        new_stats: dict = {}
+        for b, rels in targets.items():
+            parts = [
+                pq.read_table(
+                    os.path.join(path, r, f"{mf._BUCKET_COL}={b}")
+                ).select(cols).cast(arrow_schema)
+                for r in rels
+            ]
+            folded = pa.concat_tables(parts)
+            d = os.path.join(path, rel, f"{mf._BUCKET_COL}={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(folded, os.path.join(d, "part-0.parquet"))
+            st = _arrow_stats(folded, schema)
+            if st:
+                new_stats[str(b)] = st
+        buckets = {b: list(rels) for b, rels in manifest["buckets"].items()}
+        for b in targets:
+            buckets[str(b)] = [rel]
+        stats = dict(manifest.get("stats", {}))
+        if new_stats:
+            stats[rel] = new_stats
+        live = {r for rels in buckets.values() for r in rels}
+        stats = {r: s for r, s in stats.items() if r in live}
+        new_manifest = {
+            **manifest,
+            "version": manifest["version"] + 1,
+            "op": "auto_compact",
+            "buckets": buckets,
+            "stats": stats,
+        }
+        try:
+            mf._commit(path, new_manifest)
+            folded_total = len(targets)
+            break
+        except mf.CommitConflict:
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            continue  # fresh manifest next attempt; give up when spent
+    if folded_total:
+        props = mf.read_manifest(path).get("properties", {})
+        keep = props.get("maintain.keep_versions")
+        if keep is not None:
+            mf.vacuum(
+                path,
+                keep_versions=int(keep),
+                orphan_min_age_s=float(props.get("maintain.orphan_age_s", 3600.0)),
+            )
+    return folded_total
 
 
 def _arrow_stats(table, schema) -> dict:
@@ -153,6 +268,8 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         self.commit_retries = int(retries) if retries is not None else 8
         if self.commit_retries < 1:
             raise ValueError("commitRetries must be >= 1")
+        am = (options.get("automaintain") or options.get("autoMaintain") or "")
+        self.auto_maintain = str(am).lower() in ("true", "1")
         self.sink_id = options.get("sinkid") or options.get("sinkId")
         if not self.sink_id:
             # ADVICE r11 (medium): a shared default cursor id would
@@ -316,6 +433,11 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             }
             try:
                 mf._commit(self.path, new_manifest)
+                if self.auto_maintain:
+                    # post-commit: the batch is already published, so
+                    # maintenance can never fail it — conflicts inside
+                    # give up quietly and the next batch re-checks
+                    _auto_maintain_arrow(self.path, self.commit_retries)
                 return
             except mf.CommitConflict as exc:
                 last = exc  # racing writer took the version: re-read,

@@ -1,0 +1,229 @@
+"""Automatic maintenance policy (VERDICT r13 item 5): the production
+loop that keeps a long-running streaming table's read latency flat.
+
+Pinned:
+
+1. ``manifest.maintain`` is threshold-driven from table properties
+   (``maintain.max_fragments`` / ``maintain.keep_versions``), a no-op
+   below threshold, and explicit args override properties.
+2. A 100-batch native-sink run with ``autoMaintain`` keeps every
+   bucket's fragment count bounded by the property and a point read's
+   opened-file count FLAT (inputFiles-pinned) — no growth with batch
+   count — while losing zero rows; retention keeps the version log
+   bounded too.
+3. Racing writers during an auto-maintain fold are safe: concurrent
+   sinks + folds conflict on the one log and every committed batch's
+   rows survive exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_cs416_spark.sources import manifest as mf
+from mapreduce_cs416_spark.sources.manifest_sink import ManifestStreamWriter
+
+
+def _seed(spark, root: str, properties=None, n=64, n_buckets=8) -> None:
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    mf.create_table(df, root, ["k"], n_buckets=n_buckets, properties=properties)
+
+
+class TestMaintainAPI:
+    def test_threshold_driven_from_properties(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        _seed(spark, root, properties={"maintain.max_fragments": 3})
+        assert mf.read_manifest(root)["properties"] == {
+            "maintain.max_fragments": 3
+        }
+        app = spark.createDataFrame([(100, 1)], "k long, v long")
+        mf.append_into(spark, root, app)  # some bucket now has 2 rels
+        # below threshold: no-op — no compact, no version burn
+        v = mf.current_version(root)
+        out = mf.maintain(spark, root)
+        assert out == {"compacted": False, "vacuum_removed": 0}
+        assert mf.current_version(root) == v
+        # two more appends cross the threshold for that bucket
+        mf.append_into(spark, root, spark.createDataFrame([(100, 2)], "k long, v long"))
+        mf.append_into(spark, root, spark.createDataFrame([(100, 3)], "k long, v long"))
+        out = mf.maintain(spark, root)
+        assert out["compacted"]
+        man = mf.read_manifest(root)
+        assert all(len(rels) == 1 for rels in man["buckets"].values())
+        assert man["op"] == "compact"
+        # rows intact (append semantics: all three appended k=100 rows live)
+        got = sorted(
+            r["v"] for r in mf.read_table(spark, root, predicate="k = 100").collect()
+        )
+        assert got == [1, 2, 3]
+        assert mf.read_table(spark, root).count() == 64 + 3
+
+    def test_explicit_args_override_and_vacuum_retention(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        _seed(spark, root)  # NO properties: maintain() alone is a no-op
+        mf.append_into(spark, root, spark.createDataFrame([(5, 1)], "k long, v long"))
+        assert mf.maintain(spark, root) == {
+            "compacted": False, "vacuum_removed": 0,
+        }
+        out = mf.maintain(
+            spark, root, max_fragments=1, keep_versions=1, orphan_min_age_s=0.0
+        )
+        assert out["compacted"] and out["vacuum_removed"] > 0
+        man = mf.read_manifest(root)
+        assert all(len(rels) == 1 for rels in man["buckets"].values())
+        # retention applied: only the compacted version's manifests remain
+        assert mf._versions(root) == [man["version"]]
+
+    def test_set_properties_merge_and_delete(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        _seed(spark, root, properties={"maintain.max_fragments": 3})
+        mf.set_properties(root, {"maintain.keep_versions": 5, "owner": "t"})
+        props = mf.read_manifest(root).get("properties")
+        assert props == {
+            "maintain.max_fragments": 3,
+            "maintain.keep_versions": 5,
+            "owner": "t",
+        }
+        mf.set_properties(root, {"owner": None})
+        assert "owner" not in mf.read_manifest(root)["properties"]
+        # the properties commit is metadata-only and time travel still works
+        assert mf.read_table(spark, root, version=1).count() == 64
+
+
+THRESHOLD = 4
+N_BATCHES = 100
+ROWS_PER_BATCH = 16
+
+
+class TestSinkAutoMaintain:
+    def test_100_batch_sink_run_stays_flat(self, spark, tmp_path):
+        """The headline claim: a long-running native sink with
+        ``autoMaintain`` never lets a bucket's fragment count cross the
+        stored threshold (post-commit), a point read opens a FLAT
+        number of files at batch 100 vs batch 10, the version log
+        stays bounded under retention, and no row is lost."""
+        root = str(tmp_path / "tbl")
+        _seed(
+            spark, root,
+            properties={
+                "maintain.max_fragments": THRESHOLD,
+                "maintain.keep_versions": 3,
+                "maintain.orphan_age_s": 0.0,
+            },
+            n=64, n_buckets=4,
+        )
+        schema = mf._schema_of(mf.read_manifest(root))
+        w = ManifestStreamWriter(
+            {"path": root, "sinkId": "s", "autoMaintain": "true"}, schema
+        )
+        mid_files = None
+        for b in range(N_BATCHES):
+            lo = 10_000 + b * ROWS_PER_BATCH
+            t = pa.table(
+                {
+                    "k": list(range(lo, lo + ROWS_PER_BATCH)),
+                    "v": [b] * ROWS_PER_BATCH,
+                }
+            )
+            msg = w.write(iter(t.to_batches()))
+            w.commit([msg], batchId=b)
+            man = mf.read_manifest(root)
+            frag = max(len(rels) for rels in man["buckets"].values())
+            assert frag <= THRESHOLD, f"batch {b}: fragment count {frag}"
+            if b == 9:
+                mid_files = len(
+                    mf.read_table(spark, root, predicate="k = 3").inputFiles()
+                )
+        end_files = len(
+            mf.read_table(spark, root, predicate="k = 3").inputFiles()
+        )
+        # FLAT, not growing with batch count: bounded by the threshold
+        # on both measurements (each fragment dir holds one sink file)
+        assert mid_files is not None and mid_files <= THRESHOLD
+        assert end_files <= THRESHOLD
+        # maintenance actually ran (auto_compact commits in history)
+        ops = {h["op"] for h in mf.history(root)}
+        assert "auto_compact" in ops
+        # retention bounded the manifest log
+        assert len(mf._versions(root)) <= 3 + 1
+        # zero loss across 100 batches + folds + vacuums
+        got = sorted(
+            (r["k"], r["v"])
+            for r in mf.read_table(spark, root).collect()
+            if r["k"] >= 10_000
+        )
+        want = sorted(
+            (10_000 + b * ROWS_PER_BATCH + i, b)
+            for b in range(N_BATCHES)
+            for i in range(ROWS_PER_BATCH)
+        )
+        assert got == want
+
+    def test_racing_sinks_with_auto_maintain_lose_nothing(self, spark, tmp_path):
+        """VERDICT r13 item 5's contention extension: two sinks with
+        autoMaintain race on one table — folds conflict with appends
+        on the one log, retries absorb everything, and every batch's
+        rows survive exactly once with fragments still bounded."""
+        root = str(tmp_path / "tbl")
+        _seed(
+            spark, root,
+            properties={"maintain.max_fragments": 2},
+            n=32, n_buckets=4,
+        )
+        schema = mf._schema_of(mf.read_manifest(root))
+        errors: list = []
+        start = threading.Barrier(2)
+
+        def worker(sink_no: int) -> None:
+            try:
+                w = ManifestStreamWriter(
+                    {
+                        "path": root,
+                        "sinkId": f"s{sink_no}",
+                        "autoMaintain": "true",
+                        "commitRetries": "12",
+                    },
+                    schema,
+                )
+                start.wait()
+                for b in range(8):
+                    lo = 10_000 + sink_no * 100_000 + b * 8
+                    t = pa.table(
+                        {"k": list(range(lo, lo + 8)), "v": [sink_no] * 8}
+                    )
+                    w.commit([w.write(iter(t.to_batches()))], batchId=b)
+            except Exception as exc:  # noqa: BLE001 - surfaced below
+                errors.append((sink_no, exc))
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads), "deadlocked"
+        assert errors == []
+        got = sorted(
+            (r["k"], r["v"])
+            for r in mf.read_table(spark, root).collect()
+            if r["k"] >= 10_000
+        )
+        want = sorted(
+            (10_000 + s * 100_000 + b * 8 + i, s)
+            for s in range(2)
+            for b in range(8)
+            for i in range(8)
+        )
+        assert got == want
+        man = mf.read_manifest(root)
+        # a racing fold may be pending for the last batch; the bound is
+        # threshold + the one un-folded append
+        assert all(len(rels) <= 2 + 1 for rels in man["buckets"].values())
