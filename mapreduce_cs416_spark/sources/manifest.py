@@ -178,6 +178,18 @@ class CommitConflict(RuntimeError):
     automatically up to ``conflict_retries`` times)."""
 
 
+def local_path(path: str) -> str:
+    """Strip a ``file:`` URI scheme — Spark's catalog normalizes a SQL
+    ``CREATE TABLE ... USING manifest OPTIONS (path ...)`` path into a
+    URI (``file:/x`` or ``file:///x``) before the DataSource sees it,
+    but this format's metadata layer runs on plain os paths."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def default_partition_expr(key_cols: list[str], n_buckets: int) -> str:
     """Hash-bucket partitioning — the fallback when keys have no
     natural locality. A changelog with uniformly distributed keys

@@ -260,6 +260,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("format('manifest') requires the 'path' option")
+        self.path = mf.local_path(self.path)
         retries = options.get("commitretries") or options.get("commitRetries")
         # under sustained multi-writer contention (N sinks + a
         # compactor on one table) 4 attempts can genuinely exhaust —

@@ -219,6 +219,9 @@ def _resolve_version(options: dict) -> tuple[str, int | None]:
     path = options.get("path")
     if not path:
         raise ValueError("format('manifest') requires the 'path' option")
+    # SQL DDL (CREATE TABLE ... USING manifest) hands the path back as
+    # a file: URI — normalize to the plain os path the format runs on
+    path = mf.local_path(path)
     version = options.get("version")
     as_of = options.get("timestampasof") or options.get("timestampAsOf")
     if version is not None and as_of is not None:
@@ -430,12 +433,13 @@ def scan(
 
     ``columns`` projects the read to just those column chunks
     (VERDICT r12 item 2). When a predicate is also given, the
-    underlying read widens to the union of ``columns`` and the
-    predicate's parseable conjunct columns (so the common
-    key-filter + non-key-projection case just works), applies the
-    row filter, then selects back down; a predicate referencing a
-    column outside that union fails Spark analysis loudly — widen
-    ``columns`` to include it."""
+    underlying read widens to the union of ``columns`` and EVERY
+    table column the predicate mentions — the parseable conjuncts
+    drive pruning, and any other referenced identifier (a LIKE, NOT,
+    or mixed-OR conjunct the conservative parser degrades on) still
+    widens the read (ADVICE r13, low), so the re-applied row filter
+    never fails analysis on a projected scan. The result is then
+    selected back down to ``columns``."""
     register_manifest_source(spark)
     reader = spark.read.format("manifest").option("path", path)
     if member is not None:
@@ -456,6 +460,25 @@ def scan(
             for col, _, _ in mf._conjuncts(predicate):
                 if col not in read_cols:
                     read_cols.append(col)
+            # ADVICE r13 (low): conjuncts the conservative parser
+            # degrades on (LIKE / NOT / mixed OR) still reference
+            # columns the row filter needs — widen by every predicate
+            # identifier that IS a table column, so the filter never
+            # hits an AnalysisException against a projected read
+            man = mf.read_manifest(
+                path,
+                version if version is not None
+                else (mf.version_at(path, timestamp_as_of)
+                      if timestamp_as_of is not None else None),
+            )
+            if member is not None:
+                from .table_group import _member_entry
+
+                man = _member_entry(man, member)
+            table_cols = set(man["columns"])
+            for tok in sorted(mf._expr_tokens(predicate) & table_cols):
+                if tok not in read_cols:
+                    read_cols.append(tok)
     else:
         # scan() with no predicate is a DELIBERATE full scan — don't
         # fire the plain-load() pruning-trap warning
@@ -466,3 +489,49 @@ def scan(
     if predicate:
         df = df.filter(predicate)
     return df.select(*columns) if columns else df
+
+
+def create_sql_table(
+    spark,
+    name: str,
+    path: str,
+    version: int | None = None,
+    timestamp_as_of: float | None = None,
+    member: str | None = None,
+) -> None:
+    """The SQL face of a manifest table (VERDICT r13 item 7): register
+    ``name`` so ``spark.table(name)`` / ``SELECT ... FROM name`` read
+    the table's snapshot — time travel via ``version`` /
+    ``timestamp_as_of``, group members via ``member``.
+
+    WHY a session view and not ``CREATE TABLE ... USING manifest``:
+    Spark 4.1's Python DataSource catalog integration drops the stored
+    OPTIONS at read time — ``PythonDataSourceV2.getTable(schema,
+    partitioning, properties)`` ignores ``properties`` and the
+    catalog-table scan reaches ``reader()`` with an EMPTY options map,
+    so a ``USING manifest`` table cannot find its path on SELECT
+    (pinned in tests/test_sql_surface.py; when an upstream release
+    threads the options through, that pin flips and real DDL can
+    replace this). The view is built over ``read_table``'s JVM parquet
+    lane, so ``WHERE``/column pruning on it push down to the parquet
+    scan through Catalyst (PushedFilters / ReadSchema); what a view
+    cannot do is manifest-level bucket/stats DIRECTORY pruning — the
+    directory set is pinned at registration (snapshot semantics, like
+    every read in this format). For selective point reads use
+    ``scan(...)`` / ``read_table(predicate=...)``, which prune
+    directories before Spark ever lists them.
+
+    Re-registering the same name refreshes to the newest version
+    (views are replaceable); the view is session-scoped, like the
+    DataSource registration itself."""
+    if member is not None:
+        from .table_group import read_group_table
+
+        if timestamp_as_of is not None:
+            version = mf.version_at(mf.local_path(path), timestamp_as_of)
+        df = read_group_table(spark, mf.local_path(path), member, version)
+    else:
+        df = mf.read_table(
+            spark, mf.local_path(path), version=version, as_of=timestamp_as_of
+        )
+    df.createOrReplaceTempView(name)

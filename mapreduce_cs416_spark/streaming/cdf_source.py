@@ -121,6 +121,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         from ..sources import manifest as mf
 
         self._mf = mf
+        self.path = mf.local_path(self.path)
         # r14 (VERDICT r13 item 1): 'member' tails ONE member of a
         # TABLE GROUP (sources/table_group.py) — offsets are GROUP
         # versions (the shared log), partitions are the member's

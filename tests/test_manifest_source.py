@@ -470,6 +470,36 @@ class TestColumnPruning:
         )
         assert len(rdr.partitions()) == 1  # bucket pruning still on
 
+    def test_unparseable_conjunct_still_widens_the_read(self, spark, table):
+        # ADVICE r13 (low): a predicate the conservative parser
+        # degrades on (LIKE / NOT / mixed OR) references columns the
+        # row filter needs — scan() must widen the read to EVERY table
+        # column the predicate mentions instead of failing analysis
+        df = scan(
+            spark, table, predicate="name LIKE 'name_12%'", columns=["k"]
+        )
+        assert df.columns == ["k"]
+        got = sorted(r["k"] for r in df.collect())
+        assert got == sorted(
+            r["k"]
+            for r in mf.read_table(spark, table)
+            .filter("name LIKE 'name_12%'")
+            .collect()
+        ) and got
+        # NOT / mixed OR shapes too — both degrade pruning, never fail
+        df2 = scan(
+            spark, table,
+            predicate="NOT (g = 0) AND (k = 5 OR name = 'name_6')",
+            columns=["name"],
+        )
+        assert df2.columns == ["name"]
+        assert sorted(r["name"] for r in df2.collect()) == sorted(
+            r["name"]
+            for r in mf.read_table(spark, table)
+            .filter("NOT (g = 0) AND (k = 5 OR name = 'name_6')")
+            .collect()
+        )
+
     def test_projection_spanning_schema_evolution(self, spark, tmp_path):
         # files written BEFORE a column existed serve typed nulls for
         # it under projection, same as the unprojected read
