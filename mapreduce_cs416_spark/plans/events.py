@@ -548,7 +548,11 @@ QUERIES: dict[str, QuerySpec] = {
         # plus grouping_variants in extras) — the freed slot carries
         # one of the r8-oracled northstar extras the driver had never
         # hashed (VERDICT r8 item 4).
-        QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, headline=True, tags=("events", "agg", "anomaly", "monitoring")),
+        # events_anomaly_zscore rotated to EXTRA in r14 (driver-hashed
+        # green r6-r13; keeps its headline bench slot + exact oracle in
+        # parity) — the freed slot carries events_funnel, exact-oracled
+        # since r5 but never driver-hashed (VERDICT r13 item 8).
+        QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
         # events_transition_matrix rotated to EXTRA late-r8 (driver-
         # hashed green in r7; the freed slot carries the newly
         # exact-oracled LSH family — see plans/northstar.py).
@@ -572,7 +576,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("events_session", events_session, EVENTS_SESSION_SQL, events_session.__doc__, headline=True, tags=("events", "session", "custom-op")),
         QuerySpec("events_distinct_rollup", events_distinct_rollup, None, events_distinct_rollup.__doc__, tags=("events", "agg", "approx", "sketch")),
         QuerySpec("events_attribution_join", events_attribution_join, EVENTS_ATTRIBUTION_SQL, events_attribution_join.__doc__, tags=("events", "join", "streaming", "range")),
-        QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL, events_funnel.__doc__, tags=("events", "window", "funnel", "custom-op")),
+        QuerySpec("events_anomaly_zscore", events_anomaly_zscore, EVENTS_ANOMALY_SQL, events_anomaly_zscore.__doc__, headline=True, tags=("events", "agg", "anomaly", "monitoring")),
         QuerySpec("events_cohort_retention", events_cohort_retention, EVENTS_COHORT_SQL, events_cohort_retention.__doc__, tags=("events", "agg", "cohort")),
         QuerySpec("events_value_histogram", events_value_histogram, EVENTS_HISTOGRAM_SQL, events_value_histogram.__doc__, tags=("events", "agg", "histogram")),
         QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, events_gapfill.__doc__, tags=("events", "window", "timeseries")),

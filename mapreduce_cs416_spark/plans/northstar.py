@@ -3557,7 +3557,12 @@ QUERIES: dict[str, QuerySpec] = {
         # events_anomaly_zscore, events_transition_matrix,
         # corpus_temperature_mix. Window stays 50/50 oracled.
         QuerySpec("dedup_incremental_ingest", dedup_incremental_ingest, DEDUP_INCREMENTAL_SQL, dedup.incremental_ingest.__doc__, headline=True, tags=("northstar", "dedup", "pipeline", "join")),
-        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, headline=True, tags=("northstar", "text", "topk", "join")),
+        # text_phrase_search rotated to EXTRA in r14 (driver-hashed
+        # green r7-r13; keeps headline bench + exact oracle in parity)
+        # — the freed slot carries multimodal_decode_wav, the real
+        # RIFF-walk audio decode parity row never driver-hashed
+        # (VERDICT r13 item 8).
+        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
         # corpus_temperature_mix rotated to EXTRA late-r8 (driver-
         # hashed green in r7; corpus family stays in-window via
         # pack_sequences / release_pipeline / bpe_train+encode). Its
@@ -3742,7 +3747,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         # rows they displaced (AVI, WAV — hashed green in r8) and the
         # consolidated multimodal_doc_profile keep their oracles here.
         QuerySpec("multimodal_decode_avi", multimodal_decode_avi, MULTIMODAL_DECODE_AVI_SQL, multimodal.decode_video_stats.__doc__, tags=("northstar", "multimodal", "decode", "video")),
-        QuerySpec("multimodal_decode_wav", multimodal_decode_wav, MULTIMODAL_DECODE_WAV_SQL, multimodal.decode_audio_stats.__doc__, tags=("northstar", "multimodal", "decode", "audio")),
+        # multimodal_decode_wav promoted to the driver window in r14
+        # (VERDICT r13 item 8); text_phrase_search holds its oracle +
+        # headline bench slot here after 7 green driver rounds.
+        QuerySpec("text_phrase_search", text_phrase_search, TEXT_PHRASE_SQL, textstats.phrase_search.__doc__, headline=True, tags=("northstar", "text", "topk", "join")),
         QuerySpec("multimodal_doc_profile", multimodal_doc_profile, MULTIMODAL_DOC_PROFILE_SQL, multimodal_doc_profile.__doc__, tags=("northstar", "multimodal")),
         QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL, textstats.tfidf_top_terms.__doc__, tags=("northstar", "text")),
         QuerySpec("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, multimodal.sample_video_frames.__doc__, tags=("northstar", "multimodal", "decode", "video")),

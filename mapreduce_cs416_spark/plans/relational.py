@@ -2203,9 +2203,13 @@ QUERIES: dict[str, QuerySpec] = {
         QuerySpec("manifest_delete_from", manifest_delete_from, MANIFEST_DELETE_SQL, manifest_delete_from.__doc__, tags=("relational", "storage", "delete", "pipeline")),
         # late-r7 rotation: pivot_events to EXTRA (its unpivot twin
         # was already there; both keep oracles in pytest) — the slot
-        # carries the data-quality audit so the driver hashes the
-        # expectation/uniqueness/FK counters.
-        QuerySpec("dq_orders_audit", dq_orders_audit, DQ_ORDERS_SQL, dq_orders_audit.__doc__, tags=("relational", "dq", "audit", "pipeline")),
+        # carried dq_orders_audit through r13. r14 rotation: dq audit
+        # (driver-hashed green r7-r13; oracle stays in extras with
+        # orders_column_stats keeping the dq family parity-checked)
+        # frees the slot for asof_join_events' RETURN — the as-of
+        # custom op, exactly-oracled but outside the window since r12
+        # (VERDICT r13 item 8).
+        QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
         # r8 rotation IN: the r7-oracled warehouse families the driver
         # had never hashed (VERDICT r7 item 1).
         QuerySpec("cdc_scd2_history", cdc_scd2_history, CDC_SCD2_SQL, cdc_scd2_history.__doc__, tags=("relational", "cdc", "window")),
@@ -2225,10 +2229,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     for q in [
         QuerySpec("set_ops", set_ops, SET_OPS_SQL, set_ops.__doc__, tags=("relational", "setop")),
         # r13: scd2_point_in_time and manifest_delete_dv rotated INTO
-        # the driver window above.
-        # r12 rotation OUT (driver-hashed green since r2; the as-of
-        # custom op keeps its exact oracle here, parity-checked):
-        QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_SQL, asof_join_events.__doc__, headline=True, tags=("relational", "join", "asof", "custom-op")),
+        # the driver window above; r14: asof_join_events returned to
+        # the window and dq_orders_audit rotated here (oracle kept):
+        QuerySpec("dq_orders_audit", dq_orders_audit, DQ_ORDERS_SQL, dq_orders_audit.__doc__, tags=("relational", "dq", "audit", "pipeline")),
         # r11 rotation OUT (driver-hashed green multi-round; families
         # stay in-window — see the QUERIES comment):
         QuerySpec("cdc_merge_orders", cdc_merge_orders, CDC_MERGE_SQL, cdc_merge_orders.__doc__, headline=True, tags=("relational", "cdc", "join", "pipeline")),
