@@ -559,6 +559,88 @@ def bench_view_maintenance_cdf(spark, sf_dir: str, base: str) -> dict:
     return _batch_stats(q.recentProgress)
 
 
+def bench_group_cdf(spark, sf_dir: str, base: str) -> dict:
+    """Native GROUP-MEMBER change feed (r14, VERDICT r13 item 1): the
+    decoupled consumer of the flagship group-IVM pattern — after
+    N_BATCHES atomic group commits (facts merged + view replaced, the
+    view_maintenance_group writer shape), a
+    ``readStream.format("manifest_cdf").option("member", "facts")``
+    consumer drains the facts feed in rate-limited chunks
+    (maxVersionsPerTrigger=2 → 2 group versions per micro-batch;
+    python stream sources run one batch per availableNow start, so
+    the drain loops starts until empty). Per-batch cost is the
+    member's changed-bucket diff — the same unit the standalone CDF
+    source pays, priced here against group-version offsets."""
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.sources import table_group as tg
+    from mapreduce_cs416_spark.streaming.cdf_source import register_manifest_cdf
+
+    orders = load_table(spark, sf_dir, "orders")
+    group, measures = ["o_custkey"], {"revenue": "o_totalprice"}
+    grp = f"{base}/grp"
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    width = max(1024, int(max_key) // 32)
+    tg.create_group(
+        spark, grp,
+        {
+            "facts": {
+                "df": orders, "key_cols": ["o_orderkey"],
+                "partition_expr": f"floor(o_orderkey / {width})",
+            },
+            "view": {
+                "df": ivm.build_view(orders, group, measures),
+                "key_cols": group, "n_buckets": 8,
+            },
+        },
+    )
+    slice_w = (int(max_key) + 1) // 10
+    for b in range(N_BATCHES):
+        ch = (
+            orders.where(F.floor(F.col("o_orderkey") / slice_w) == b)
+            .withColumn(
+                "op",
+                F.when(F.col("o_orderkey") % 97 == 0, F.lit("D")).otherwise(F.lit("U")),
+            )
+            .withColumn("seq", F.col("o_orderkey") * 10 + b)
+            .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        )
+
+        def _fresh(s, r, version, ch=ch):
+            snap = tg.read_group_table(s, r, "facts", version=version)
+            view = tg.read_group_table(s, r, "view", version=version)
+            delta = ivm.delta_view(
+                snap, ch, ["o_orderkey"], group, measures, op_col="op", seq_col="seq"
+            )
+            return ivm.merge_deltas(view, delta, group)
+
+        tg.group_transact(
+            spark, grp, merges={"facts": ch}, replaces={"view": _fresh}
+        )
+    register_manifest_cdf(spark)
+    ckpt = f"{base}/ckpt"
+    progress: list = []
+    for _ in range(N_BATCHES + 2):  # bounded drain loop
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", grp).option("member", "facts")
+            .option("startingVersion", "1")
+            .option("maxVersionsPerTrigger", "2").load()
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        prog = list(q.recentProgress)
+        new_rows = sum(
+            (json.loads(p) if isinstance(p, str) else p).get("numInputRows", 0)
+            for p in prog
+        )
+        progress.extend(prog)
+        if new_rows == 0:
+            break
+    return _batch_stats(progress)
+
+
 def bench_tumbling(spark, sf_dir: str) -> dict:
     events = sp.stream_events_replayed(spark, sf_dir, copies=N_REPLAYS)
     agg = sp.streaming_tumbling(events)
@@ -706,6 +788,7 @@ def main() -> int:
             "view_maintenance_cdf": bench_view_maintenance_cdf(
                 spark, sf_dir, f"{base}/ivmcdf"
             ),
+            "group_cdf": bench_group_cdf(spark, sf_dir, f"{base}/groupcdf"),
             "tumbling_agg": bench_tumbling(spark, sf_dir),
             "stream_stream_join": bench_stream_stream_join(
                 spark, sf_dir, f"{base}/ssjoin"
@@ -817,13 +900,27 @@ def main() -> int:
         "tests/test_streaming.py::test_stream_stream_join_state_bounded.",
         "Its per-batch seconds are state-store MACHINERY, not state size:",
         "each fixture batch spans ~5 days of event time vs a 2 h watermark,",
-        "so state evicts almost fully every batch — what remains is the",
-        "fixed cost of committing 2 sides × 32 state partitions × 4 store",
-        "instances per micro-batch on local[32]'s HDFS-backed store (many",
-        "small checkpoint files), plus reading the self-joined source twice",
-        "(numInputRows doubles). On a real cluster those partition commits",
-        "parallelize across executors; the declining per-batch profile",
-        "(first batches carry codegen + store instantiation) is the signal.",
+        "so state evicts almost fully every batch. r14 (VERDICT r13 item 3)",
+        "TUNED that machinery, measured 3 serialized passes per config: the",
+        "r13 HDFS-backed 32-partition baseline sat at p50 ~4.7 s/batch; 8",
+        "partitions alone was a wash (~4.9 s — commit COUNT wasn't binding",
+        "by itself); RocksDB at 32 partitions was far WORSE (8-11 s — 128",
+        "instances of native open/commit fixed cost); RocksDB + 4 state",
+        "partitions landed p50 1.5-2.1 s with warm batches 1.2-1.6 s, ~3x",
+        "under baseline, so the service now runs that config (scoped to the",
+        "query, restored after — state partition count pins at first run).",
+        "At cluster scale the same principle sizes state partitions to",
+        "executor parallelism instead of inheriting the shuffle default.",
+        "`group_cdf` (r14, VERDICT r13 item 1) is the native GROUP-MEMBER",
+        "change feed: after 6 atomic group commits (the",
+        "view_maintenance_group writer shape), a",
+        "readStream.format('manifest_cdf').option('member','facts') consumer",
+        "drains the facts feed at maxVersionsPerTrigger=2 — offsets are",
+        "GROUP versions, partitions the member's changed buckets, so each",
+        "batch prices the same changed-bucket diff the standalone CDF source",
+        "pays, plus nothing for commits that left the member untouched",
+        "(empty windows plan zero partitions; stream==batch vs",
+        "read_group_changes is pinned in tests/test_streaming.py).",
         "`manifest_sink_native_range` (r13, VERDICT r12 item 1) is the SAME",
         "feed volume on a `floor(o_orderkey / 65536)` RANGE-layout table —",
         "the key-local changelog layout that previously fell back to",
