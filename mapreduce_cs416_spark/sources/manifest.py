@@ -2114,6 +2114,14 @@ def maintain(
         v = props.get("maintain.orphan_age_s")
         orphan_min_age_s = float(v) if v is not None else 3600.0
     out = {"compacted": False, "vacuum_removed": 0}
+    if "tables" in man:
+        # a TABLE GROUP (table_group.py): members never fragment —
+        # merges rewrite touched buckets wholesale and replaces stage
+        # full images — so the maintenance a long-running group
+        # (e.g. streaming_view_maintenance_group) needs is VERSION
+        # RETENTION; vacuum is group-aware (sweeps every member's data
+        # root). The fragment threshold is ignored for groups.
+        max_fragments = None
     if max_fragments is not None and max_fragments >= 1:
         dv_map = man.get("dvs", {})
         if any(

@@ -97,6 +97,64 @@ class TestMaintainAPI:
         assert mf.read_table(spark, root, version=1).count() == 64
 
 
+class TestGroupMaintain:
+    def test_group_retention_via_properties(self, spark, tmp_path):
+        """maintain() on a TABLE GROUP is version retention: members
+        never fragment (merges rewrite buckets wholesale), so the
+        production loop for a long-running group is age-gated vacuum
+        under maintain.keep_versions — group-aware (every member's
+        superseded data reclaimed), every kept version still a
+        mutually consistent pair."""
+        from pyspark.sql import functions as F
+
+        from mapreduce_cs416_spark.operators import ivm
+        from mapreduce_cs416_spark.sources import table_group as tg
+
+        root = str(tmp_path / "grp")
+        facts = spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i)) for i in range(8)],
+            "k long, g string, v double",
+        )
+        tg.create_group(
+            spark, root,
+            {
+                "facts": {"df": facts, "key_cols": ["k"], "n_buckets": 2},
+                "view": {"df": ivm.build_view(facts, ["g"], {"t": "v"}),
+                         "key_cols": ["g"], "n_buckets": 1},
+            },
+        )
+        mf.set_properties(
+            root,
+            {"maintain.keep_versions": 2, "maintain.orphan_age_s": 0.0},
+        )
+        for i in range(4):
+            ch = spark.createDataFrame(
+                [(i, "g0", 100.0 + i, "U", i)],
+                "k long, g string, v double, op string, seq long",
+            )
+
+            def _fresh(s, r, version, ch=ch):
+                snap = tg.read_group_table(s, r, "facts", version=version)
+                view = tg.read_group_table(s, r, "view", version=version)
+                return ivm.merge_deltas(
+                    view,
+                    ivm.delta_view(snap, ch, ["k"], ["g"], {"t": "v"}),
+                    ["g"],
+                )
+
+            tg.group_transact(
+                spark, root, merges={"facts": ch}, replaces={"view": _fresh}
+            )
+            out = mf.maintain(spark, root)
+            assert not out["compacted"]  # groups never compact
+        # retention applied: at most 2 versions remain, both readable
+        kept = mf._versions(root)
+        assert len(kept) <= 2
+        for v in kept:
+            assert tg.read_group_table(spark, root, "facts", v).count() == 8
+            assert tg.read_group_table(spark, root, "view", v).count() > 0
+
+
 THRESHOLD = 4
 N_BATCHES = 100
 ROWS_PER_BATCH = 16

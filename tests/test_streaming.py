@@ -1286,3 +1286,85 @@ def test_manifest_cdf_durable_floor_bounds_restart(spark, tmp_path):
 
     assert drain_ctl({"startingVersion": "1"}) == changes(1, 3)
     assert drain_ctl({}) == changes(3, 8)  # one unbounded catch-up batch
+
+
+def test_manifest_cdf_member_bootstrap_and_durable_floor(spark, tmp_path):
+    """The r14 options COMPOSE: a group-member stream with
+    startingVersion=0 bootstraps the member's full snapshot as op='U'
+    rows (old side = empty), and with sourceId + maxVersionsPerTrigger
+    a member stream restarted without startingVersion resumes bounded
+    from the durable floor — group-version offsets throughout."""
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.sources import table_group as tg
+    from mapreduce_cs416_spark.streaming.cdf_source import register_manifest_cdf
+
+    root = str(tmp_path / "grp")
+    facts = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(16)],
+        "k long, g string, v double",
+    )
+    tg.create_group(
+        spark, root,
+        {
+            "facts": {"df": facts, "key_cols": ["k"], "n_buckets": 4},
+            "view": {"df": ivm.build_view(facts, ["g"], {"t": "v"}),
+                     "key_cols": ["g"], "n_buckets": 1},
+        },
+    )  # v1
+    for i in range(4):  # v2..v5
+        ch = spark.createDataFrame(
+            [(100 + i, "g0", 1.0, "U", i)],
+            "k long, g string, v double, op string, seq long",
+        )
+        tg.group_transact(spark, root, merges={"facts": ch})
+
+    register_manifest_cdf(spark)
+
+    def drain(ckpt, opts):
+        rows = []
+
+        def _sink(batch_df, batch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        reader = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", root).option("member", "facts")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(rows)
+
+    # bootstrap-from-zero: first batch is the member snapshot at the
+    # covered group version, every row op='U'
+    boot = drain("boot", {"startingVersion": "0", "maxVersionsPerTrigger": "2"})
+    snap2 = sorted(
+        tuple(r) + ("U",)
+        for r in tg.read_group_table(spark, root, "facts", version=2).collect()
+    )
+    assert boot == snap2
+
+    # rate-limited member stream with a durable floor: one chunk, then
+    # restart WITHOUT startingVersion resumes bounded at the floor
+    first = drain(
+        "flr",
+        {"startingVersion": "1", "maxVersionsPerTrigger": "2", "sourceId": "m1"},
+    )
+
+    def changes(v0, v1):
+        return sorted(
+            tuple(r)
+            for r in tg.read_group_changes(spark, root, "facts", v0, v1).collect()
+        )
+
+    assert first == changes(1, 3)
+    second = drain("flr", {"maxVersionsPerTrigger": "2", "sourceId": "m1"})
+    assert second == changes(3, 5)
+    assert drain("flr", {"maxVersionsPerTrigger": "2", "sourceId": "m1"}) == []
+    assert sorted(first + second) == changes(1, 5)
