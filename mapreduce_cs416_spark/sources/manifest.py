@@ -2098,10 +2098,12 @@ def maintain(
     table properties ``maintain.max_fragments`` /
     ``maintain.keep_versions`` / ``maintain.orphan_age_s``; with
     neither set the call is a no-op. Returns
-    ``{"compacted": bool, "vacuum_removed": int}``. Concurrency: both
-    sub-operations are the ordinary transactional faces — racing
-    writers conflict on the log and retry; vacuum's age gate protects
-    in-flight staging."""
+    ``{"compacted": bool, "vacuum_removed": int}``. On a TABLE GROUP
+    root only the retention half runs (members never fragment — the
+    fragment threshold is ignored; vacuum is group-aware).
+    Concurrency: both sub-operations are the ordinary transactional
+    faces — racing writers conflict on the log and retry; vacuum's
+    age gate protects in-flight staging."""
     man = read_manifest(path)
     props = man.get("properties", {})
     if max_fragments is None:

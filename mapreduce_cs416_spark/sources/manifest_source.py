@@ -465,10 +465,11 @@ def scan(
             # columns the row filter needs — widen by every predicate
             # identifier that IS a table column, so the filter never
             # hits an AnalysisException against a projected read
+            p = mf.local_path(path)
             man = mf.read_manifest(
-                path,
+                p,
                 version if version is not None
-                else (mf.version_at(path, timestamp_as_of)
+                else (mf.version_at(p, timestamp_as_of)
                       if timestamp_as_of is not None else None),
             )
             if member is not None:
@@ -528,6 +529,8 @@ def create_sql_table(
         from .table_group import read_group_table
 
         if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp_as_of, not both")
             version = mf.version_at(mf.local_path(path), timestamp_as_of)
         df = read_group_table(spark, mf.local_path(path), member, version)
     else:

@@ -65,7 +65,12 @@ Design (all public machinery):
   crash between planning and the offset WAL) instead of taking the
   whole downtime backlog as one batch. The engine's checkpoint still
   owns correctness (partitions() serves whatever span it plans); the
-  sidecar only seeds the limiter.
+  sidecar only seeds the limiter. Like the sink's ``sinkId``, a
+  sourceId must be UNIQUE per (streaming query, checkpoint): two
+  streams sharing one would overwrite each other's floor (last write
+  wins — at worst an over-advanced seed, bounded again by the
+  engine's checkpointed start). An explicit ``startingVersion``
+  always overrides the sidecar (fresh-bootstrap intent).
 
 stream==batch is pinned in tests/test_streaming.py: the streamed
 micro-batches, concatenated, equal ``manifest.read_changes`` over the
