@@ -195,6 +195,7 @@ def group_transact(
     op_col: str = "op",
     seq_col: str | None = "seq",
     conflict_retries: int = 3,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """ONE atomic commit over several members: ``merges[name]`` is a
     CDC changelog merged into that member (touched-bucket rewrite,
@@ -219,7 +220,19 @@ def group_transact(
     built from; retrying it would silently publish a stale image next
     to freshly-merged facts, so a conflict with a plain-DataFrame
     replace RAISES instead of retrying — pass a callable (or retry at
-    the call site with a freshly derived image)."""
+    the call site with a freshly derived image).
+
+    **Exactly-once via a transaction cursor (r14):** ``txn=(app_id,
+    version)`` is the group analog of the native sink's per-sink
+    batch cursor (Delta's txnAppId/txnVersion): the group log carries
+    ``stream_cursors[app_id]``; a RE-DELIVERED transaction
+    (``version == cursor`` — Spark replays only the last unacked
+    batch) is absorbed without staging, publishing, or invoking
+    replace thunks, and a version BELOW the cursor fails loudly (a
+    fresh or rolled-back checkpoint, never normal replay — the native
+    sink's rule). This makes even NON-idempotent changelogs
+    exactly-once through foreachBatch; ``app_id`` must be unique per
+    (streaming query, checkpoint), like ``sinkId``."""
     last: mf.CommitConflict | None = None
     replaces = replaces or {}
     for attempt in range(max(1, conflict_retries + 1)):
@@ -235,7 +248,7 @@ def group_transact(
             ) from last
         try:
             return _transact_once(
-                spark, root, merges or {}, replaces, op_col, seq_col
+                spark, root, merges or {}, replaces, op_col, seq_col, txn
             )
         except mf.CommitConflict as exc:
             last = exc
@@ -249,11 +262,28 @@ def _transact_once(
     replaces: dict,
     op_col: str,
     seq_col: str | None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     overlap = set(merges) & set(replaces)
     if overlap:
         raise ValueError(f"members both merged and replaced: {sorted(overlap)}")
     g = mf.read_manifest(root)
+    if txn is not None:
+        app_id, txn_version = txn
+        cursor = g.get("stream_cursors", {}).get(app_id)
+        if cursor is not None:
+            if txn_version == cursor:
+                # re-delivered transaction: already committed — absorb
+                # without staging or invoking replace thunks
+                return g
+            if txn_version < cursor:
+                raise RuntimeError(
+                    f"group transaction cursor {app_id!r} is at "
+                    f"{cursor} but this commit delivered {txn_version}: "
+                    "the streaming checkpoint does not match the group "
+                    "cursor (fresh/rolled-back checkpoint?). Restore the "
+                    "matching checkpoint, or choose a new app_id."
+                )
     # resolve replace thunks against THIS attempt's snapshot version —
     # read_group_table(..., version=g["version"]) inside the callable
     # pins every member read to the manifest this commit lands on top of
@@ -301,6 +331,10 @@ def _transact_once(
         return g  # nothing to publish, no version burn
     new_manifest = {**g, "version": new_version, "op": "group_transact",
                     "tables": tables}
+    if txn is not None:
+        cursors = dict(g.get("stream_cursors", {}))
+        cursors[txn[0]] = txn[1]
+        new_manifest["stream_cursors"] = cursors
     try:
         mf._commit(root, new_manifest)
     except mf.CommitConflict:

@@ -758,6 +758,7 @@ def streaming_view_maintenance_group(
     measures: dict[str, str],
     op_col: str = "op",
     seq_col: str = "seq",
+    txn_app: str | None = None,
 ):
     """streaming_view_maintenance on a TABLE GROUP (VERDICT r12
     item 7 — sources/table_group.py): facts and view are two
@@ -791,10 +792,20 @@ def streaming_view_maintenance_group(
             )
             return ivm.merge_deltas(view, delta, group_cols)
 
+        # txn cursor (r14, opt-in via txn_app): a re-delivered batch
+        # (crash after the group commit, before the checkpoint ack) is
+        # absorbed by the group log's stream_cursors. The DEFAULT stays
+        # cursor-free because this pipeline's merge+replace shape is
+        # keyed-idempotent (replays produce zero deltas) and a
+        # cursor-free group supports deliberate fresh-checkpoint
+        # reprocessing; pass txn_app when the changelog is NOT
+        # idempotent (e.g. seq-less appends) — then a fresh checkpoint
+        # on the same group requires a new txn_app, the sink's rule.
         tg.group_transact(
             session, group_root,
             merges={"facts": batch_df}, replaces={"view": _fresh_view},
             op_col=op_col, seq_col=seq_col,
+            txn=(txn_app, batch_id) if txn_app is not None else None,
         )
 
     return (

@@ -346,3 +346,91 @@ class TestCrashAtomicity:
             on_disk |= {os.path.join(root, name, "data", d)
                         for d in os.listdir(droot)}
         assert on_disk == live
+
+
+class TestTxnCursorAndEvolution:
+    def test_txn_replay_absorbed_without_version_burn(
+        self, spark, tmp_path
+    ):
+        """r14: txn=(app_id, version) is the group analog of the native
+        sink's batch cursor — a re-delivered transaction is absorbed
+        without publishing a version OR invoking replace thunks, and a
+        version below the cursor fails loudly (fresh/rolled-back
+        checkpoint, never normal replay)."""
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        changes = spark.createDataFrame(
+            BATCH1, "k long, g string, v double, op string, seq long"
+        )
+        calls = {"n": 0}
+
+        def _fresh(s, r, version):
+            calls["n"] += 1
+            snap = tg.read_group_table(s, r, "facts", version=version)
+            view = tg.read_group_table(s, r, "view", version=version)
+            delta = ivm.delta_view(snap, changes, ["k"], GROUP_COLS, MEASURES)
+            return ivm.merge_deltas(view, delta, GROUP_COLS)
+
+        man = tg.group_transact(
+            spark, root, merges={"facts": changes},
+            replaces={"view": _fresh}, txn=("maint", 0),
+        )
+        assert man["version"] == 2
+        assert man["stream_cursors"] == {"maint": 0}
+        assert calls["n"] == 1
+        # replay of the SAME transaction: absorbed — no new version,
+        # thunk never invoked, state unchanged
+        replay = tg.group_transact(
+            spark, root, merges={"facts": changes},
+            replaces={"view": _fresh}, txn=("maint", 0),
+        )
+        assert replay["version"] == 2 and calls["n"] == 1
+        assert _snap(spark, root) == (AFTER1_FACTS, AFTER1_VIEW)
+        # the next transaction advances the cursor
+        ch2 = spark.createDataFrame(
+            [(7, "e", 1.0, "U", 2)], "k long, g string, v double, op string, seq long"
+        )
+        man3 = tg.group_transact(
+            spark, root, merges={"facts": ch2}, txn=("maint", 1)
+        )
+        assert man3["stream_cursors"] == {"maint": 1}
+        # a txn BELOW the cursor is a checkpoint mismatch — loud
+        with pytest.raises(RuntimeError, match="cursor"):
+            tg.group_transact(
+                spark, root, merges={"facts": ch2}, txn=("maint", 0)
+            )
+        # an unrelated app_id keeps its own cursor
+        man4 = tg.group_transact(
+            spark, root, merges={"facts": spark.createDataFrame(
+                [(8, "f", 2.0, "U", 1)],
+                "k long, g string, v double, op string, seq long",
+            )}, txn=("other", 5),
+        )
+        assert man4["stream_cursors"] == {"maint": 1, "other": 5}
+
+    def test_member_schema_evolution_through_group_merge(self, spark, tmp_path):
+        """A member merge carrying a NEW column evolves that member's
+        schema (manifest._merge_stage semantics) while siblings keep
+        theirs; old rows read typed nulls for the added column and the
+        pair stays mutually consistent at every version."""
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        ev = spark.createDataFrame(
+            [(1, "a", 10.0, "x", "U", 1), (6, "d", 4.0, "y", "U", 1)],
+            "k long, g string, v double, note string, op string, seq long",
+        )
+        tg.group_transact(spark, root, merges={"facts": ev})
+        facts = tg.read_group_table(spark, root, "facts")
+        assert facts.columns == ["k", "g", "v", "note"]
+        got = {(r["k"], r["note"]) for r in facts.collect()}
+        assert got == {(1, "x"), (6, "y"), (2, None), (3, None), (4, None)}
+        # the sibling member's schema is untouched
+        view = tg.read_group_table(spark, root, "view")
+        assert "note" not in view.columns
+        # time travel reads the pre-evolution member shape
+        v1 = tg.read_group_table(spark, root, "facts", version=1)
+        assert v1.columns == ["k", "g", "v"]
+        # and the member CDF crosses the evolution boundary in the
+        # EVOLVED shape (the standalone source's contract)
+        feed = tg.read_group_changes(spark, root, "facts", 1, 2)
+        assert "note" in feed.columns and feed.count() > 0
