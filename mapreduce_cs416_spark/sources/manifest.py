@@ -1199,10 +1199,19 @@ def merge_into(
          directory; untouched buckets' entries are carried over
          UNCHANGED (their files are never read, rewritten, or moved);
       5. atomically publish manifest v{N} put-if-absent. If another
-         writer won the version, retry the WHOLE merge from the new
-         latest manifest (up to ``conflict_retries`` times) — the
-         losing attempt's data directory is an orphan for ``vacuum``,
-         and no committed data is ever lost.
+         writer won the version, first try a REBASE (r14, logical
+         conflict detection — the public formats' optimistic
+         concurrency): when the winner touched DISJOINT buckets (no
+         bucket overlap, no DV on our buckets, no layout/schema
+         change, no staged aux), our already-staged bucket images are
+         still exactly right — fold them onto the fresh manifest and
+         republish, reusing the staged data with zero re-read or
+         re-write. Only a genuine overlap retries the WHOLE merge
+         from the new latest manifest (up to ``conflict_retries``
+         times) — the losing attempt's data directory is reclaimed,
+         and no committed data is ever lost
+         (tests/test_merge_rebase.py pins both paths plus the
+         no-resurrection DV case).
 
     ``aux`` commits side tables ATOMICALLY WITH the merge: each named
     DataFrame is written under the same version directory and the one
@@ -1241,14 +1250,111 @@ def _merge_once(
         return read_manifest(path)
     try:
         _commit(path, new_manifest)
+        return new_manifest
     except CommitConflict:
-        # a losing merge's data was computed against a superseded
-        # snapshot — useless to the retry; reclaim it now rather than
-        # leaving it for vacuum's age-gated orphan sweep
-        if rel is not None:
-            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
-        raise
-    return new_manifest
+        pass
+    # Optimistic-concurrency REBASE (r14): the winner took our version
+    # number, but if it touched DISJOINT buckets our merged images are
+    # still exactly the right new state for OUR buckets (their inputs —
+    # the base snapshot's files for those buckets — are untouched and
+    # immutable), so fold our bucket entries onto the fresh manifest
+    # and republish WITHOUT re-reading or re-writing any data. Logical
+    # conflict detection, the public lakehouse formats' shape: only an
+    # actual overlap (same bucket, a DV on our bucket, a layout or
+    # schema change, or snapshot-derived aux) forces the full re-run.
+    for _ in range(4):  # a racing burst moves the head several times
+        fresh = read_manifest(path)
+        rebased = _rebase_merge(manifest, new_manifest, fresh)
+        if rebased is None:
+            break
+        try:
+            _commit(path, rebased)
+            return rebased
+        except CommitConflict:
+            continue
+    # a genuine overlap (or rebase burst exhausted): the staged data
+    # was computed against a superseded snapshot — useless to the full
+    # retry; reclaim it now rather than leaving it for vacuum's
+    # age-gated orphan sweep
+    if rel is not None:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    raise CommitConflict(
+        f"merge under {path} lost the version race and could not be "
+        "rebased (overlapping buckets, DV/layout/schema change, or "
+        "staged aux); retrying the whole merge from the latest manifest"
+    )
+
+
+def _rebase_merge(base: dict, staged: dict, fresh: dict) -> dict | None:
+    """Fold the bucket entries a staged merge produced against
+    ``base`` onto the ``fresh`` (winner's) manifest — or return None
+    when the rebase would be unsound and the merge must re-run:
+
+    - the winner changed the partition layout (our files are bucketed
+      under the old expression) or the schema (either direction:
+      silently dropping our evolution, or publishing our old-schema
+      images as the table's new schema-bearing state, would surprise);
+    - the winner touched any bucket we rewrote, including via a
+      deletion vector (our image was computed WITHOUT that change —
+      publishing it would resurrect deleted rows / lose updates);
+    - we staged aux payloads (snapshot-derived by contract — the
+      streaming view shape — so they must be recomputed against the
+      winner's snapshot, exactly the group replace-thunk rule)."""
+    if fresh.get("partition_expr") != base.get("partition_expr"):
+        return None
+    if (
+        fresh.get("schema") != base.get("schema")
+        or fresh.get("columns") != base.get("columns")
+        or staged.get("schema") != base.get("schema")
+        or staged.get("columns") != base.get("columns")
+    ):
+        return None
+    if staged.get("aux", {}) != base.get("aux", {}):
+        return None
+    ours = {
+        b
+        for b in set(base["buckets"]) | set(staged["buckets"])
+        if base["buckets"].get(b) != staged["buckets"].get(b)
+    }
+    base_dvs = base.get("dvs", {})
+    fresh_dvs = fresh.get("dvs", {})
+    theirs = {
+        b
+        for b in set(base["buckets"]) | set(fresh["buckets"])
+        if base["buckets"].get(b) != fresh["buckets"].get(b)
+    } | {
+        b
+        for b in set(base_dvs) | set(fresh_dvs)
+        if base_dvs.get(b) != fresh_dvs.get(b)
+    }
+    if ours & theirs:
+        return None
+    buckets = {b: list(r) for b, r in fresh["buckets"].items()}
+    dvs = {b: list(r) for b, r in fresh_dvs.items()}
+    for b in ours:
+        ent = staged["buckets"].get(b)
+        if ent is None:
+            buckets.pop(b, None)  # the merge deleted the bucket empty
+        else:
+            buckets[b] = list(ent)
+        # the merge folded this bucket's base DVs into its rewrite;
+        # the winner did not touch them (checked above)
+        dvs.pop(b, None)
+    stats = dict(fresh.get("stats", {}))
+    staged_stats = staged.get("stats", {})
+    live = {r for rels in buckets.values() for r in rels}
+    for r in live - set(stats):
+        if r in staged_stats:
+            stats[r] = staged_stats[r]
+    stats = {r: s for r, s in stats.items() if r in live}
+    return {
+        **fresh,
+        "version": fresh["version"] + 1,
+        "op": "merge",
+        "buckets": buckets,
+        "stats": stats,
+        "dvs": dvs,
+    }
 
 
 def _merge_stage(
