@@ -16,7 +16,13 @@ concurrent readers hammering one table — and proves:
 
 The writer threads drive the REAL sink faces (ManifestStreamWriter
 .write/.commit in-process — the same calls the streaming engine
-makes), not synthetic _commit calls.
+makes), not synthetic _commit calls. r14 adds MERGE writers to the
+storm: each updates its own seed-key slice through ``merge_into``
+while sinks append and the compactor folds — losing merges resolve
+through the r14 conflict path (rebase when bucket-disjoint, full
+re-run otherwise; with every writer spraying all buckets the storm
+mostly drives the re-run, and test_merge_rebase.py race-injects the
+rebase fast path deterministically) and must converge loss-free.
 """
 
 from __future__ import annotations
@@ -30,6 +36,8 @@ from mapreduce_cs416_spark.sources import manifest as mf
 from mapreduce_cs416_spark.sources.manifest_sink import ManifestStreamWriter
 
 N_SINKS = 4
+N_MERGERS = 2
+N_MERGE_BATCHES = 3
 N_BATCHES = 6
 ROWS_PER_BATCH = 200
 SEED_ROWS = 400
@@ -62,7 +70,9 @@ def storm(spark, tmp_path_factory):
 
     errors: list = []
     read_counts: list[int] = []
-    start = threading.Barrier(N_SINKS + 2)  # sinks + compactor + reader
+    start = threading.Barrier(
+        N_SINKS + N_MERGERS + 2
+    )  # sinks + mergers + compactor + reader
 
     publish_ms: list[float] = []
     publish_lock = threading.Lock()
@@ -93,6 +103,27 @@ def storm(spark, tmp_path_factory):
         except Exception as exc:  # noqa: BLE001 - surfaced below
             errors.append(("sink", sink_no, exc))
 
+    def merge_worker(m: int) -> None:
+        """r14: a CDC merge writer racing the sinks/compactor — updates
+        ITS OWN 40-key seed slice per batch (disjoint keys from the
+        other merger and from sink-appended keys). With every writer
+        spraying all 8 buckets, losing merges here mostly take the
+        full re-run path (the disjoint-bucket rebase fast path is
+        race-injection-pinned in test_merge_rebase.py); this proves
+        merge writers converge loss-free under sustained mixed
+        contention either way."""
+        try:
+            start.wait()
+            for b in range(N_MERGE_BATCHES):
+                lo = m * 40
+                ch = spark.createDataFrame(
+                    [(k, 50_000 + m * 1000 + b, "U", b) for k in range(lo, lo + 40)],
+                    "k long, v long, op string, seq int",
+                )
+                mf.merge_into(spark, root, ch, conflict_retries=12)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("merger", m, exc))
+
     def compactor() -> None:
         try:
             start.wait()
@@ -121,6 +152,12 @@ def storm(spark, tmp_path_factory):
             )
             for i in range(N_SINKS)
         ]
+        threads += [
+            threading.Thread(
+                target=merge_worker, args=(m,), name=f"merger-{m}"
+            )
+            for m in range(N_MERGERS)
+        ]
         threads.append(threading.Thread(target=compactor, name="compactor"))
         threads.append(threading.Thread(target=reader, name="reader"))
         for t in threads:
@@ -144,11 +181,19 @@ def test_no_writer_or_reader_errors(storm):
 
 
 def test_no_lost_updates(spark, storm):
-    """Every committed batch's rows are present exactly once."""
+    """Every committed batch's rows are present exactly once, and
+    every merge writer's FINAL batch won its keys (seq-ordered merges
+    through rebases and re-runs alike)."""
     rows = mf.read_table(spark, storm["root"]).collect()
     got = sorted((r["k"], r["v"]) for r in rows)
     want = sorted(
-        [(k, -1) for k in range(SEED_ROWS)]
+        # keys 0..79 were updated by the merge writers; their final
+        # image is the last merge batch's value for each slice
+        [
+            (k, 50_000 + (k // 40) * 1000 + N_MERGE_BATCHES - 1)
+            for k in range(N_MERGERS * 40)
+        ]
+        + [(k, -1) for k in range(N_MERGERS * 40, SEED_ROWS)]
         + [
             (10_000 + s * 100_000 + b * ROWS_PER_BATCH + i, s)
             for s in range(N_SINKS)
@@ -184,6 +229,7 @@ def test_conflicts_observed_and_absorbed(storm):
     p50 = lat[len(lat) // 2]
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
     print(f"\ncontention: {total} CommitConflicts across "
-          f"{N_SINKS * N_BATCHES + 3} commits -> {storm['conflicts']}; "
+          f"{N_SINKS * N_BATCHES + N_MERGERS * N_MERGE_BATCHES + 3} "
+          f"commits -> {storm['conflicts']}; "
           f"publish latency p50 {p50:.0f} ms, p99 {p99:.0f} ms, "
           f"max {lat[-1]:.0f} ms over {len(lat)} publishes")
