@@ -2155,6 +2155,57 @@ def compact(
     raise last
 
 
+def restore_table(
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    conflict_retries: int = 3,
+) -> dict:
+    """RESTORE the table to an earlier version by publishing a NEW
+    commit whose visible state equals that version (Delta's RESTORE
+    shape): time travel backwards without losing the log — the bad
+    versions stay readable until ``vacuum`` retires them, and the
+    restore itself is one ordinary put-if-absent commit, so concurrent
+    writers conflict and retry like with any other op. Data
+    directories are immutable and the target version must still be
+    RETAINED (``read_manifest`` raises if vacuum dropped it), so no
+    data is copied — the new manifest simply references the old
+    version's directories. Carried forward from the CURRENT version,
+    not the restore point: ``properties`` and ``stream_cursors``
+    (rolling a sink's exactly-once cursor backwards would make it
+    silently absorb live batches as re-delivered). Works on table
+    GROUPS too — one restore returns every member to the mutually
+    consistent pair it had at that version."""
+    if (version is None) == (as_of is None):
+        raise ValueError("pass exactly one of version / as_of")
+    if as_of is not None:
+        version = version_at(path, as_of)
+    last: CommitConflict | None = None
+    for _ in range(max(1, conflict_retries + 1)):
+        target = read_manifest(path, version)
+        current = read_manifest(path)
+        if current["version"] == version:
+            return current  # restoring to the head: nothing to do
+        new_manifest = {
+            **target,
+            "version": current["version"] + 1,
+            "op": "restore",
+            "restored_from": version,
+        }
+        for carried in ("properties", "stream_cursors"):
+            if carried in current:
+                new_manifest[carried] = current[carried]
+            else:
+                new_manifest.pop(carried, None)
+        new_manifest.pop("chain", None)
+        try:
+            _commit(path, new_manifest)
+            return new_manifest
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
 def set_properties(path: str, props: dict, conflict_retries: int = 3) -> dict:
     """Merge ``props`` into the table's ``properties`` map in one
     metadata-only commit (a ``None`` value deletes the key) — the

@@ -144,6 +144,19 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         # chunks instead of arriving as ONE unbounded catch-up batch.
         self.source_id = options.get("sourceid") or options.get("sourceId")
         start = options.get("startingversion") or options.get("startingVersion")
+        start_ts = options.get("startingtimestamp") or options.get(
+            "startingTimestamp"
+        )
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if start_ts is not None:
+            # the timestamp face of the starting point (Delta's
+            # startingTimestamp): resolve to the newest version
+            # committed at or before the instant — changes AFTER that
+            # snapshot stream from there
+            start = mf.version_at(self.path, float(start_ts))
         if start is not None:
             self._start = int(start)
         else:

@@ -1472,3 +1472,71 @@ def test_native_sink_refuses_to_commit_across_a_repartition(spark, seeded):
         w.commit([msg], batchId=0)
     assert not os.path.isdir(os.path.join(path, msg.rel))  # staging discarded
     assert mf.read_table(spark, path).count() == rows_before  # nothing leaked
+
+
+def test_restore_table_rolls_back_as_a_new_commit(spark, seeded):
+    """r14 RESTORE (Delta's shape): a new commit whose visible state
+    equals an earlier version — no data copied, bad versions stay
+    readable until vacuum, stream cursors and properties carry
+    FORWARD (a sink cursor rolled back would absorb live batches)."""
+    path, orders, _ = seeded
+    before = _sorted_rows(mf.read_table(spark, path))
+    mf.merge_into(spark, path, _changelog(orders, 0, 512))  # v2
+    mf.delete_from(spark, path, "o_orderkey >= 2048")  # v3
+    mf.set_properties(path, {"owner": "t"})  # v4
+    assert _sorted_rows(mf.read_table(spark, path)) != before
+    man = mf.restore_table(path, version=1)  # v5
+    assert man["version"] == 5 and man["op"] == "restore"
+    assert man["restored_from"] == 1
+    # visible state is exactly v1 again, through a NEW version
+    assert _sorted_rows(mf.read_table(spark, path)) == before
+    # history intact: the undone versions still time-travel
+    assert mf.read_table(spark, path, version=3).count() < len(before)
+    # current-side metadata carried forward, not rolled back
+    assert mf.read_manifest(path)["properties"] == {"owner": "t"}
+    # restoring to the head is a no-op (no version burn)
+    assert mf.restore_table(path, version=5)["version"] == 5
+    # vacuum after restore keeps the restored state readable
+    mf.vacuum(path, keep_versions=1, orphan_min_age_s=0.0)
+    assert _sorted_rows(mf.read_table(spark, path)) == before
+    # the timestamp face resolves through version_at
+    with pytest.raises(ValueError, match="exactly one"):
+        mf.restore_table(path)
+
+
+def test_restore_group_returns_a_consistent_pair(spark, tmp_path):
+    from mapreduce_cs416_spark.operators import ivm
+    from mapreduce_cs416_spark.sources import table_group as tg
+
+    root = str(tmp_path / "grp")
+    facts = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 7.0)], "k long, g string, v double"
+    )
+    tg.create_group(
+        spark, root,
+        {
+            "facts": {"df": facts, "key_cols": ["k"], "n_buckets": 2},
+            "view": {"df": ivm.build_view(facts, ["g"], {"t": "v"}),
+                     "key_cols": ["g"], "n_buckets": 1},
+        },
+    )
+    ch = spark.createDataFrame(
+        [(1, "a", 99.0, "U", 1)], "k long, g string, v double, op string, seq long"
+    )
+
+    def _fresh(s, r, version):
+        snap = tg.read_group_table(s, r, "facts", version=version)
+        view = tg.read_group_table(s, r, "view", version=version)
+        return ivm.merge_deltas(
+            view, ivm.delta_view(snap, ch, ["k"], ["g"], {"t": "v"}), ["g"]
+        )
+
+    tg.group_transact(spark, root, merges={"facts": ch}, replaces={"view": _fresh})
+    mf.restore_table(root, version=1)
+    got = {(r["k"], r["v"]) for r in tg.read_group_table(spark, root, "facts").collect()}
+    assert got == {(1, 10.0), (2, 7.0)}
+    view = {
+        r["g"]: r["t"]
+        for r in tg.read_group_table(spark, root, "view").collect()
+    }
+    assert view == {"a": 10.0, "b": 7.0}

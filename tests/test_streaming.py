@@ -1368,3 +1368,60 @@ def test_manifest_cdf_member_bootstrap_and_durable_floor(spark, tmp_path):
     assert second == changes(3, 5)
     assert drain("flr", {"maxVersionsPerTrigger": "2", "sourceId": "m1"}) == []
     assert sorted(first + second) == changes(1, 5)
+
+
+def test_manifest_cdf_starting_timestamp(spark, tmp_path):
+    """r14: startingTimestamp resolves the stream's starting point to
+    the newest version committed at or before the instant (the
+    timestamp face of startingVersion, Delta's startingTimestamp) —
+    changes AFTER that snapshot stream; both together are refused."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_cs416_spark.sources import manifest as mf
+    from mapreduce_cs416_spark.streaming.cdf_source import register_manifest_cdf
+
+    path = str(tmp_path / "ts_tbl")
+    seed = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    mf.create_table(seed, path, ["k"], n_buckets=2)  # v1
+    mf.merge_into(spark, path, spark.createDataFrame(
+        [(1, 100, "U", 1)], "k long, v long, op string, seq int"
+    ))  # v2
+    t_mid = time.time()
+    time.sleep(0.05)
+    mf.merge_into(spark, path, spark.createDataFrame(
+        [(2, 200, "U", 1)], "k long, v long, op string, seq int"
+    ))  # v3
+
+    register_manifest_cdf(spark)
+    rows = []
+
+    def _sink(batch_df, batch_id):
+        rows.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", path).option("startingTimestamp", str(t_mid)).load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ts_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # t_mid falls after v2: only v3's changes stream
+    assert sorted(rows) == sorted(
+        tuple(r) for r in mf.read_changes(spark, path, 2, 3).collect()
+    ) and rows
+    # the refusal fires at reader construction (query start — the
+    # Python DataSource API builds streamReader lazily, not at load)
+    from mapreduce_cs416_spark.streaming.cdf_source import (
+        ManifestCDFStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="not both"):
+        ManifestCDFStreamReader(
+            {"path": path, "startingVersion": "1",
+             "startingTimestamp": str(t_mid)}
+        )
