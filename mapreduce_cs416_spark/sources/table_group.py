@@ -337,8 +337,73 @@ def _transact_once(
         new_manifest["stream_cursors"] = cursors
     try:
         mf._commit(root, new_manifest)
+        return new_manifest
     except mf.CommitConflict:
-        for d in staged:
-            shutil.rmtree(d, ignore_errors=True)
-        raise
-    return new_manifest
+        pass
+    # Group REBASE (r14, the merge_into rebase's symmetric twin): a
+    # MERGES-ONLY transaction whose winner touched DISJOINT members
+    # can fold its staged member entries onto the fresh group manifest
+    # and republish without restaging — replaces never rebase (their
+    # images are snapshot-derived; the thunk protocol re-derives them
+    # on the full retry instead).
+    if not replaces:
+        for _ in range(4):
+            fresh = mf.read_manifest(root)
+            rebased = _rebase_group(g, new_manifest, fresh, txn)
+            if rebased is None:
+                break
+            try:
+                mf._commit(root, rebased)
+                return rebased
+            except mf.CommitConflict:
+                continue
+    for d in staged:
+        shutil.rmtree(d, ignore_errors=True)
+    raise mf.CommitConflict(
+        f"group commit under {root} lost the version race and could not "
+        "be rebased (overlapping members, replaces present, or cursor "
+        "conflict); retry from the fresh group manifest"
+    )
+
+
+def _rebase_group(
+    base: dict, staged: dict, fresh: dict, txn: tuple[str, int] | None
+) -> dict | None:
+    """Fold the member entries a merges-only group transaction staged
+    against ``base`` onto the winner's ``fresh`` manifest — or None
+    when any member we touched also changed under the winner (our
+    merged images were computed without those changes), the winner
+    isn't a group manifest anymore, or our txn app's cursor moved
+    (another incarnation committed — the loud path must judge it)."""
+    if "tables" not in fresh:
+        return None
+    ours = {
+        n
+        for n in set(base["tables"]) | set(staged["tables"])
+        if base["tables"].get(n) != staged["tables"].get(n)
+    }
+    theirs = {
+        n
+        for n in set(base["tables"]) | set(fresh["tables"])
+        if base["tables"].get(n) != fresh["tables"].get(n)
+    }
+    if ours & theirs:
+        return None
+    if txn is not None and fresh.get("stream_cursors", {}).get(txn[0]) != base.get(
+        "stream_cursors", {}
+    ).get(txn[0]):
+        return None
+    tables = {n: dict(e) for n, e in fresh["tables"].items()}
+    for n in ours:
+        ent = staged["tables"].get(n)
+        if ent is None:
+            tables.pop(n, None)
+        else:
+            tables[n] = dict(ent)
+    rebased = {**fresh, "version": fresh["version"] + 1,
+               "op": "group_transact", "tables": tables}
+    if txn is not None:
+        cursors = dict(fresh.get("stream_cursors", {}))
+        cursors[txn[0]] = txn[1]
+        rebased["stream_cursors"] = cursors
+    return rebased

@@ -434,3 +434,100 @@ class TestTxnCursorAndEvolution:
         # EVOLVED shape (the standalone source's contract)
         feed = tg.read_group_changes(spark, root, "facts", 1, 2)
         assert "note" in feed.columns and feed.count() > 0
+
+
+class TestGroupRebase:
+    def test_disjoint_member_race_rebases_without_restaging(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r14: a merges-only group transaction whose winner touched
+        DISJOINT members folds its staged member entries onto the
+        fresh group manifest — one stage pass, both writers' changes
+        land, every version pair consistent."""
+        root = str(tmp_path / "grp")
+        # two independent fact members + the view (untouched here)
+        facts = _facts(spark)
+        tg.create_group(
+            spark, root,
+            {
+                "facts": {"df": facts, "key_cols": ["k"], "n_buckets": 4},
+                "other": {"df": facts, "key_cols": ["k"], "n_buckets": 2},
+            },
+        )
+        real_commit = mf._commit
+        real_stage = mf._merge_stage
+        stages = {"n": 0}
+
+        def counting_stage(*a, **kw):
+            stages["n"] += 1
+            return real_stage(*a, **kw)
+
+        state = {"raced": False}
+
+        def racing(path, manifest):
+            if not state["raced"] and manifest.get("op") == "group_transact":
+                state["raced"] = True
+                racer = spark.createDataFrame(
+                    [(9, "z", 1.0, "U", 1)],
+                    "k long, g string, v double, op string, seq long",
+                )
+                tg.group_transact(spark, root, merges={"other": racer})
+            return real_commit(path, manifest)
+
+        ours = spark.createDataFrame(
+            [(1, "a", 55.0, "U", 1)],
+            "k long, g string, v double, op string, seq long",
+        )
+        monkeypatch.setattr(mf, "_merge_stage", counting_stage)
+        monkeypatch.setattr(mf, "_commit", racing)
+        out = tg.group_transact(spark, root, merges={"facts": ours})
+        monkeypatch.setattr(mf, "_commit", real_commit)
+        assert state["raced"]
+        # rebased: one stage for ours + one for the racer's — a full
+        # retry would have staged a third time
+        assert stages["n"] == 2
+        assert out["version"] == 3
+        got_f = {(r["k"], r["v"]) for r in tg.read_group_table(spark, root, "facts").collect()}
+        got_o = {(r["k"], r["v"]) for r in tg.read_group_table(spark, root, "other").collect()}
+        assert (1, 55.0) in got_f and (9, 1.0) in got_o
+        # fold-exactness of the rebased commit
+        assert mf.read_manifest(root, 3) == out
+
+    def test_same_member_race_retries_whole_transaction(
+        self, spark, tmp_path, monkeypatch
+    ):
+        root = str(tmp_path / "grp")
+        _mk_group(spark, root)
+        real_commit = mf._commit
+        real_stage = mf._merge_stage
+        stages = {"n": 0}
+
+        def counting_stage(*a, **kw):
+            stages["n"] += 1
+            return real_stage(*a, **kw)
+
+        state = {"raced": False}
+
+        def racing(path, manifest):
+            if not state["raced"] and manifest.get("op") == "group_transact":
+                state["raced"] = True
+                racer = spark.createDataFrame(
+                    [(9, "z", 1.0, "U", 1)],
+                    "k long, g string, v double, op string, seq long",
+                )
+                tg.group_transact(spark, root, merges={"facts": racer})
+            return real_commit(path, manifest)
+
+        ours = spark.createDataFrame(
+            [(1, "a", 55.0, "U", 9)],
+            "k long, g string, v double, op string, seq long",
+        )
+        monkeypatch.setattr(mf, "_merge_stage", counting_stage)
+        monkeypatch.setattr(mf, "_commit", racing)
+        tg.group_transact(spark, root, merges={"facts": ours})
+        monkeypatch.setattr(mf, "_commit", real_commit)
+        assert state["raced"]
+        # same member: full re-run (ours staged twice + racer's once)
+        assert stages["n"] == 3
+        got = {(r["k"], r["v"]) for r in tg.read_group_table(spark, root, "facts").collect()}
+        assert (1, 55.0) in got and (9, 1.0) in got
