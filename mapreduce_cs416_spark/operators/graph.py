@@ -299,7 +299,60 @@ def pagerank(
     the identical plan sequence, and ranks differ only by float
     summation order (documented; the registered query is rows-only and
     pytest checks against a NumPy reference with rtol).
+
+    r14: lineage is truncated every ``checkpoint_every`` rounds (2)
+    instead of every round. Within a pair the second round's two
+    references to the first round's ranks (the dangling aggregate and
+    the broadcast build side) share the first round's shuffle via
+    ReusedExchange, so nothing is recomputed, and the pair pays ONE
+    Catalyst planning pass + one checkpoint job instead of two
+    (measured 8.5 → 7.2 s adjacent at sf0.1; intervals of 4+ regress —
+    plan growth outruns the amortization — and were reverted).
     """
+    return _pagerank_rounds(
+        edges,
+        src,
+        dst,
+        n_iter,
+        broadcast_max_nodes,
+        init_rank=lambda n: F.lit(1.0 / n),
+        dang_sum=lambda: F.coalesce(
+            F.sum(F.col("rank") * F.col("_dangf")), F.lit(0.0)
+        ).alias("_dang"),
+        contrib=lambda: (F.col("rank") / F.col("outdeg")).alias("c"),
+        next_rank=lambda n: (
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
+            + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+        ).alias("rank"),
+        rank_col="rank",
+        dangf_type="int",
+        empty_rank=F.lit(0.0),
+        out=lambda ranks: ranks.select(F.col("u").alias("node"), "rank"),
+    )
+
+
+def _pagerank_rounds(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    n_iter: int,
+    broadcast_max_nodes: int,
+    *,
+    init_rank,
+    dang_sum,
+    contrib,
+    next_rank,
+    rank_col: str,
+    dangf_type: str,
+    empty_rank,
+    out,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Shared power-iteration skeleton of ``pagerank`` (float) and
+    ``pagerank_fixed`` (scaled integer): identical join/aggregate
+    round shape, arithmetic supplied by the callbacks. Kept in one
+    place so the r14 checkpoint-interval tuning cannot drift between
+    the twins."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -309,61 +362,51 @@ def pagerank(
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
-        return nodes.select(F.col("u").alias("node"), F.lit(0.0).alias("rank"))
+        return out(nodes.select("u", empty_rank.alias(rank_col)))
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # static per-round inputs, joined ONCE outside the loop: the
     # edge⋈outdeg frame (saves a join per round) and the node set
     # carrying a dangling flag (no out-edges), so the per-round
     # dangling-mass aggregate is a plain scan of the checkpointed
     # ranks — no join at all (VERDICT r10 item 4).
-    ew = (
-        e.join(deg, "u")
-        .select("u", "v", "outdeg")
-        .localCheckpoint()
-    )
+    ew = e.join(deg, "u").select("u", "v", "outdeg").localCheckpoint()
     nodes_f = (
         nodes.join(deg, "u", "left")
-        .select("u", F.col("outdeg").isNull().cast("int").alias("_dangf"))
+        .select("u", F.col("outdeg").isNull().cast(dangf_type).alias("_dangf"))
         .localCheckpoint()
     )
-    ranks = nodes_f.select("u", "_dangf", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    # ranks and the per-target contribution sums are NODE-sized but
-    # sit behind localCheckpoints (no size stats — the kcore SMJ
-    # lesson): without the hint both per-round joins plan as
-    # SortMergeJoins that re-shuffle the EDGE frame every round.
-    # Gate on the known node count (executor memory escape hatch).
+    # ranks₀ is a pure projection over the checkpointed nodes_f — no
+    # checkpoint of its own (r14: the extra eager job bought nothing;
+    # both round-1 readers re-run only a column projection).
+    ranks = nodes_f.select("u", "_dangf", init_rank(n).alias(rank_col))
+    # ranks is NODE-sized and sits behind / derives from a
+    # localCheckpoint (no size stats — the kcore SMJ lesson): without
+    # the hint the per-round contribution join plans as a
+    # SortMergeJoin that re-shuffles the EDGE frame every round. Gate
+    # on the known node count (executor memory escape hatch).
     hint = F.broadcast if n <= broadcast_max_nodes else (lambda df: df)
-    for _ in range(n_iter):
+    prev = None
+    for i in range(n_iter):
         # the dangling-mass scalar rides the round's OWN job as a
-        # one-row broadcast side frame over the already-materialized
-        # previous ranks — no per-round driver collect. Same float
-        # evaluation order as the literal it replaces:
-        # (base + d·dang/n) + d·s.
-        dang = ranks.agg(
-            F.coalesce(F.sum(F.col("rank") * F.col("_dangf")), F.lit(0.0)).alias("_dang")
-        )
-        contribs = ew.join(hint(ranks), "u").select(
-            F.col("v").alias("u"), (F.col("rank") / F.col("outdeg")).alias("c")
-        )
+        # one-row broadcast side frame over the previous ranks — no
+        # per-round driver collect. Same float evaluation order as
+        # the literal it replaces: (base + d·dang/n) + d·s.
+        dang = ranks.agg(dang_sum())
+        contribs = ew.join(hint(ranks), "u").select(F.col("v").alias("u"), contrib())
         summed = contribs.groupBy("u").agg(F.sum("c").alias("s"))
-        prev = ranks
         ranks = (
             nodes_f.join(hint(summed), "u", "left")
             .crossJoin(F.broadcast(dang))
-            .select(
-                "u",
-                "_dangf",
-                (
-                    (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+            .select("u", "_dangf", next_rank(n))
         )
-        _unpersist_checkpoint(prev)
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+            if prev is not None:
+                _unpersist_checkpoint(prev)
+            prev = ranks
     for df in (e, nodes, ew, nodes_f):
         _unpersist_checkpoint(df)
-    return ranks.select(F.col("u").alias("node"), "rank")
+    return out(ranks)
 
 
 def pagerank_fixed(
@@ -394,62 +437,36 @@ def pagerank_fixed(
     Scale shape per iteration: identical to ``pagerank`` — one
     O(|E|) join on the source key, one contribution shuffle to the
     target key, a left join back to the node set, a one-row dangling
-    scalar; eager localCheckpoint + superseded-block frees.
+    scalar; localCheckpoint every second round (see pagerank's r14
+    note) + superseded-block frees. Integer arithmetic is unaffected
+    by where lineage is truncated, so the unrolled DuckDB oracle
+    replays bit-identically.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct().localCheckpoint()
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(F.col("u").alias("node"), F.lit(0).cast("long").alias("rank_fp"))
-    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # the same nesting the oracle uses: ((den-num)*scale // den) // n
-    base = ((damping_den - damping_num) * scale // damping_den) // n
-    # static inputs pre-joined once (VERDICT r10 item 4): edge⋈outdeg
-    # saves a per-round join; the dangling flag makes the per-round
-    # dangling aggregate a plain scan of the checkpointed ranks —
-    # integer sums commute, so the round stays bit-identical to the
-    # unrolled DuckDB oracle.
-    ew = e.join(deg, "u").select("u", "v", "outdeg").localCheckpoint()
-    nodes_f = (
-        nodes.join(deg, "u", "left")
-        .select("u", F.col("outdeg").isNull().cast("long").alias("_dangf"))
-        .localCheckpoint()
+    def _next(n: int):
+        base = ((damping_den - damping_num) * scale // damping_den) // n
+        return F.expr(
+            f"CAST({base} + ({damping_num} * (coalesce(s, 0) + (_dang div {n}))) div"
+            f" {damping_den} AS LONG)"
+        ).alias("r")
+
+    return _pagerank_rounds(
+        edges,
+        src,
+        dst,
+        n_iter,
+        broadcast_max_nodes,
+        init_rank=lambda n: F.lit(scale // n).cast("long"),
+        dang_sum=lambda: F.coalesce(F.sum(F.col("r") * F.col("_dangf")), F.lit(0))
+        .cast("long")
+        .alias("_dang"),
+        contrib=lambda: F.expr("r div outdeg").alias("c"),
+        next_rank=_next,
+        rank_col="r",
+        dangf_type="long",
+        empty_rank=F.lit(0).cast("long"),
+        out=lambda ranks: ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_fp")),
     )
-    ranks = nodes_f.select("u", "_dangf", F.lit(scale // n).cast("long").alias("r")).localCheckpoint()
-    # node-sized build sides behind checkpoints: broadcast-pin (gated
-    # on the known node count) or both round joins SMJ-shuffle the
-    # edge frame every round — see pagerank's comment
-    hint = F.broadcast if n <= broadcast_max_nodes else (lambda df: df)
-    for _ in range(n_iter):
-        dang = ranks.agg(
-            F.coalesce(F.sum(F.col("r") * F.col("_dangf")), F.lit(0)).cast("long").alias("_dang")
-        )
-        contribs = ew.join(hint(ranks), "u").select(
-            F.col("v").alias("u"), F.expr("r div outdeg").alias("c")
-        )
-        summed = contribs.groupBy("u").agg(F.sum("c").alias("s"))
-        prev = ranks
-        ranks = (
-            nodes_f.join(hint(summed), "u", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "u",
-                "_dangf",
-                F.expr(
-                    f"CAST({base} + ({damping_num} * (coalesce(s, 0) + (_dang div {n}))) div {damping_den} AS LONG)"
-                ).alias("r"),
-            )
-            .localCheckpoint()
-        )
-        _unpersist_checkpoint(prev)
-    for df in (e, nodes, ew, nodes_f):
-        _unpersist_checkpoint(df)
-    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_fp"))
 
 
 def triangle_counts(

@@ -354,19 +354,53 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _planes_lit_sql(planes: list[list[float]]) -> str:
+    """SQL literal for a plane matrix: array(array(...), ...)."""
+    rows = ", ".join(
+        "array(" + ", ".join(repr(x) + "D" for x in plane) + ")" for plane in planes
+    )
+    return f"array({rows})"
+
+
+def _dots_sql(planes: list[list[float]], vec: str = "v") -> str:
+    """Array of per-plane dot products as ONE expression tree: a
+    single ``transform`` over one 2-D plane literal, each element the
+    same sequential ``aggregate(zip_with(...))`` fold the per-plane
+    form used — identical float evaluation order per plane, so every
+    downstream bucket bit is unchanged. One tree instead of
+    ``len(planes)`` trees: at 8 tables × 4 planes the old form put 32
+    independent 64-literal HOF trees into the plan (twice, for the
+    self-join's two sides) and Catalyst re-analyzed all of them on
+    every run — a measured ~3 s driver-side gap per LSH query at
+    sf0.1 (guide §7.3: planning time IS the bottleneck when no job is
+    running)."""
+    return (
+        f"transform({_planes_lit_sql(planes)}, p -> "
+        f"aggregate(zip_with({vec}, p, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    )
+
+
+def _bits_sql(dots: str, n_planes: int, base: int = 0) -> str:
+    """Sign-bit bucket int from ``dots`` (a SQL expression yielding an
+    array of doubles), reading planes [base, base+n_planes). The CASE
+    chain mirrors the old per-plane when/otherwise exactly."""
+    bits = " + ".join(
+        f"(CASE WHEN {dots}[{base + i}] > 0D THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"CAST({bits} AS INT)"
+
+
 def _bucket_expr(planes: list[list[float]]):
-    """Sign-bit bucket column over literal hyperplanes (pure codegen:
-    the planes are constant arrays folded into the plan, the dot is a
-    sequential fold — no UDF, no shuffle)."""
-    bucket = None
-    for i, plane in enumerate(planes):
-        dot = F.expr(
-            f"aggregate(zip_with(v, array({', '.join(repr(x) + 'D' for x in plane)}), "
-            "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        )
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+    """Sign-bit bucket column over literal hyperplanes (pure plan
+    expression: the planes are one constant 2-D array folded into the
+    plan, each dot a sequential fold — no UDF, no shuffle). The dot
+    array is bound once via a singleton-array ``transform`` so the
+    plan carries ONE plane literal instead of one per plane."""
+    n = len(planes)
+    return F.expr(
+        f"transform(array({_dots_sql(planes)}), d -> {_bits_sql('d', n)})[0]"
+    )
 
 
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
@@ -478,7 +512,7 @@ def fit_centroids(
     cents = ivf_centroids(n_cells, dim, seed)
     sums = [F.sum(F.col("u")[i]).alias(f"s{i}") for i in range(dim)]
     for _ in range(n_iter):
-        dots = F.array(*[F.expr(_dot_lit("u", c)) for c in cents])
+        dots = F.expr(_dots_sql(cents, "u"))  # one tree, not n_cells trees (r14)
         assigned = unit.select(
             (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"), "u"
         )
@@ -517,7 +551,7 @@ def ivf_topk(
 
     p = _spread(_prepared(emb))  # single-row-group files: see cosine_near_dup_pairs
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
-    dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
+    dots = F.expr(_dots_sql(cents, "v"))  # one tree, not n_cells trees (r14)
     corpus = p.select(
         "vec_id",
         "v",
@@ -564,18 +598,28 @@ def _banded_candidates(
     """Distinct candidate pairs (vec_a < vec_b) sharing a bucket in
     ANY of ``n_tables`` hyperplane tables — the shared generation step
     of ``cosine_near_dup_lsh`` and ``lsh_candidate_stats``. ``p`` is a
-    prepared (vec_id, v, nrm) frame."""
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_expr(_hyperplanes(n_planes, dim, seed=42 + t)).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    prepared (vec_id, v, nrm) frame.
+
+    r14 (guide §7.3): the ``n_tables`` per-table bucket expressions
+    are derived from ONE ``_dots`` array over a single stacked-planes
+    literal instead of ``n_tables × n_planes`` independent HOF trees
+    — per-plane arithmetic and the when/otherwise bit chain are
+    unchanged, so buckets (and the DuckDB oracle replay) are
+    bit-identical; what changes is plan size, which was costing a
+    measured ~3 s of driver analysis per LSH query at sf0.1."""
+    stacked = [
+        plane
+        for t in range(n_tables)
+        for plane in _hyperplanes(n_planes, dim, seed=42 + t)
+    ]
+    tables_sql = ", ".join(
+        f"struct({t} AS tbl, {_bits_sql('_dots', n_planes, base=t * n_planes)} AS bucket)"
+        for t in range(n_tables)
     )
-    keyed = p.select("vec_id", F.explode(tables).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    keyed = (
+        p.select("vec_id", F.expr(_dots_sql(stacked)).alias("_dots"))
+        .select("vec_id", F.explode(F.expr(f"array({tables_sql})")).alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -644,7 +688,7 @@ def write_ivf_layout(
     """
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     p = _prepared(emb)
-    dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
+    dots = F.expr(_dots_sql(cents, "v"))  # one tree, not n_cells trees (r14)
     assigned = p.select(
         "vec_id",
         F.col("v").alias("embedding"),
@@ -830,7 +874,7 @@ def semantic_dedup(
 
     p = _spread(_prepared(emb)).where(F.col("nrm") > 0)
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
-    dots = F.array(*[F.expr(_dot_lit("v", c)) for c in cents])
+    dots = F.expr(_dots_sql(cents, "v"))  # one tree, not n_cells trees (r14)
     assigned = p.select(
         "vec_id", "v", "nrm", (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell")
     )
