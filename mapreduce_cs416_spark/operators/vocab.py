@@ -220,29 +220,41 @@ def bpe_train(
     Scale shape: after the initial wordcount shuffle the working set
     is vocabulary-sized forever; each round is ONE pair-count shuffle
     over it, a 1-row collect, and a map-side string rewrite. Driver
-    state is the k-row merge table. Per-round word tables are eagerly
-    materialized (localCheckpoint) and the superseded round's blocks
-    freed immediately — the connected_components round discipline."""
+    state is the k-row merge table. Per-round word tables are LAZY
+    localCheckpoints materialized by the NEXT round's ``_top_pair``
+    collect (r14 — the kcore/connected_components one-job-per-round
+    discipline: the probe reads ``words`` through a single branch, so
+    the multi-branch-over-lazy race cannot occur); the superseded
+    round's blocks are freed right after that materialization. The
+    final round's table is returned lazy — its upstream is the
+    previous MATERIALIZED checkpoint plus one deterministic
+    string-replace projection, so even a multi-branch consumer only
+    risks re-running that projection."""
     from .graph import _unpersist_checkpoint
 
+    # the initial table stays EAGER: its upstream (the corpus
+    # wordcount) is the expensive scan a lazy race would re-run
     words = bpe_word_table(docs).localCheckpoint()
+    prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        top = _top_pair(words)
+        top = _top_pair(words)  # materializes words' lazy checkpoint
+        if prev is not None:
+            _unpersist_checkpoint(prev)
+            prev = None
         if top is None:
             break
         lft, rgt, n = top
         merges.append((rank, lft, rgt, lft + rgt, n))
-        nxt = words.withColumn(
+        prev = words
+        words = words.withColumn(
             "symstr",
             F.replace(
                 "symstr",
                 F.lit(_bracket(lft) + _bracket(rgt)),
                 F.lit(_bracket(lft + rgt)),
             ),
-        ).localCheckpoint()
-        _unpersist_checkpoint(words)
-        words = nxt
+        ).localCheckpoint(eager=False)
     return merges, words
 
 
