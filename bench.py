@@ -87,9 +87,26 @@ def _isolate(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def _steal_counters() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from /proc/stat — the hypervisor
+    noise indicator. r14: this container sees multi-minute noise
+    windows that inflate whole stretches of a pass 2-4x (same code,
+    same data — r12's 'bench pollution'); recording per-query steal%
+    makes a polluted row SEPARABLE from a plan regression in the
+    artifact instead of a forensic exercise. Diagnostics only — the
+    timing methodology and the stdout contract are unchanged."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = list(map(int, parts[1:9]))
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001 — non-Linux: no steal column
+        return 0, 1
+
+
 def time_queries(
     spark, sf_dir: str, names: list[str], echo_suffix: str = ""
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
     """The ONE measurement loop (warmup, N_RUNS per-run-isolated cold
     runs, trimmed mean of the middle 3, 3-dp rounding) shared by the
     bench and tools/scaling_report.py — so 'bench.py discipline'
@@ -100,7 +117,9 @@ def time_queries(
     print(f"warmup {time.time() - t0:.2f}s  sf_dir={sf_dir}", file=sys.stderr)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for name in names:
+        s0, c0 = _steal_counters()
         runs: list[float] = []
         for _ in range(N_RUNS):
             # isolate each RUN, not just each query: operators that
@@ -112,16 +131,18 @@ def time_queries(
             t0 = time.time()
             _materialize(ALL_QUERIES[name].fn(spark, sf_dir))
             runs.append(time.time() - t0)
+        s1, c1 = _steal_counters()
         runs.sort()
         kept = runs[N_TRIM : len(runs) - N_TRIM]
         timings[name] = round(sum(kept) / len(kept), 3)
         spreads[name] = round(kept[-1] - kept[0], 3)
+        steals[name] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
         print(
             f"  {name:32s} trimmed-mean {timings[name]:8.3f}s  "
-            f"spread {spreads[name]:.3f}s{echo_suffix}",
+            f"spread {spreads[name]:.3f}s  steal {steals[name]:.1f}%{echo_suffix}",
             file=sys.stderr,
         )
-    return timings, spreads
+    return timings, spreads, steals
 
 
 def main() -> int:
@@ -157,9 +178,9 @@ def main() -> int:
     # because this floor drifted (0.13→0.24s) with nothing reporting
     # it — printing it beside the totals makes environment drift
     # separable from plan regressions round-over-round.
-    floor_t, _ = time_queries(spark, sf_dir, [FLOOR_QUERY], echo_suffix=" (floor)")
+    floor_t, _, _ = time_queries(spark, sf_dir, [FLOOR_QUERY], echo_suffix=" (floor)")
     floor = floor_t[FLOOR_QUERY]
-    timings, spreads = time_queries(spark, sf_dir, names)
+    timings, spreads, steals = time_queries(spark, sf_dir, names)
     minus_floor = {n: round(max(0.0, t - floor), 3) for n, t in timings.items()}
 
     full = {
@@ -168,6 +189,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "steal_pct": steals,
         "floor": floor,
         "queries_minus_floor": minus_floor,
         "value_minus_floor": round(sum(minus_floor.values()), 3),

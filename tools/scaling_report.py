@@ -132,7 +132,7 @@ def _rows(sf_dir: str, table: str) -> int:
 def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     """bench.time_queries — the ONE shared measurement loop — with
     only the timings kept (spreads don't enter the exponent)."""
-    timings, _ = time_queries(
+    timings, _, _ = time_queries(
         spark, sf_dir, names, echo_suffix=f"  ({os.path.basename(sf_dir)})"
     )
     return timings
