@@ -432,6 +432,12 @@ def _pagerank_rounds(
             if prev is not None:
                 _unpersist_checkpoint(prev)
             prev = ranks
+    if n_iter <= 0:
+        # zero-round call (ADVICE r14): ranks is still a lazy
+        # projection over nodes_f, whose blocks the cleanup below
+        # frees — materialize it first or the caller's first action
+        # reads truncated lineage
+        ranks = ranks.localCheckpoint()
     for df in (e, nodes, ew, nodes_f):
         _unpersist_checkpoint(df)
     return out(ranks)

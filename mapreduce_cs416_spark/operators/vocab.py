@@ -255,16 +255,32 @@ def bpe_train(
                 F.lit(_bracket(lft + rgt)),
             ),
         ).localCheckpoint(eager=False)
+    # The final LAZY checkpoint still reads the penultimate round's
+    # MATERIALIZED blocks (prev) until a consumer action materializes
+    # it — so prev cannot be freed here (ADVICE r14: it used to leak
+    # until session end). Carry it on the returned frame; consumers
+    # free both via _free_words once they are done with the table.
+    words._bpe_pinned = prev  # type: ignore[attr-defined]
     return merges, words
+
+
+def _free_words(words: DataFrame) -> None:
+    """Free a bpe_train word table's checkpoint blocks AND the
+    penultimate round's blocks it carries (see bpe_train's return
+    note). Safe on frames that were never materialized."""
+    from .graph import _unpersist_checkpoint
+
+    _unpersist_checkpoint(words)
+    pinned = getattr(words, "_bpe_pinned", None)
+    if pinned is not None:
+        _unpersist_checkpoint(pinned)
 
 
 def bpe_train_table(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
     """The learned merge table as a DataFrame — (rank, lft, rgt,
     merged, weight), the artifact a tokenizer build publishes."""
-    from .graph import _unpersist_checkpoint
-
     merges, words = bpe_train(docs, n_merges)
-    _unpersist_checkpoint(words)
+    _free_words(words)
     return docs.sparkSession.createDataFrame(
         merges, "rank int, lft string, rgt string, merged string, weight long"
     )
@@ -305,8 +321,6 @@ def bpe_encode_docs(
     vocabulary-sized joins), and the corpus itself is touched by ONE
     posexplode + broadcast join + one groupBy(doc_id) reassembly —
     the encode_documents shuffle shape, independent of k."""
-    from .graph import _unpersist_checkpoint
-
     _, words = bpe_train(docs, n_merges)
     # piece vocabulary: (piece, id) with id 1..V — bounded, rank via
     # a window-free sort over the vocabulary-sized aggregate
@@ -326,7 +340,7 @@ def bpe_encode_docs(
             F.array_sort(F.collect_list(F.struct("idx", "id"))), lambda s: s["id"]
         ).alias("word_ids")
     ).localCheckpoint()
-    _unpersist_checkpoint(words)
+    _free_words(words)
 
     occ = docs.select("doc_id", F.posexplode(words_col("text")).alias("pos", "term"))
     enc = occ.join(F.broadcast(term_ids), "term")

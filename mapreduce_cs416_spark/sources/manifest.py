@@ -519,20 +519,143 @@ def _written_buckets(path: str, rel: str) -> list[int]:
 def _collect_stats(spark: SparkSession, path: str, rel: str) -> dict:
     """Per-bucket min/max column stats for a just-written version
     directory, read back from the written files (so the merge plan is
-    never recomputed; the extra scan is bounded by the write volume,
-    and parquet footers make it cheap). Keyed
-    ``stats[rel][bucket][col] = [min, max]`` in the manifest; used by
-    ``read_table`` to prune range predicates. Dates are stored ISO
-    strings (lexicographic compare == chronological); timestamps
-    persist as UTC MICROS — tz-independent ints via ``unix_micros``,
-    as of r12 — so readers in any session timezone prune correctly
+    never recomputed). Keyed ``stats[rel][bucket][col] = [min, max]``
+    in the manifest; used by ``read_table`` to prune range predicates.
+    Dates are stored ISO strings (lexicographic compare ==
+    chronological); timestamps persist as UTC MICROS — tz-independent
+    ints (r12) — so readers in any session timezone prune correctly
     (legacy ISO-string timestamp stats from pre-r12 tables take the
     naive comparison path in ``_stats_keep``). A version directory
-    with no bucket leaves (delete-only merge) has nothing to
-    profile."""
+    with no bucket leaves (delete-only merge) has nothing to profile.
+
+    r15 (guide §6, §1.2): stats come from the PARQUET FOOTERS of the
+    just-written files — a driver-side metadata walk, not a Spark
+    re-scan job (the scan was a measured ~0.9 s fixed cost per
+    manifest-writing query at sf0.1, and at scale it re-reads the
+    whole write volume). The values are the same min/max the scan
+    aggregated, because this module is the only writer of these
+    directories and Spark's parquet writer stores exact chunk-level
+    stats for every ``_STATS_TYPES`` column (pinned by a
+    footer-vs-scan equality test in tests/test_manifest_stats.py).
+    Float/double columns whose footer max is NaN-poisoned get NO
+    stats entry — see ``_FLOAT_NAN_NOTE``; any unreadable/unexpected
+    footer falls back to the old Spark scan for the whole directory.
+    """
     vdir = os.path.join(path, rel)
     if not any(d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(vdir)):
         return {}
+    try:
+        return _collect_stats_footers(vdir)
+    except Exception:  # noqa: BLE001 — unexpected footer shape: scan
+        return _collect_stats_scan(spark, vdir)
+
+
+# Why float/double stats are DROPPED when NaN is present (instead of
+# persisting the NaN): Spark's comparison semantics order NaN ABOVE
+# every numeric (``double('NaN') > 5.0`` is true), so the row filter
+# KEEPS NaN rows under ``x > lit`` — while a persisted NaN max
+# compares False against everything in ``_stats_keep``'s Python
+# comparisons, which would prune the directory and silently drop rows
+# the filter would return (this exact mis-prune existed in the old
+# Spark-scan path: F.max over a NaN column collects NaN, json round-
+# trips it, and ``nan > lit`` is False — pinned by a regression test
+# now). Spark's writer poisons the footer max to NaN whenever any NaN
+# was written (observed and test-pinned for this Spark version), so
+# "max != max" is exactly the NaN-presence detector; no stats → no
+# pruning on that column → always correct.
+_FLOAT_NAN_NOTE = True
+
+
+def _collect_stats_footers(vdir: str) -> dict:
+    """Footer-walk implementation of ``_collect_stats``: aggregate
+    chunk-level min/max across every row group of every parquet file
+    under each ``_bucket=N`` leaf. Raises on anything unexpected
+    (missing stats for a non-all-null chunk, unknown arrow type, a
+    timestamp not in micros) — the caller falls back to the scan."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    kinds: dict[str, str] | None = None
+    for leaf in sorted(os.listdir(vdir)):
+        if not leaf.startswith(f"{_BUCKET_COL}="):
+            continue
+        bdir = os.path.join(vdir, leaf)
+        bucket = leaf.split("=", 1)[1]
+        agg: dict[str, list] = {}
+        nan_poisoned: set[str] = set()
+        for fn in os.listdir(bdir):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(bdir, fn))
+            if kinds is None:
+                kinds = {}
+                for field in md.schema.to_arrow_schema():
+                    k = _arrow_stat_kind(field.type)
+                    if k is not None:
+                        kinds[field.name] = k
+            if not kinds:
+                return {}  # no stats-typed columns: the pre-r15 shape
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    kind = kinds.get(name)
+                    if kind is None:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        if st is not None and st.num_values == 0:
+                            continue  # all-null chunk: nothing to fold
+                        raise ValueError(f"no stats for {name} in {fn}")
+                    if kind == "ts":
+                        # physical INT64 micros — the exact
+                        # unix_micros value the scan path collected
+                        mn, mx = st.min_raw, st.max_raw
+                    elif kind == "date":
+                        mn, mx = st.min.isoformat(), st.max.isoformat()
+                    else:
+                        mn, mx = st.min, st.max
+                    if kind == "float" and (mn != mn or mx != mx):
+                        nan_poisoned.add(name)
+                        continue
+                    cur = agg.get(name)
+                    if cur is None:
+                        agg[name] = [mn, mx]
+                    else:
+                        cur[0] = min(cur[0], mn)
+                        cur[1] = max(cur[1], mx)
+        out[bucket] = {
+            c: v for c, v in agg.items() if c not in nan_poisoned
+        }
+    return out
+
+
+def _arrow_stat_kind(t) -> str | None:
+    """Map an arrow field type to its stats handling, None = no stats
+    (mirrors ``_STATS_TYPES``: orderable atomics, decimals skipped)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_float32(t) or pa.types.is_float64(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            raise ValueError(f"unexpected timestamp unit {t.unit}")
+        return "ts"
+    return None
+
+
+def _collect_stats_scan(spark: SparkSession, vdir: str) -> dict:
+    """The pre-r15 Spark-scan implementation — the fallback when a
+    footer is unreadable, and the equality baseline the footer path is
+    test-pinned against. NaN-poisoned float/double aggregates are
+    dropped here too (the _FLOAT_NAN_NOTE mis-prune guard)."""
     df = spark.read.parquet(vdir)
     cols = [
         f.name
@@ -540,7 +663,11 @@ def _collect_stats(spark: SparkSession, path: str, rel: str) -> dict:
         if f.name != _BUCKET_COL and isinstance(f.dataType, _STATS_TYPES)
     ]
     if not cols:
-        return {}
+        return {
+            leaf.split("=", 1)[1]: {}
+            for leaf in os.listdir(vdir)
+            if leaf.startswith(f"{_BUCKET_COL}=")
+        }
     by_type = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in cols:
@@ -562,6 +689,8 @@ def _collect_stats(spark: SparkSession, path: str, rel: str) -> dict:
             mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
             if mn is None or mx is None:
                 continue
+            if isinstance(mn, float) and (mn != mn or mx != mx):
+                continue  # NaN-poisoned: see _FLOAT_NAN_NOTE
             ent[c] = [_json_safe(mn), _json_safe(mx)]
         out[str(r[_BUCKET_COL])] = ent
     return out
@@ -1008,6 +1137,12 @@ def _stats_keep(
                 if isinstance(mn, str) or any(
                     isinstance(v, (str, bool)) for v in lits
                 ):
+                    continue
+                if mn != mn or mx != mx:
+                    # legacy NaN-poisoned stats (pre-r15 manifests):
+                    # NaN Python-compares False against everything,
+                    # which would wrongly prune — keep the directory
+                    # (_FLOAT_NAN_NOTE)
                     continue
             else:
                 continue

@@ -247,6 +247,15 @@ def _arrow_stats(table, schema) -> dict:
             # same tz-independent encoding _collect_stats persists:
             # UTC micros ints (the arrow timestamp's storage value)
             col = col.cast(pa.int64())
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)) and pc.any(
+            pc.is_nan(col)
+        ).as_py():
+            # NaN present → NO stats for this column (mf._FLOAT_NAN_NOTE):
+            # Spark's filter orders NaN above every numeric, so any
+            # finite max here (arrow min_max skips NaN) — or a NaN max
+            # (Python-compares False) — would mis-prune rows the
+            # filter keeps
+            continue
         mm = pc.min_max(col)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         if mn is None or mx is None:

@@ -1,4 +1,4 @@
-"""Dump ``explain("formatted")`` for named queries to plans/r14/.
+"""Dump ``explain("formatted")`` for named queries to plans/r15/.
 
 Usage: python tools/explain_dump.py <suffix> [sf_dir] <query> [query ...]
 
@@ -34,7 +34,7 @@ def main() -> int:
             sf_dir = a
         else:
             names.append(a)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain_dump")
     for name in names:

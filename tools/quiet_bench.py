@@ -64,11 +64,17 @@ def main() -> int:
         s1, c1 = _stat()
         run_steal = 100.0 * (s1 - s0) / max(c1 - c0, 1)
         line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-        parsed = json.loads(line)
-        floor = parsed.get("floor")
+        # returncode gate BEFORE the parse (ADVICE r14): a failed bench
+        # whose last stdout line isn't JSON must reach the stderr-tail
+        # path, not die in json.loads
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-2000:])
             return r.returncode
+        try:
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            parsed = {}
+        floor = parsed.get("floor")
         if run_steal < THRESH_PCT:
             print(
                 f"# accepted: steal {run_steal:.2f}% over {time.time() - t0:.0f}s, floor {floor}",
