@@ -300,8 +300,9 @@ def margin_mine_pairs_lsh(
     # (the cosine_near_dup_lsh lesson, VERDICT r5 item 2)
     if materialize:
         p = p.localCheckpoint()
+    cand = None
     try:
-        cand = _banded_candidates(p, n_planes, n_tables, dim)
+        cand = _banded_candidates(p, n_planes, n_tables, dim, materialize=materialize)
         sides = p.select("vec_id", "side")
         oriented = (
             cand.join(
@@ -338,6 +339,11 @@ def margin_mine_pairs_lsh(
     finally:
         if materialize:
             _unpersist_checkpoint(p)
+            keyed = getattr(cand, "_keyed_ckpt", None)
+            if keyed is not None:
+                # scored is materialized above, so the bucket-keyed
+                # frame's blocks are no longer read by the result plan
+                _unpersist_checkpoint(keyed)
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -593,7 +599,7 @@ def ivf_topk(
 
 
 def _banded_candidates(
-    p: DataFrame, n_planes: int, n_tables: int, dim: int
+    p: DataFrame, n_planes: int, n_tables: int, dim: int, materialize: bool = True
 ) -> DataFrame:
     """Distinct candidate pairs (vec_a < vec_b) sharing a bucket in
     ANY of ``n_tables`` hyperplane tables — the shared generation step
@@ -606,7 +612,23 @@ def _banded_candidates(
     — per-plane arithmetic and the when/otherwise bit chain are
     unchanged, so buckets (and the DuckDB oracle replay) are
     bit-identical; what changes is plan size, which was costing a
-    measured ~3 s of driver analysis per LSH query at sf0.1."""
+    measured ~3 s of driver analysis per LSH query at sf0.1.
+
+    r15 (guide §7.3 again): the (vec_id, tbl, bucket) frame is
+    eagerly CHECKPOINTED, so the n_planes·n_tables·dim-double plane
+    literal is parsed and analyzed exactly ONCE (inside the
+    checkpoint job's plan) instead of riding both self-join sides of
+    the candidate plan through every Catalyst pass — measured 3.17 →
+    2.47 s trimmed-mean on the cosine_near_dup_lsh shape at sf0.1
+    (interleaved A/B; the alternative of shipping the planes as a
+    broadcast one-row frame measured WORSE, 3.50 s: a non-foldable
+    plane column costs more at execution than it saves in analysis).
+    Bucket values are unchanged — the checkpoint only truncates
+    lineage. The checkpointed blocks are bucket keys (KB-scale per
+    million vectors, never the vectors), freed by the caller's usual
+    lifecycle (bench _isolate / _unpersist_checkpoint on the frame
+    left in ``cand._keyed_ckpt``). ``materialize=False`` keeps the
+    old lazy shape for callers that cannot accept eager execution."""
     stacked = [
         plane
         for t in range(n_tables)
@@ -621,9 +643,11 @@ def _banded_candidates(
         .select("vec_id", F.explode(F.expr(f"array({tables_sql})")).alias("tb"))
         .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
+    if materialize:
+        keyed = keyed.localCheckpoint()
     a = keyed.alias("a")
     b = keyed.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -633,6 +657,9 @@ def _banded_candidates(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    if materialize:
+        cand._keyed_ckpt = keyed  # type: ignore[attr-defined] — freeable handle
+    return cand
 
 
 def lsh_candidate_stats(
@@ -655,11 +682,16 @@ def lsh_candidate_stats(
     from .graph import _unpersist_checkpoint
 
     p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
+    cand = None
     try:
-        n_cand = _banded_candidates(p, n_planes, n_tables, dim).count()
+        cand = _banded_candidates(p, n_planes, n_tables, dim)
+        n_cand = cand.count()
         n_vec = p.count()
     finally:
         _unpersist_checkpoint(p)
+        keyed = getattr(cand, "_keyed_ckpt", None)
+        if keyed is not None:
+            _unpersist_checkpoint(keyed)
     spark = emb.sparkSession
     total = n_vec * (n_vec - 1) // 2
     return spark.createDataFrame(
@@ -824,7 +856,7 @@ def cosine_near_dup_lsh(
     p = _spread(_prepared(emb)).where(F.col("nrm") > 0)
     if materialize:
         p = p.localCheckpoint()
-    cand = _banded_candidates(p, n_planes, n_tables, dim)
+    cand = _banded_candidates(p, n_planes, n_tables, dim, materialize=materialize)
     va = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = p.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -1052,6 +1084,7 @@ def lsh_eval(
     out = None
     for label, threshold, n_planes, n_tables in points:
         p = _spread(_prepared(emb)).where(F.col("nrm") > 0).localCheckpoint()
+        cand = None
         try:
             cand = _banded_candidates(p, n_planes, n_tables, dim)
             va = p.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
@@ -1095,5 +1128,8 @@ def lsh_eval(
             )
         finally:
             _unpersist_checkpoint(p)
+            keyed = getattr(cand, "_keyed_ckpt", None)
+            if keyed is not None:
+                _unpersist_checkpoint(keyed)
         out = row if out is None else out.unionByName(row)
     return out
