@@ -540,6 +540,7 @@ def ivf_topk(
     n_probe: int = 4,
     dim: int = 64,
     centroids: list[list[float]] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign every vector to its nearest
     centroid cell (argmax dot, ties → lowest cell id), probe the
@@ -552,6 +553,14 @@ def ivf_topk(
     shuffle is the final per-query top-k window. Unlike the hyperplane
     LSH variant the whole search is deterministic *and* expressible in
     SQL, so this one carries a DuckDB oracle (plans/northstar.py).
+
+    r15: the assigned corpus is eagerly checkpointed (the
+    _banded_candidates lesson) and the probe branch reads the
+    checkpoint, so the n_cells·dim centroid literal is analyzed in
+    two SMALL plans (assignment job, query-row probe) instead of
+    twice inside one large search plan, and the corpus argmax scan
+    never re-runs for the probe side. ``materialize=False`` keeps
+    the old lazy shape.
     """
     from .dedup import _spread
 
@@ -564,9 +573,13 @@ def ivf_topk(
         "nrm",
         (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
     )
+    if materialize:
+        corpus = corpus.localCheckpoint()
     # per-query probe list: the n_probe best cells by centroid dot
+    # (over the checkpointed corpus when materialized — the dots
+    # recompute touches only the n_queries rows)
     qd = (
-        p.where(F.col("vec_id") < n_queries)
+        corpus.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
@@ -876,6 +889,7 @@ def semantic_dedup(
     threshold: float = 0.5,
     dim: int = 64,
     centroids: list[list[float]] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then drop every
@@ -910,6 +924,13 @@ def semantic_dedup(
     assigned = p.select(
         "vec_id", "v", "nrm", (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell")
     )
+    # eagerly materialize the assignment (r15, the _banded_candidates
+    # lesson): the frame feeds BOTH sides of the intra-cell pair join
+    # AND the final anti-join left side, so without the checkpoint the
+    # centroid literal is analyzed and the argmax scan executed up to
+    # three times per action; checkpointed, literal + scan run once
+    if materialize:
+        assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
