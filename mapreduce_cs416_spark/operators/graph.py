@@ -387,22 +387,39 @@ def _pagerank_rounds(
         .distinct()
         .localCheckpoint()
     )
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct().localCheckpoint()
-    n = nodes.count()
-    if n == 0:
-        return out(nodes.select("u", empty_rank.alias(rank_col)))
-    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # static per-round inputs, joined ONCE outside the loop: the
     # edge⋈outdeg frame (saves a join per round) and the node set
     # carrying a dangling flag (no out-edges), so the per-round
     # dangling-mass aggregate is a plain scan of the checkpointed
     # ranks — no join at all (VERDICT r10 item 4).
+    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     ew = e.join(deg, "u").select("u", "v", "outdeg").localCheckpoint()
+    # r15: the node set and its dangling flag are DERIVED from the
+    # checkpointed ew instead of paying their own distinct-union
+    # checkpoint + a join back to deg (two prep jobs + gaps): every
+    # edge of e survives the deg join (deg is keyed by e's own u
+    # values), so ew carries the full edge set — a node is dangling
+    # iff it never appears as a source. Same node set, same flag,
+    # same n; only the prep job count changes (5 → 3).
     nodes_f = (
-        nodes.join(deg, "u", "left")
-        .select("u", F.col("outdeg").isNull().cast(dangf_type).alias("_dangf"))
+        ew.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.lit(1).alias("_src")),
+                    F.struct(F.col("v").alias("u"), F.lit(0).alias("_src")),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.u").alias("u"))
+        .agg((1 - F.max("x._src")).cast(dangf_type).alias("_dangf"))
         .localCheckpoint()
     )
+    n = nodes_f.count()
+    if n == 0:
+        # empty graph: the frames hold zero rows — nothing worth
+        # freeing eagerly, and the returned (empty) projection still
+        # reads nodes_f's checkpoint
+        return out(nodes_f.select("u", empty_rank.alias(rank_col)))
     # ranks₀ is a pure projection over the checkpointed nodes_f — no
     # checkpoint of its own (r14: the extra eager job bought nothing;
     # both round-1 readers re-run only a column projection).
@@ -438,7 +455,7 @@ def _pagerank_rounds(
         # frees — materialize it first or the caller's first action
         # reads truncated lineage
         ranks = ranks.localCheckpoint()
-    for df in (e, nodes, ew, nodes_f):
+    for df in (e, ew, nodes_f):
         _unpersist_checkpoint(df)
     return out(ranks)
 
