@@ -64,6 +64,47 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _input_bytes(docs: DataFrame) -> int | None:
+    """Total bytes of the plan's input files, None when unknowable
+    (non-file plans, remote stores) — the same probe _spread uses."""
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    total = 0
+    for f in files:
+        p = f.removeprefix("file://").removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def _shuffle_width(docs: DataFrame, per_task_bytes: int = 64 << 10) -> int | None:
+    """Scale-adaptive reduce width for the tiny keyed shuffles of the
+    text/postings operators (guide §2.1/§2.2): derived from the
+    corpus's INPUT BYTES and capped at the session's
+    ``spark.sql.shuffle.partitions``, so at real scale the cap wins
+    and the plan is exactly what the cluster knob asks for — this is
+    a size-derived floor for small inputs, not core-count tuning.
+    Rationale: with sub-MB corpora every shuffle stage still fans out
+    ``shuffle.partitions`` tasks whose fixed cost (launch + 32×32
+    tiny fetches) dwarfs the work — measured 0.4–0.9 s per
+    postings-family query at sf0.1 on local[32], and the r14 driver's
+    8-core pass was FASTER than its 32-core pass on exactly these
+    queries. None = width unknowable (leave Spark's default)."""
+    total = _input_bytes(docs)
+    if total is None:
+        return None
+    spark = docs.sparkSession
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset: no override
+        return None
+    return max(1, min(cap, total // per_task_bytes))
+
+
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     """Group documents by content digest: copies per digest + kept id
     (min doc_id = the reference's deterministic last-writer analog)."""
@@ -124,7 +165,20 @@ def shingle_postings(
         )
         .select(doc_col, n_col, F.xxhash64("shingle").alias("sh"))
     )
-    return ex.localCheckpoint() if materialize else ex
+    if not materialize:
+        return ex
+    # r15 (guide §2.4): materialize the postings ALREADY
+    # hash-partitioned on the join/aggregate key at a size-derived
+    # width (_shuffle_width). Every downstream sh-keyed op — the
+    # df-cap groupBy, both self-join sides, the ingest probe join —
+    # then reuses the checkpoint's partitioning instead of paying its
+    # own exchange, and the width tracks the corpus size instead of
+    # fanning tiny data across shuffle.partitions tasks. Values are
+    # untouched; only partitioning moves.
+    w = _shuffle_width(docs)
+    if w is not None:
+        ex = ex.repartition(w, F.col("sh"))
+    return ex.localCheckpoint()
 
 
 def cap_postings(ex: DataFrame, max_df: int) -> DataFrame:
