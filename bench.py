@@ -191,6 +191,18 @@ def main() -> int:
         "spread": spreads,
         "steal_pct": steals,
         "floor": floor,
+        # r15 (VERDICT r14 item 8): make floor drift separable by
+        # artifact inspection alone — the r13→r14 floor rise
+        # (0.378→0.443 s, +17% environment overhead) alone explained
+        # most sub-second "regressions" in PERF_r14. Read a
+        # round-over-round per-query comparison AFTER normalizing by
+        # floor (queries_minus_floor), and treat any row whose
+        # steal_pct exceeds ~1.5 as polluted before calling it a
+        # plan regression.
+        "floor_note": (
+            "per-query fixed overhead; compare rounds via "
+            "queries_minus_floor and gate rows on steal_pct > 1.5"
+        ),
         "queries_minus_floor": minus_floor,
         "value_minus_floor": round(sum(minus_floor.values()), 3),
         "stat": "trimmed_mean",

@@ -736,3 +736,41 @@ def test_palette_png_decodes_through_plte():
         _decode_png(png(pal[:9]))
     with _pytest.raises(NotImplementedError, match="tRNS"):
         _decode_png(png(pal, extra=_png_chunk(b"tRNS", b"\x00")))
+
+
+def test_decode_stage_gets_real_splits_on_multi_file_store(spark, sf_dir, tmp_path):
+    """Pins the at-scale half of the r14 single-task-decode analysis
+    (VERDICT r14 item 5): at sf0.1 the one-row-group documents file
+    puts the whole mapInPandas decode on ONE task (the _spread
+    row-group split-count lie), and the _spread fix measured worse at
+    that volume — the argument for leaving it was "at 100 TB the scan
+    has real splits by construction". This asserts that mechanism
+    instead of assuming it: over a multi-file blob store, with
+    ``spark.sql.files.maxPartitionBytes`` sized below the store (as
+    any production config sizes it far below the input), the decode
+    stage plans MORE THAN ONE input split — i.e. the blob scan honors
+    maxPartitionBytes and the single-task shape is a small-fixture
+    artifact, not an operator property."""
+    from mapreduce_cs416_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "docs_multi")
+    docs.repartition(4).write.parquet(store)
+    conf = spark.conf
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # size the split knobs below the store (default 128m/4m would
+        # pack the whole small fixture into one split by design)
+        conf.set("spark.sql.files.maxPartitionBytes", "16k")
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        multi = spark.read.parquet(store)
+        assert len(multi.inputFiles()) >= 4
+        feats = multimodal.extract_feature_arrays(multi)
+        # mapInPandas is narrow: its partition count IS the scan's
+        # split count — the decode work distributes
+        n_parts = feats.rdd.getNumPartitions()
+        assert n_parts > 1, f"decode stage planned {n_parts} split(s)"
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        conf.set("spark.sql.files.openCostInBytes", prev_open)
