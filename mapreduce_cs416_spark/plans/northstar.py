@@ -2748,8 +2748,18 @@ WHERE substring(md5('mix-v1' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
 
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import words_col
+    from ..operators.dedup import _spread
 
-    toks = _docs(spark, sf_dir).select(F.explode(words_col("text")).alias("token"))
+    # _spread (r15): the single-row-group documents file otherwise
+    # runs the whole tokenize+md5×4+partial-sketch pass — the query's
+    # dominant CPU — on ONE task (a measured 1.7 s single-task stage
+    # at sf0.1; the parquet row-group split-count lie, cf.
+    # cosine_near_dup_pairs). Counter sums are integers, so the
+    # sketch — and the DuckDB oracle replay — is partitioning-
+    # independent.
+    toks = _spread(_docs(spark, sf_dir)).select(
+        F.explode(words_col("text")).alias("token")
+    )
     return sketches.cms_heavy_hitters(toks, k=15)
 
 
